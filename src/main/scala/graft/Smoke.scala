@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** t1-equivalent smoke: run SparkEntry.entry the way the driver does and
+  * print its row count (driver checks rows > 0). Usage: runMain graft.Smoke
+  */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.entry(spark)
+    val n = df.count()
+    df.show(5, truncate = false)
+    println(s"[smoke] entry rows=$n oracle_queries=${SparkEntry.oracleSql.size} total_queries=${SparkEntry.queries.size}")
+    spark.stop()
+  }
+}

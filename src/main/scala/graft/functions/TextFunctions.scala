@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text/dedup primitives for the LLM-data-pipeline operators (SURVEY.md §2.11):
+  * tokenization, shingling, MinHash signatures, SimHash fingerprints.
+  * All pure Catalyst expression trees (no UDFs) so they distribute and codegen.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (documents.text is space-separated words). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct token set. */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** k-word shingles (n-grams joined by space), distinct.
+    * For a doc with < k words, falls back to the whole doc as one shingle.
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val idx = sequence(lit(1), greatest(n - (k - 1), lit(1)))
+    array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i, lit(k)))))
+  }
+
+  /** MinHash signature: for each of `numHashes` hash families, the minimum
+    * xxhash64 over the shingle set, the family index mixed in as an extra
+    * hash input. One pass over the array per family; no shuffle.
+    */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingleCol, sh => xxhash64(lit(i), sh)))
+    }: _*)
+
+  /** LSH band keys: split the signature into `bands` bands of
+    * signature.length / bands values each; each band key is the hash of its
+    * slice plus the band index. Docs sharing ANY band key are candidates.
+    */
+  def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          slice(signature, b * rowsPerBand + 1, rowsPerBand)).cast("string")).as("bkey"))
+    }: _*)
+
+  /** Exact Jaccard similarity of two token-set columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** SimHash bit-vote: ±1 depending on bit `bit` of `hash`. Both arguments
+    * are Columns, so this uses the expression form of shiftright (the Scala
+    * `shiftright(Column, Int)` overload only takes a literal shift).
+    * Per-(doc, bit) vote rows are built by the caller (explode + groupBy) —
+    * see Llm.q_simhash — keeping the bit-vote aggregation distributed.
+    */
+  def bitVote(hash: Column, bit: Column): Column =
+    when(call_function("shiftright", hash, bit).bitwiseAND(lit(1L)) === 1L, lit(1L))
+      .otherwise(lit(-1L))
+
+  /** Rolling fingerprint of the whole document: a deterministic,
+    * order-sensitive 64-bit hash — fold the token stream through xxhash64,
+    * mixing the running hash in as the first argument (overflow-free under
+    * ANSI mode, unlike a polynomial accumulator).
+    */
+  def docFingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, tok) => xxhash64(acc, tok))
+}

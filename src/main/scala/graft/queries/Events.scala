@@ -1,0 +1,207 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Dashboard-parity analytics over the driver's `events` table, whose
+  * `event_type` / `ts` / `user_id` / `props` columns mirror the reference's
+  * `status` / `timestamp` / `device_id` / `readings` roles (FIXTURES.md §B).
+  *
+  * Reference operators covered: P1 nested extraction (`iot_dashboard.py:117-130`,
+  * here via JSON props), P3 equality filter (`:147-150`), P4/P5 null handling
+  * (`:156-185`), A1 value_counts (`:196-197`), A2 distinct+sort (`:144`),
+  * O1 sort (`:112`), O2 limit (`:138`), T5/T6 batch analogs of the streaming
+  * windows (true streaming versions live in graft.streaming).
+  *
+  * Determinism note: events.ts carries nanosecond precision in parquet while
+  * Spark truncates to microseconds — so no query here outputs a raw ts or
+  * orders by ts without a unique tie-break key; time buckets are formatted to
+  * second-or-coarser strings, identical across engines.
+  */
+object Events {
+
+  private def t(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  val all: Seq[Q] = Seq(
+
+    // ---- A1: value_counts of event_type (iot_dashboard.py:196-197)
+    Q("q_events_type_count",
+      (s, dir) =>
+        t(s, dir).groupBy("event_type").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("event_type")),
+      Some("""SELECT event_type, COUNT(*) AS n FROM events
+             |GROUP BY event_type ORDER BY n DESC, event_type""".stripMargin)),
+
+    // ---- A2: distinct + sort (device selector, iot_dashboard.py:144)
+    Q("q_events_distinct_users",
+      (s, dir) =>
+        t(s, dir).select("user_id").distinct().orderBy("user_id"),
+      Some("SELECT DISTINCT user_id FROM events ORDER BY user_id")),
+
+    // ---- P1/F6: nested JSON extraction (readings[sensor]['value'] analog,
+    // iot_dashboard.py:117-121); missing key -> null -> COALESCE default (P6)
+    Q("q_events_json_extract",
+      (s, dir) =>
+        t(s, dir).select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          coalesce(get_json_object(col("props"), "$.missing").cast("long"), lit(-1L))
+            .as("k_missing"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             |  COALESCE(CAST(json_extract_string(props, '$.missing') AS BIGINT), -1) AS k_missing
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ---- P3 + P4: equality filter on key + null-safe value filter + sort/limit
+    Q("q_events_filter",
+      (s, dir) =>
+        t(s, dir)
+          .filter(col("event_type") === "error" && col("value").isNotNull && col("value") > 100.0)
+          .select("event_id", "user_id", "value")
+          .orderBy("event_id")
+          .limit(500),
+      Some("""SELECT event_id, user_id, value FROM events
+             |WHERE event_type='error' AND value IS NOT NULL AND value > 100
+             |ORDER BY event_id LIMIT 500""".stripMargin)),
+
+    // ---- A4: per-user stats (the dashboard's per-device panel, relationally)
+    Q("q_events_user_stats",
+      (s, dir) =>
+        t(s, dir).groupBy("user_id").agg(
+          count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("sum_value"),
+          // round(sum)/count: both engines agree on the inner double exactly
+          // (value is 2-decimal-granular), making the outer round stable
+          round(round(sum("value"), 2) / count(lit(1)), 4).as("avg_value"),
+          round(min("value"), 2).as("min_value"),
+          round(max("value"), 2).as("max_value"))
+          .orderBy("user_id"),
+      Some("""SELECT user_id, COUNT(*) AS n_events,
+             |  ROUND(SUM(value),2) AS sum_value,
+             |  ROUND(ROUND(SUM(value),2)/COUNT(*),4) AS avg_value,
+             |  ROUND(MIN(value),2) AS min_value, ROUND(MAX(value),2) AS max_value
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- T6 batch analog: tumbling hourly window per type (streaming twin in
+    // graft.streaming.Streams uses window($"ts","1 hour") + watermark)
+    Q("q_events_hourly",
+      (s, dir) =>
+        t(s, dir)
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(round(sum("value"), 2) / count(lit(1)), 4).as("avg_value"))
+          .orderBy("hour", "event_type"),
+      Some("""SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+             |  COUNT(*) AS n, ROUND(ROUND(SUM(value),2)/COUNT(*),4) AS avg_value
+             |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)),
+
+    // ---- O3/W1: latest event per user (top-1 per key ranking window)
+    Q("q_events_latest_per_user",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+        t(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"), col("event_type"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, event_type
+             |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+             |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // ---- T5 batch analog: sessionization (1-hour inactivity gap) via
+    // gaps-and-islands windows; streaming twin uses session_window()
+    Q("q_events_sessions",
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val gapSec = 3600L
+        t(s, dir)
+          .withColumn("prev_ts", lag("ts", 1).over(byUser))
+          .withColumn("brk",
+            when(col("prev_ts").isNull ||
+                 col("ts").cast("long") - col("prev_ts").cast("long") > gapSec, 1L)
+              .otherwise(0L))
+          .withColumn("sess", sum("brk").over(
+            byUser.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "sess")
+          .agg(count(lit(1)).as("n_events"),
+               date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("start_ts"))
+          .orderBy("user_id", "sess")
+      },
+      // DuckDB: epoch() on the interval difference mirrors the epoch-seconds
+      // comparison (second granularity, immune to the ns-vs-us difference)
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN LAG(ts) OVER w IS NULL
+             |           OR CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT) > 3600
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |), s AS (
+             |  SELECT user_id, ts, CAST(SUM(brk) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+             |  FROM g
+             |)
+             |SELECT user_id, sess, COUNT(*) AS n_events,
+             |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS start_ts
+             |FROM s GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin)),
+
+    // ---- J5 as-of join: for each error event, the most recent purchase by the
+    // same user at-or-before it. Implemented scalably as union + last() window
+    // (one shuffle by user_id, no per-row range scan).
+    Q("q_events_asof",
+      (s, dir) => {
+        val ev = t(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), lit(0).as("tag"),
+            col("ts").as("p_ts"), lit(null).cast("long").as("event_id"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"), lit(1).as("tag"),
+            lit(null).cast("timestamp").as("p_ts"), col("event_id"))
+        val w = Window.partitionBy("user_id").orderBy("ts", "tag")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        purchases.union(errors)
+          .withColumn("last_p", last("p_ts", ignoreNulls = true).over(w))
+          .filter(col("tag") === 1)
+          .select(col("event_id"), col("user_id"),
+            date_format(col("last_p"), "yyyy-MM-dd HH:mm:ss").as("last_purchase_ts"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT e.event_id, e.user_id,
+             |  strftime((SELECT MAX(p.ts) FROM events p
+             |            WHERE p.user_id = e.user_id AND p.event_type='purchase'
+             |              AND p.ts <= e.ts), '%Y-%m-%d %H:%M:%S') AS last_purchase_ts
+             |FROM events e WHERE e.event_type='error' ORDER BY e.event_id""".stripMargin)),
+
+    // ---- J5 range join: clicks within 5 minutes after each view, same user.
+    // Equi key user_id keeps it a hash/sort-merge join; the range is a post-
+    // condition, so it scales as sum(per-user view x click), not |V| x |C|.
+    Q("q_events_range_join",
+      (s, dir) => {
+        val ev = t(s, dir)
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+        views.join(clicks,
+            col("c_user") === col("v_user") &&
+            col("c_ts") > col("v_ts") &&
+            col("c_ts") <= col("v_ts") + expr("INTERVAL 5 MINUTES"),
+            "left_outer")
+          .groupBy("view_id")
+          .agg(count(col("click_id")).as("n_clicks"))
+          .orderBy("view_id")
+      },
+      Some("""SELECT v.event_id AS view_id, COUNT(c.event_id) AS n_clicks
+             |FROM events v LEFT JOIN events c
+             |  ON c.user_id = v.user_id AND c.event_type='click'
+             | AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 5 MINUTE
+             |WHERE v.event_type='view'
+             |GROUP BY v.event_id ORDER BY view_id""".stripMargin))
+  )
+}

@@ -1,0 +1,371 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational suite over the driver's TPC-H-ish star schema (TESTDATA.md).
+  *
+  * Covers SURVEY.md §2.3 (A4-A6), §2.4 (O1-O3), §2.5 (J1-J6), §2.6 (W1-W3),
+  * §2.7 (set ops), §2.8 (F1-F3). The reference itself has no joins — its one
+  * lookup is the static location enrichment (`iot-data-stream.py:229-230`,
+  * a broadcast-style join); everything here is the relational generalization
+  * required by BASELINE.json's north star.
+  *
+  * Scale notes (100 TB design intent):
+  *  - dims (region/nation/customer/supplier/part) are explicitly broadcast;
+  *    fact-fact joins (orders ⋈ lineitem) shuffle on the join key and are
+  *    left to AQE to pick SMJ/SHJ.
+  *  - aggregations are pushed below joins where legal (pre-aggregate orders
+  *    by o_custkey before joining customer) so the shuffle carries grouped
+  *    rows, not raw fact rows.
+  *  - every query ends in a total order (tie-broken) purely for oracle
+  *    determinism; callers at scale would drop the final sort.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val all: Seq[Q] = Seq(
+
+    // ---- A4: hash aggregate, TPC-H Q1 flavor (partial+final agg, no join)
+    Q("q1_pricing_summary",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.filter(col("l_shipdate") <= lit("1999-01-01").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            round(sum("l_extendedprice"), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+            // avg via round(sum)/count: the inner round lands both engines on
+            // the identical double (data is 2-decimal-granular, float noise
+            // ~1e-10), so the outer round sees the same input either side
+            round(round(sum("l_quantity"), 2) / count(lit(1)), 4).as("avg_qty"),
+            round(round(sum("l_discount"), 2) / count(lit(1)), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  ROUND(SUM(l_quantity),2) AS sum_qty,
+             |  ROUND(SUM(l_extendedprice),2) AS sum_base_price,
+             |  ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+             |  ROUND(ROUND(SUM(l_quantity),2)/COUNT(*),4) AS avg_qty,
+             |  ROUND(ROUND(SUM(l_discount),2)/COUNT(*),4) AS avg_disc,
+             |  COUNT(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-01-01 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- J2 + A4: fact-fact join with selective dim filter, TPC-H Q3 flavor
+    Q("q3_top_revenue",
+      (s, dir) => {
+        val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val ord = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+        ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(li, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderkey")
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+          .orderBy(desc("revenue"), asc("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS revenue
+             |FROM customer JOIN orders ON c_custkey=o_custkey
+             |JOIN lineitem ON l_orderkey=o_orderkey
+             |WHERE c_mktsegment='BUILDING'
+             |GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // ---- J1 broadcast dim chain: revenue per region/nation, TPC-H Q5 flavor
+    Q("q5_region_revenue",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val ord = t(s, dir, "orders")
+        val cust = t(s, dir, "customer")
+        val nat = t(s, dir, "nation")
+        val reg = t(s, dir, "region")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+               count(lit(1)).as("n_items"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""SELECT r_name, n_name,
+             |  ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS revenue,
+             |  COUNT(*) AS n_items
+             |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+             |JOIN customer ON o_custkey=c_custkey
+             |JOIN nation ON c_nationkey=n_nationkey
+             |JOIN region ON n_regionkey=r_regionkey
+             |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
+
+    // ---- J3 left outer, with the aggregate pushed BELOW the join (scale win:
+    // the join carries one row per customer, not one per order)
+    Q("q_cust_order_stats",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val ordAgg = t(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("cnt"), sum("o_totalprice").as("tot"))
+        cust.join(ordAgg, col("c_custkey") === col("o_custkey"), "left_outer")
+          .select(
+            col("c_custkey"),
+            coalesce(col("cnt"), lit(0L)).as("n_orders"),
+            round(coalesce(col("tot"), lit(0.0)), 2).as("total_spend"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+             |  ROUND(COALESCE(SUM(o_totalprice),0),2) AS total_spend
+             |FROM customer LEFT JOIN orders ON c_custkey=o_custkey
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+
+    // ---- J4 semi join: customers having at least one finished order
+    Q("q_semi_join",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val ordF = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        cust.join(ordF, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus='F')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- J4 anti join: customers with no orders at all
+    Q("q_anti_join",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val ord = t(s, dir, "orders")
+        cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- J6 theta / nested-loop join on a tiny dim (BroadcastNestedLoopJoin)
+    Q("q_theta_join",
+      (s, dir) => {
+        val r1 = t(s, dir, "region").select(col("r_regionkey").as("k1"), col("r_name").as("a"))
+        val r2 = t(s, dir, "region").select(col("r_regionkey").as("k2"), col("r_name").as("b"))
+        r1.join(r2, col("k1") < col("k2")).select("a", "b").orderBy("a", "b")
+      },
+      Some("""SELECT r1.r_name AS a, r2.r_name AS b FROM region r1, region r2
+             |WHERE r1.r_regionkey < r2.r_regionkey ORDER BY a, b""".stripMargin)),
+
+    // ---- A5 rollup
+    Q("q_rollup",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+            col("sum_qty"), col("n"))
+          .orderBy("rf", "ls")
+      },
+      Some("""SELECT COALESCE(l_returnflag,'ALL') AS rf, COALESCE(l_linestatus,'ALL') AS ls,
+             |  ROUND(SUM(l_quantity),2) AS sum_qty, COUNT(*) AS n
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY rf, ls""".stripMargin)),
+
+    // ---- A5 cube
+    Q("q_cube",
+      (s, dir) => {
+        t(s, dir, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("n"), col("total"))
+          .orderBy("status", "priority")
+      },
+      Some("""SELECT COALESCE(o_orderstatus,'ALL') AS status,
+             |  COALESCE(o_orderpriority,'ALL') AS priority,
+             |  COUNT(*) AS n, ROUND(SUM(o_totalprice),2) AS total
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             |ORDER BY status, priority""".stripMargin)),
+
+    // ---- A4: exact count-distinct per group (oracle for A6's approx twin)
+    Q("q_count_distinct",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(countDistinct(col("l_partkey")).as("n_parts"),
+               countDistinct(col("l_suppkey")).as("n_supps"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+             |  COUNT(DISTINCT l_suppkey) AS n_supps
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- A6 approx distinct (HLL impls differ across engines -> rows-only check)
+    Q("q_approx_distinct",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+          .orderBy("l_returnflag")
+      },
+      None),
+
+    // ---- O3 + W1: top-k per group via ranking window.
+    // Tie-break note: (l_orderkey, l_linenumber) is NOT unique in this
+    // synthetic lineitem — the unique key is (l_orderkey, l_linenumber,
+    // l_partkey, l_suppkey), so every window/output order includes all four.
+    Q("q_topk_per_group",
+      (s, dir) => {
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"),
+            asc("l_partkey"), asc("l_suppkey"))
+        t(s, dir, "lineitem")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select("l_returnflag", "rn", "l_orderkey", "l_linenumber",
+            "l_partkey", "l_suppkey", "l_extendedprice")
+          .orderBy("l_returnflag", "rn")
+      },
+      Some("""SELECT l_returnflag, rn, l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice
+             |FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice,
+             |  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+             |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey, l_suppkey) AS rn
+             |  FROM lineitem)
+             |WHERE rn <= 3 ORDER BY l_returnflag, rn""".stripMargin)),
+
+    // ---- W2 lag: reading-to-reading delta (the generator's drift model,
+    // iot-data-stream.py:154-173, expressed declaratively)
+    Q("q_window_lag",
+      (s, dir) => {
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_partkey")
+        t(s, dir, "lineitem")
+          .withColumn("dq", round(col("l_quantity") - lag("l_quantity", 1).over(w), 2))
+          .select("l_suppkey", "l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "dq")
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_partkey")
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey, l_quantity,
+             |  ROUND(l_quantity - LAG(l_quantity) OVER (PARTITION BY l_suppkey
+             |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey),2) AS dq
+             |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey""".stripMargin)),
+
+    // ---- W3 frame-spec aggregate: 5-row moving average per supplier
+    // (l_quantity is integer-valued, so the <=5-term window sum is exact in
+    // both engines and the rounded division is cross-engine stable)
+    Q("q_moving_avg",
+      (s, dir) => {
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_partkey")
+          .rowsBetween(-4, 0)
+        t(s, dir, "lineitem")
+          .withColumn("ma5", round(avg("l_quantity").over(w), 2))
+          .select("l_suppkey", "l_orderkey", "l_linenumber", "l_partkey", "ma5")
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_partkey")
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey,
+             |  ROUND(AVG(l_quantity) OVER (PARTITION BY l_suppkey
+             |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+             |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),2) AS ma5
+             |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey""".stripMargin)),
+
+    // ---- set ops: INTERSECT (customers with both F and O orders)
+    Q("q_intersect",
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+        val f = ord.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+        val o = ord.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+        f.intersect(o).orderBy("custkey")
+      },
+      Some("""SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus='F'
+             |INTERSECT
+             |SELECT o_custkey FROM orders WHERE o_orderstatus='O'
+             |ORDER BY custkey""".stripMargin)),
+
+    // ---- set ops: EXCEPT (customers with P orders but no F orders)
+    Q("q_except",
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+        val p = ord.filter(col("o_orderstatus") === "P").select(col("o_custkey").as("custkey"))
+        val f = ord.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+        p.except(f).orderBy("custkey")
+      },
+      Some("""SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus='P'
+             |EXCEPT
+             |SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+             |ORDER BY custkey""".stripMargin)),
+
+    // ---- union (the generator's batch accumulation, iot-data-stream.py:386-387,
+    // is a union): distinct statuses seen in either half of the order date range
+    Q("q_union",
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+        val cut = lit("1998-01-01").cast("timestamp")
+        val early = ord.filter(col("o_orderdate") < cut)
+          .select(col("o_orderstatus").as("status"), col("o_orderpriority").as("priority"))
+        val late = ord.filter(col("o_orderdate") >= cut)
+          .select(col("o_orderstatus").as("status"), col("o_orderpriority").as("priority"))
+        early.union(late).distinct().orderBy("status", "priority")
+      },
+      Some("""SELECT DISTINCT o_orderstatus AS status, o_orderpriority AS priority
+             |FROM (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             |      UNION ALL
+             |      SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+             |ORDER BY status, priority""".stripMargin)),
+
+    // ---- F1/F3/F7 scalar function surface on part
+    Q("q_scalar_funcs",
+      (s, dir) => {
+        t(s, dir, "part").select(
+          col("p_partkey"),
+          upper(substring(col("p_name"), 1, 5)).as("name5"),
+          concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+          round(col("p_retailprice") * 1.1, 2).as("uplift"),
+          when(col("p_size") > 25, "big").otherwise("small").as("sz"),
+          greatest(least(col("p_size"), lit(40)), lit(10)).as("clamped"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, UPPER(SUBSTR(p_name,1,5)) AS name5,
+             |  p_brand || '/' || p_type AS brand_type,
+             |  ROUND(p_retailprice*1.1,2) AS uplift,
+             |  CASE WHEN p_size > 25 THEN 'big' ELSE 'small' END AS sz,
+             |  GREATEST(LEAST(p_size, 40), 10) AS clamped
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // ---- F2 date/time surface on orders (ints cast to match DuckDB EXTRACT)
+    Q("q_date_funcs",
+      (s, dir) => {
+        t(s, dir, "orders").select(
+          col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mon"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS ym,
+             |  EXTRACT(year FROM o_orderdate) AS yr,
+             |  EXTRACT(month FROM o_orderdate) AS mon,
+             |  EXTRACT(quarter FROM o_orderdate) AS qtr
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- S5 keyed-store scan with limit (iot_dashboard.py:52-66): deterministic
+    // paged read = sort + limit; Catalyst pushes the limit into the scan
+    Q("q_scan_limit",
+      (s, dir) => {
+        t(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_acctbal")
+          .orderBy("c_custkey")
+          .limit(100)
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+             |ORDER BY c_custkey LIMIT 100""".stripMargin))
+  )
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One registered engine query.
+  *
+  * @param name    stable key; shows up in CORRECTNESS_r{N}.json / BENCH_r{N}.json
+  * @param fn      (spark, sfDir) => result DataFrame. Must be deterministic:
+  *                total ordering, rounded floats, UTC.
+  * @param oracle  equivalent ANSI SQL for DuckDB over the same parquet tables
+  *                (table names = bare file names). None for ops that are not
+  *                SQL-expressible (driver falls back to a rows-only check).
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)
+
+/** Loaders for the driver's read-only parquet tables (TESTDATA.md). */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
+      // as a timestamp (PARQUET_TYPE_ILLEGAL). Read it as raw nanos and
+      // truncate to microseconds ourselves (floor division — `div` stays in
+      // long arithmetic; a double division would lose precision at 1.7e18).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Register every table as a temp view so queries can use spark.sql. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
