@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Events, Llm, Relational}
+import graft.queries.{Dashboard, Events, Llm, Multimodal, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** Every registered query, in registration order. */
   def registry: Seq[Q] =
-    Relational.all ++ Events.all ++ Llm.all
+    Relational.all ++ Events.all ++ Llm.all ++ Dashboard.all ++ Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

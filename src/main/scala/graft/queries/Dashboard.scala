@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.Q
+import graft.gen.Generator
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The reference dashboard's exact analytics (iot_dashboard.py:103-205) over
+  * generated IoT readings — P1-P11, A1-A3, O1-O2 from SURVEY.md §2.
+  *
+  * These queries generate their input with graft.gen.Generator (seeded,
+  * deterministic, partition-count independent) instead of reading sfDir, so
+  * they carry no DuckDB oracle (the driver records a rows-only check);
+  * their semantics are pinned by DashboardSpec / GeneratorSpec instead.
+  * Input size scales with the sf dir only in spirit: fixed 50 devices x 120
+  * ticks keeps the rows-only check fast while exercising every operator.
+  */
+object Dashboard {
+
+  private def iot(s: SparkSession): DataFrame = {
+    val ds = Generator.readings(s, nDevices = 50, ticks = 120)
+    Generator.flatten(ds)
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ---- P1/P2 nested extraction + P7 ts + O1 global sort (dashboard load,
+    // iot_dashboard.py:111-130): the flattened wide frame itself
+    Q("q_iot_flatten",
+      (s, _) =>
+        iot(s)
+          .select("device_id", "timestamp", "location_id", "latitude", "longitude",
+            "status", "temperature_value", "humidity_value", "battery_level_value")
+          .orderBy("device_id", "timestamp")),
+
+    // ---- A1 value_counts of status, desc (iot_dashboard.py:196-197)
+    Q("q_iot_status_counts",
+      (s, _) =>
+        iot(s).groupBy("status").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("status"))),
+
+    // ---- A2 distinct device selector (iot_dashboard.py:144)
+    Q("q_iot_devices",
+      (s, _) =>
+        iot(s).select("device_id", "location_id").distinct()
+          .orderBy("device_id")),
+
+    // ---- P3 equality filter + P4 dropna + O2 limit (device drill-down,
+    // iot_dashboard.py:147-157)
+    Q("q_iot_location_filter",
+      (s, _) =>
+        iot(s)
+          .filter(col("location_id") === "warehouse_a")
+          .filter(col("temperature_value").isNotNull)
+          .select("device_id", "timestamp", "temperature_value")
+          .orderBy("device_id", "timestamp")
+          .limit(2000)),
+
+    // ---- P5/P6/P9/P10: null-guarded metric panel per location
+    Q("q_iot_location_stats",
+      (s, _) =>
+        iot(s).groupBy("location_id").agg(
+          count(lit(1)).as("n"),
+          round(avg("temperature_value"), 2).as("avg_temp"),
+          round(avg("humidity_value"), 2).as("avg_humidity"),
+          sum(when(col("temperature_value").isNull, 1L).otherwise(0L)).as("n_missing_temp"),
+          round(greatest(least(max("air_quality_value"), lit(500.0)), lit(0.0)), 1)
+            .as("max_aqi_clamped"))
+          .orderBy("location_id")),
+
+    // ---- O3: latest reading per device (top-1 ranking window)
+    Q("q_iot_latest",
+      (s, _) => {
+        val w = Window.partitionBy("device_id").orderBy(desc("timestamp"))
+        iot(s)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("device_id", "timestamp", "status", "battery_level_value")
+          .orderBy("device_id")
+      }),
+
+    // ---- W2 on generated data: verify the generator's own drift/decay
+    // invariants declaratively (battery monotone unless anomaly, bounded step)
+    Q("q_iot_battery_audit",
+      (s, _) => {
+        val w = Window.partitionBy("device_id").orderBy("timestamp")
+        iot(s)
+          .filter(col("battery_level_value").isNotNull)
+          .withColumn("prev", lag("battery_level_value", 1).over(w))
+          .withColumn("delta", col("battery_level_value") - col("prev"))
+          .groupBy("device_id")
+          .agg(count(lit(1)).as("n_readings"),
+            sum(when(col("delta") > 0, 1L).otherwise(0L)).as("n_increases"),
+            round(min("battery_level_value"), 1).as("min_battery"))
+          .orderBy("device_id")
+      })
+  )
+}

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import graft.model._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming leg (SURVEY.md §2.9 T1-T6): the reference's
+  * generator→Kinesis→Lambda→store pipeline re-expressed as
+  * readStream → transforms → writeStream.
+  *
+  * The reference's stream is batches of readings every `--frequency` seconds,
+  * keyed by device_id (iot-data-stream.py:369-391, PartitionKey at :281).
+  * Locally these are driven by MemoryStream/rate sources in StreamingSpec;
+  * on a real cluster the same functions apply unchanged to a Kinesis/Kafka
+  * source DataFrame — they only assume the flattened reading schema.
+  */
+object Streams {
+
+  /** T1/S1: a self-describing synthetic reading stream from the rate source —
+    * one logical device per `value % nDevices`, deterministic value columns.
+    * (The full stateful generator semantics live in Generator/driftAudit; the
+    * rate stream exists to exercise the streaming operators end-to-end.)
+    */
+  def syntheticReadingStream(spark: SparkSession, nDevices: Int, rowsPerSecond: Int): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toLong)
+      .load()
+      .select(
+        concat(lit("device_"), format_string("%08x", col("value") % nDevices)).as("device_id"),
+        col("timestamp"),
+        (sin(col("value").cast("double")) * 10 + 20).as("temperature"),
+        when(pmod(col("value"), lit(97)) === 0, "error").otherwise("operational").as("status"))
+
+  /** T5: watermark + exact-once dedup by (device_id, timestamp) — the Lambda
+    * leg's idempotent upsert (README.md:2) as a streaming operator.
+    */
+  def deduped(readings: DataFrame, watermark: String = "10 seconds"): DataFrame =
+    readings
+      .withWatermark("timestamp", watermark)
+      .dropDuplicates("device_id", "timestamp")
+
+  /** T6: tumbling-window status counts — the dashboard's status bar chart
+    * (iot_dashboard.py:196-200) recomputed incrementally instead of per-rerun.
+    */
+  def windowedStatusCounts(readings: DataFrame, window_ : String = "1 minute",
+      watermark: String = "30 seconds"): DataFrame =
+    readings
+      .withWatermark("timestamp", watermark)
+      .groupBy(window(col("timestamp"), window_), col("status"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("status"), col("n"))
+
+  /** T5 (sessions): per-device session windows with an inactivity gap. */
+  def deviceSessions(readings: DataFrame, gap: String = "30 seconds",
+      watermark: String = "1 minute"): DataFrame =
+    readings
+      .withWatermark("timestamp", watermark)
+      .groupBy(session_window(col("timestamp"), gap), col("device_id"))
+      .agg(count(lit(1)).as("n_readings"))
+      .select(col("session_window.start").as("session_start"),
+        col("device_id"), col("n_readings"))
+
+  /** Per-device carried state for T4. */
+  final case class DeviceState(lastValue: Double, lastTs: Long, nSeen: Long)
+  final case class Flat(device_id: String, ts: java.sql.Timestamp, value: Double)
+  final case class DriftAlert(device_id: String, ts: java.sql.Timestamp,
+      value: Double, prev: Double, delta: Double, nSeen: Long)
+
+  /** T4: the one genuinely stateful op — per-device drift tracking with
+    * keyed state (the streaming twin of the generator's `self.current_values`,
+    * iot-data-stream.py:128-137,166-173). Emits an alert whenever a reading
+    * jumps more than `maxDelta` from the device's previous reading.
+    * Batch oracle: the same predicate via lag() window (StreamingSpec).
+    */
+  def driftAlerts(readings: Dataset[Flat], maxDelta: Double): Dataset[DriftAlert] = {
+    import readings.sparkSession.implicits._
+    readings
+      .groupByKey(_.device_id)
+      .flatMapGroupsWithState[DeviceState, DriftAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (deviceId: String, rows: Iterator[Flat], state: GroupState[DeviceState]) =>
+          // rows within a batch are not ordered; sort by event time locally
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var st = state.getOption.getOrElse(DeviceState(Double.NaN, Long.MinValue, 0L))
+          val alerts = Seq.newBuilder[DriftAlert]
+          sorted.foreach { r =>
+            if (!st.lastValue.isNaN) {
+              val delta = r.value - st.lastValue
+              if (math.abs(delta) > maxDelta)
+                alerts += DriftAlert(deviceId, r.ts, r.value, st.lastValue, delta, st.nSeen + 1)
+            }
+            st = DeviceState(r.value, r.ts.getTime, st.nSeen + 1)
+          }
+          state.update(st)
+          alerts.result().iterator
+      }
+  }
+
+  /** S2/S7: keyed sink — foreachBatch writing parquet partitioned by
+    * device_id (the Kinesis PartitionKey / DynamoDB key leg,
+    * iot-data-stream.py:281, iot_dashboard.py:58). Exactly-once per batch via
+    * overwrite-by-batch-directory.
+    */
+  def keyedParquetSink(readings: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    readings.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite")
+          .partitionBy("device_id")
+          .parquet(s"$path/batch_id=$batchId")
+      }
+      .start()
+}
