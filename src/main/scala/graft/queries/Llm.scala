@@ -89,7 +89,10 @@ object Llm {
     // vs the exact twin is asserted in MinHashSpec.
     Q("x2_minhash_lsh",
       (s, dir) => {
-        val numHashes = 32; val bands = 8; val rows = numHashes / bands
+        // b=16 bands of r=2: P(candidate | j) = 1-(1-j^2)^16 = 0.99 at j=0.5,
+        // so recall at the 0.5 verify threshold is near-exact while the
+        // bucket join stays tiny
+        val numHashes = 32; val bands = 16; val rows = numHashes / bands
         val d = docs(s, dir).select(
           col("doc_id"),
           TF.shingles(col("text"), 3).as("sh"))

