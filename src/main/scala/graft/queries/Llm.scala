@@ -47,28 +47,95 @@ object Llm {
       Some("""SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_unique_texts,
              |  COUNT(DISTINCT lang) AS n_langs FROM documents""".stripMargin)),
 
-    // ---- X2 exact n-gram (unigram-set) Jaccard near-dup pairs.
-    // Distributed exact algorithm: explode distinct tokens, self-join on the
-    // token (equi key -> hash join), count intersections per pair, derive
-    // |union| = |A| + |B| - |A∩B|. At 100 TB you'd cap document frequency per
-    // token first (hot-token skew); here the oracle requires exactness.
+    // ---- X2 exact n-gram (unigram-set) Jaccard near-dup pairs, via AllPairs
+    // prefix filtering (Bayardo et al., WWW'07): sort each doc's token set in a
+    // global (document-frequency asc, token asc) order; for threshold t, two
+    // sets with J >= t MUST share a token within each one's first
+    // n - ceil(t*n) + 1 tokens, so the self-join only explodes that ~10% prefix
+    // (the RAREST tokens — tiny fanout per key), instead of every token (where
+    // one hot stopword alone yields |docs|^2 pairs). A length filter
+    // (min/max >= t, implied by J >= t) prunes further. Candidates are then
+    // verified with the exact intersection, so the result set is identical to
+    // the naive all-token join — this is a pure pruning, not an approximation.
     Q("x2_jaccard_exact",
       (s, dir) => {
+        val t = 0.9
         val d = docs(s, dir).select(col("doc_id"), TF.tokenSet(col("text")).as("toks"))
         val tok = d.select(col("doc_id"), explode(col("toks")).as("w"))
-        val cnt = d.select(col("doc_id"), size(col("toks")).cast("long").as("n"))
-        val inter = tok.as("a")
-          .join(tok.as("b"), col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("i"))
-        inter
-          .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
-          .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
-          .withColumn("j", col("i").cast("double") /
-            (col("ca.n") + col("cb.n") - col("i")).cast("double"))
-          .filter(col("j") >= 0.9)
-          .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
-          .orderBy("doc_a", "doc_b")
+        val vocabSize = tok.select("w").distinct().count()
+        if (vocabSize <= 64) {
+          // Dense-vocabulary path (the driver's documents table: 31 distinct
+          // tokens across 5000 docs — every token is a hot key, so ANY
+          // token-based join blows up). Instead: (1) encode each token set as
+          // a 64-bit bitmask over the broadcast vocabulary, (2) collapse
+          // identical sets (groupBy mask), (3) compare DISTINCT SETS pairwise
+          // — bit_count(a&b) is whole-stage-codegen'd integer math, ~7.7M set
+          // pairs in well under a second — and (4) expand qualifying set
+          // pairs back to doc pairs. Intersection/union counts are the same
+          // integers as the token-join formulation, so j is bit-identical.
+          val w = Window.orderBy("w")
+          val idx = tok.select("w").distinct()
+            .select(col("w"), (row_number().over(w) - 1).as("i"))
+          val masks = tok.join(broadcast(idx), "w")
+            .groupBy("doc_id")
+            .agg(sum(call_function("shiftleft", lit(1L), col("i"))).as("mask"))
+          val sets = masks.groupBy("mask")
+            .agg(collect_list("doc_id").as("ds"), count(lit(1)).as("cnt"))
+            .withColumn("n", call_function("bit_count", col("mask")).cast("long"))
+          val a = sets.select(col("mask").as("ma"), col("ds").as("da"), col("n").as("na"))
+          val b = sets.select(col("mask").as("mb"), col("ds").as("db"), col("n").as("nb"))
+          a.join(broadcast(b),
+              col("ma") <= col("mb") &&
+                least(col("na"), col("nb")).cast("double") >=
+                  greatest(col("na"), col("nb")) * t)
+            .withColumn("i",
+              call_function("bit_count", col("ma").bitwiseAND(col("mb"))).cast("long"))
+            .withColumn("j", col("i").cast("double") /
+              (col("na") + col("nb") - col("i")).cast("double"))
+            .filter(col("j") >= t)
+            .select(col("ma"), col("mb"), col("j"), explode(col("da")).as("x"), col("db"))
+            .select(col("ma"), col("mb"), col("j"), col("x"), explode(col("db")).as("y"))
+            .filter((col("ma") === col("mb") && col("x") < col("y")) || col("ma") < col("mb"))
+            .select(least(col("x"), col("y")).as("doc_a"),
+              greatest(col("x"), col("y")).as("doc_b"),
+              round(col("j"), 4).as("jaccard"))
+            .orderBy("doc_a", "doc_b")
+        } else {
+          // General path: AllPairs prefix filtering (Bayardo et al., WWW'07).
+          // Sort each doc's token set in a global (document-frequency asc,
+          // token asc) order; for threshold t, two sets with J >= t MUST share
+          // a token within each one's first n - ceil(t*n) + 1 tokens, so the
+          // self-join only explodes that ~10% prefix (the RAREST tokens —
+          // small fanout per key when the vocabulary is large). A length
+          // filter prunes further; candidates are verified with the exact
+          // intersection, so this is pure pruning, not approximation.
+          val dfreq = tok.groupBy("w").agg(count(lit(1)).as("df"))
+          val sorted = tok.join(dfreq, "w")
+            .groupBy("doc_id")
+            .agg(array_sort(collect_list(struct(col("df"), col("w")))).as("sw"))
+            .select(col("doc_id"),
+              expr("transform(sw, p -> p.w)").as("toks"),
+              size(col("sw")).cast("long").as("n"))
+          val pref = sorted.select(col("doc_id"), col("toks"), col("n"),
+            explode(slice(col("toks"), lit(1),
+              (col("n") - ceil(col("n") * t) + 1).cast("int"))).as("w"))
+          val cand = pref.as("a")
+            .join(pref.as("b"),
+              col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id") &&
+                least(col("a.n"), col("b.n")).cast("double") >=
+                  greatest(col("a.n"), col("b.n")) * t)
+            .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              col("a.toks").as("ta"), col("b.toks").as("tb"),
+              col("a.n").as("na"), col("b.n").as("nb"))
+            .dropDuplicates("doc_a", "doc_b")
+          cand
+            .withColumn("i", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+            .withColumn("j", col("i").cast("double") /
+              (col("na") + col("nb") - col("i")).cast("double"))
+            .filter(col("j") >= t)
+            .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
+            .orderBy("doc_a", "doc_b")
+        }
       },
       Some("""WITH tok AS (SELECT doc_id, UNNEST(list_distinct(string_split(text,' '))) AS w
              |            FROM documents),
@@ -98,15 +165,20 @@ object Llm {
           TF.shingles(col("text"), 3).as("sh"))
         val sig = d.select(col("doc_id"), col("sh"),
           TF.minhashSignature(col("sh"), numHashes).as("sig"))
-        val banded = sig.select(col("doc_id"), col("sh"),
+        // Band join carries doc ids ONLY — candidate pairs can be ~10^6 and
+        // dragging two ~50-string shingle arrays per row through the bucket
+        // join + dedup shuffle dominates runtime; the arrays are re-joined
+        // (by id, post-dedup) solely for verification.
+        val banded = sig.select(col("doc_id"),
           explode(TF.bandKeys(col("sig"), bands, rows)).as("bk"))
         val cand = banded.as("a")
           .join(banded.as("b"),
             col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .dropDuplicates("doc_a", "doc_b")
         cand
+          .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+          .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
           .withColumn("j", TF.jaccard(col("sh_a"), col("sh_b")))
           .filter(col("j") >= 0.5)
           .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
@@ -141,12 +213,15 @@ object Llm {
     // LSH/IVF variant below is the 100 TB path)
     Q("x5_embedding_neardup",
       (s, dir) => {
+        graft.functions.NativeExpressions.register(s)
+        // Norms computed once per vector BEFORE the pair join (not per pair),
+        // with the identical expression, so sim is bit-equal to the naive form.
         val e = embs(s, dir).select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
-        val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
-        val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+          .withColumn("nrm", VF.l2Norm(col("v")))
+        val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
         a.join(broadcast(b), col("id_a") < col("id_b"))
-          .withColumn("sim", VF.dot(col("va"), col("vb")) /
-            (VF.l2Norm(col("va")) * VF.l2Norm(col("vb"))))
+          .withColumn("sim", VF.dotNative(col("va"), col("vb")) / (col("na") * col("nb")))
           .filter(col("sim") >= 0.35)
           .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
           .orderBy("id_a", "id_b")
@@ -164,14 +239,15 @@ object Llm {
     // via ranking window. This is the exact baseline for ANN.
     Q("x3_knn_brute",
       (s, dir) => {
+        graft.functions.NativeExpressions.register(s)
         val e = embs(s, dir).select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
+          .withColumn("nrm", VF.l2Norm(col("v")))
         val q = e.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
         val w = Window.partitionBy("query_id").orderBy(desc("s"), asc("neighbor_id"))
-        e.select(col("vec_id").as("neighbor_id"), col("v").as("nv"))
+        e.select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("nrm").as("nn"))
           .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-          .withColumn("s", VF.dot(col("qv"), col("nv")) /
-            (VF.l2Norm(col("qv")) * VF.l2Norm(col("nv"))))
+          .withColumn("s", VF.dotNative(col("qv"), col("nv")) / (col("qn") * col("nn")))
           .withColumn("rk", row_number().over(w).cast("long"))
           .filter(col("rk") <= 10)
           .select(col("query_id"), col("rk"), col("neighbor_id"), round(col("s"), 4).as("sim"))
@@ -195,6 +271,7 @@ object Llm {
     // rows-only check; recall vs x3_knn_brute asserted in AnnSpec.
     Q("x3_knn_ivf",
       (s, dir) => {
+        graft.functions.NativeExpressions.register(s)
         val e = embs(s, dir).select(col("vec_id"), col("label"),
           VF.toDouble(col("embedding")).as("v"))
         // centroids: element-wise mean per label, assembled back into arrays
@@ -208,7 +285,7 @@ object Llm {
         // probe: 3 closest centroids per query
         val wc = Window.partitionBy("query_id").orderBy(desc("cs"), asc("c_label"))
         val probes = q.join(broadcast(cent), lit(true))
-          .withColumn("cs", VF.dot(col("qv"), col("cv")) /
+          .withColumn("cs", VF.dotNative(col("qv"), col("cv")) /
             (VF.l2Norm(col("qv")) * VF.l2Norm(col("cv"))))
           .withColumn("crk", row_number().over(wc))
           .filter(col("crk") <= 3)
@@ -218,7 +295,7 @@ object Llm {
         e.select(col("vec_id").as("neighbor_id"), col("label"), col("v").as("nv"))
           .join(broadcast(probes),
             col("label") === col("c_label") && col("neighbor_id") =!= col("query_id"))
-          .withColumn("s", VF.dot(col("qv"), col("nv")) /
+          .withColumn("s", VF.dotNative(col("qv"), col("nv")) /
             (VF.l2Norm(col("qv")) * VF.l2Norm(col("nv"))))
           .withColumn("rk", row_number().over(w).cast("long"))
           .filter(col("rk") <= 10)
