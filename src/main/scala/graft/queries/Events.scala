@@ -202,6 +202,30 @@ object Events {
              |  ON c.user_id = v.user_id AND c.event_type='click'
              | AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 5 MINUTE
              |WHERE v.event_type='view'
-             |GROUP BY v.event_id ORDER BY view_id""".stripMargin))
+             |GROUP BY v.event_id ORDER BY view_id""".stripMargin)),
+
+    // ---- W3 rangeBetween: trailing-1-hour activity per user, a true RANGE
+    // frame over epoch seconds (not a row frame). Only order-insensitive
+    // aggregates (count/max) so float summation order can't diverge engines;
+    // equal-epoch rows share a frame in both engines by RANGE semantics.
+    Q("q_events_range_frame",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("epoch")
+          .rangeBetween(-3600, 0)
+        t(s, dir)
+          .select(col("event_id"), col("user_id"),
+            unix_timestamp(col("ts")).as("epoch"), col("value"))
+          .withColumn("n_1h", count(lit(1)).over(w))
+          .withColumn("max_1h", round(max("value").over(w), 2))
+          .select("event_id", "user_id", "n_1h", "max_1h")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  COUNT(*) OVER w AS n_1h,
+             |  ROUND(MAX(value) OVER w, 2) AS max_1h
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+             |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin))
   )
 }

@@ -428,6 +428,28 @@ object Llm {
       (s, dir) =>
         docs(s, dir).select(col("doc_id"), TF.docFingerprint(col("text")).as("fp"))
           .orderBy("doc_id"),
-      None)
+      None),
+
+    // ---- F4/F5 array-function surface (scalar outputs only — array-valued
+    // result columns would make the parquet/pandas compare ambiguous)
+    Q("q_array_funcs",
+      (s, dir) => {
+        val toks = TF.tokens(col("text"))
+        docs(s, dir).select(
+          col("doc_id"),
+          element_at(toks, 1).as("first_tok"),
+          element_at(toks, -1).as("last_tok"),
+          array_contains(toks, "the").as("has_the"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"),
+          concat_ws("|", slice(array_sort(array_distinct(toks)), 1, 3)).as("top3"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  string_split(text,' ')[1] AS first_tok,
+             |  string_split(text,' ')[-1] AS last_tok,
+             |  list_contains(string_split(text,' '),'the') AS has_the,
+             |  len(list_distinct(string_split(text,' '))) AS n_distinct,
+             |  array_to_string(list_sort(list_distinct(string_split(text,' ')))[1:3],'|') AS top3
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

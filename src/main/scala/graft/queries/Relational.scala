@@ -369,6 +369,52 @@ object Relational {
           .limit(100)
       },
       Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
-             |ORDER BY c_custkey LIMIT 100""".stripMargin))
+             |ORDER BY c_custkey LIMIT 100""".stripMargin)),
+
+    // ---- W1 rank + dense_rank: top-priced orders per priority class. Rank
+    // values depend only on the o_totalprice ordering, so ties (same price,
+    // same rank) are engine-stable; the boundary filter rank<=5 keeps whole
+    // tie groups. Spark's rank() is int vs DuckDB's bigint -> cast.
+    Q("q_rank_orders",
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority").orderBy(desc("o_totalprice"))
+        t(s, dir, "orders").select(
+          col("o_orderpriority"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"))
+          .filter(col("rnk") <= 5)
+          .orderBy("o_orderpriority", "rnk", "o_orderkey")
+      },
+      Some("""SELECT o_orderpriority, o_orderkey, price, rnk, drnk FROM (
+             |  SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice,2) AS price,
+             |    RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rnk,
+             |    DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS drnk
+             |  FROM orders)
+             |WHERE rnk <= 5 ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin)),
+
+    // ---- A5 GROUPING SETS (beyond rollup/cube): per-nation, per-priority,
+    // and grand-total revenue in one pass — exercised through the SQL surface
+    // (spark.sql over registered views). NULLS FIRST pinned explicitly: Spark
+    // defaults nulls-first on ASC, DuckDB nulls-last.
+    Q("q_grouping_sets",
+      (s, dir) => {
+        Seq("orders", "customer", "nation")
+          .foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))
+        s.sql("""SELECT n_name, o_orderpriority,
+                |  CAST(COUNT(*) AS BIGINT) AS n,
+                |  ROUND(SUM(o_totalprice),2) AS tot
+                |FROM orders JOIN customer ON o_custkey=c_custkey
+                |JOIN nation ON c_nationkey=n_nationkey
+                |GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
+                |ORDER BY n_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT n_name, o_orderpriority,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  ROUND(SUM(o_totalprice),2) AS tot
+             |FROM orders JOIN customer ON o_custkey=c_custkey
+             |JOIN nation ON c_nationkey=n_nationkey
+             |GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
+             |ORDER BY n_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin))
   )
 }
