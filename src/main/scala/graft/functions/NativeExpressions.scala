@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native (codegen'd) dot product over two `array<double>` columns.
   *
@@ -58,6 +58,71 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Intersection cardinality of two SORTED long arrays via a single merge
+  * scan — the verification kernel for MinHash-LSH candidates (|union| is then
+  * |a|+|b|-i, no array_union materialization). CodegenFallback: the per-row
+  * call overhead is nanoseconds against an O(n+m) primitive loop, and result
+  * rows are ~10^6, not 10^9.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toLongArray()
+    val y = b.asInstanceOf[ArrayData].toLongArray()
+    var i = 0; var j = 0; var n = 0L
+    while (i < x.length && j < y.length) {
+      if (x(i) < y(j)) i += 1
+      else if (x(i) > y(j)) j += 1
+      else { n += 1L; i += 1; j += 1 }
+    }
+    n
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** MinHash signature over a hashed-shingle `array<long>`: for family k, the
+  * minimum over elements of splitmix64(x + k*GOLDEN_GAMMA) (Steele et al.'s
+  * public-domain finalizer — full avalanche, 5 ALU ops). One pass per family,
+  * all primitive; replaces 32 interpreted transform+xxhash64 array traversals
+  * per document.
+  */
+case class MinHashSignature64(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData].toLongArray()
+    val out = new Array[Long](numHashes)
+    var k = 0
+    while (k < numHashes) {
+      val seed = (k + 1) * 0x9E3779B97F4A7C15L
+      var mn = Long.MaxValue
+      var i = 0
+      while (i < xs.length) {
+        var z = xs(i) + seed
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^= (z >>> 31)
+        if (z < mn) mn = z
+        i += 1
+      }
+      out(k) = mn
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature64 =
+    copy(child = newChild)
+}
+
 object NativeExpressions {
   /** Session-scoped registration of the native functions; idempotent.
     * Registered through the classic FunctionRegistry so call sites can use
@@ -69,5 +134,12 @@ object NativeExpressions {
       .sessionState.functionRegistry
     registry.createOrReplaceTempFunction(
       "graft_dot", (args: Seq[Expression]) => DotProduct(args(0), args(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_isect",
+      (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_minhash",
+      (args: Seq[Expression]) => MinHashSignature64(args(0),
+        args(1).eval().asInstanceOf[Int]), "built-in")
   }
 }

@@ -82,6 +82,7 @@ object Llm {
           val sets = masks.groupBy("mask")
             .agg(collect_list("doc_id").as("ds"), count(lit(1)).as("cnt"))
             .withColumn("n", call_function("bit_count", col("mask")).cast("long"))
+            .persist() // consumed by both sides of the set-pair join
           val a = sets.select(col("mask").as("ma"), col("ds").as("da"), col("n").as("na"))
           val b = sets.select(col("mask").as("mb"), col("ds").as("db"), col("n").as("nb"))
           a.join(broadcast(b),
@@ -159,16 +160,28 @@ object Llm {
         // b=16 bands of r=2: P(candidate | j) = 1-(1-j^2)^16 = 0.99 at j=0.5,
         // so recall at the 0.5 verify threshold is near-exact while the
         // bucket join stays tiny
+        graft.functions.NativeExpressions.register(s)
         val numHashes = 32; val bands = 16; val rows = numHashes / bands
+        // Shingles are hashed to 64-bit longs ONCE up front (collision odds
+        // ~n^2/2^65 — immaterial against the 0.5 verify threshold) and kept
+        // SORTED, so (a) the 32 minhash families run as one native primitive
+        // pass per doc (graft_minhash) instead of 32 interpreted HOF
+        // traversals, and (b) candidate verification is a native merge-scan
+        // intersection count (graft_isect) with |union| = na+nb-i, no
+        // array_intersect/array_union materialization.
+        // Persisted: the hashed-shingle projection is ~100x smaller than the
+        // text and is consumed 4x (both band-join sides + both verify joins);
+        // without it Spark re-runs text->shingle->hash per consumer.
         val d = docs(s, dir).select(
           col("doc_id"),
-          TF.shingles(col("text"), 3).as("sh"))
-        val sig = d.select(col("doc_id"), col("sh"),
-          TF.minhashSignature(col("sh"), numHashes).as("sig"))
+          array_sort(transform(TF.shingles(col("text"), 3), x => xxhash64(x))).as("sh"))
+          .persist()
+        val sig = d.select(col("doc_id"),
+          call_function("graft_minhash", col("sh"), lit(numHashes)).as("sig"))
         // Band join carries doc ids ONLY — candidate pairs can be ~10^6 and
-        // dragging two ~50-string shingle arrays per row through the bucket
-        // join + dedup shuffle dominates runtime; the arrays are re-joined
-        // (by id, post-dedup) solely for verification.
+        // dragging two ~50-element arrays per row through the bucket join +
+        // dedup shuffle dominates runtime; the arrays are re-joined (by id,
+        // post-dedup) solely for verification.
         val banded = sig.select(col("doc_id"),
           explode(TF.bandKeys(col("sig"), bands, rows)).as("bk"))
         val cand = banded.as("a")
@@ -179,7 +192,9 @@ object Llm {
         cand
           .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
           .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-          .withColumn("j", TF.jaccard(col("sh_a"), col("sh_b")))
+          .withColumn("i", call_function("graft_isect", col("sh_a"), col("sh_b")))
+          .withColumn("j", col("i").cast("double") /
+            (size(col("sh_a")) + size(col("sh_b")) - col("i")).cast("double"))
           .filter(col("j") >= 0.5)
           .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
           .orderBy("doc_a", "doc_b")
@@ -218,6 +233,7 @@ object Llm {
         // with the identical expression, so sim is bit-equal to the naive form.
         val e = embs(s, dir).select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
           .withColumn("nrm", VF.l2Norm(col("v")))
+          .persist()
         val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
         val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
         a.join(broadcast(b), col("id_a") < col("id_b"))
@@ -242,6 +258,7 @@ object Llm {
         graft.functions.NativeExpressions.register(s)
         val e = embs(s, dir).select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
           .withColumn("nrm", VF.l2Norm(col("v")))
+          .persist()
         val q = e.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
         val w = Window.partitionBy("query_id").orderBy(desc("s"), asc("neighbor_id"))
@@ -274,6 +291,7 @@ object Llm {
         graft.functions.NativeExpressions.register(s)
         val e = embs(s, dir).select(col("vec_id"), col("label"),
           VF.toDouble(col("embedding")).as("v"))
+          .persist()
         // centroids: element-wise mean per label, assembled back into arrays
         val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
           .groupBy("label", "pos").agg(avg("x").as("m"))
