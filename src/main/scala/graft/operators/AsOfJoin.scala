@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic as-of join (SURVEY.md §2.5 J5): for every left row, attach the
+  * most recent right row with the same key at-or-before the left row's time.
+  *
+  * Implemented as union + last-ignoring-nulls window rather than a per-row
+  * range probe: ONE shuffle by key, then a linear scan per key — the shape
+  * that survives 100 TB (a correlated subquery or point-in-interval join
+  * re-scans the right side per left row). Right rows sort before left rows
+  * on timestamp ties, matching "at-or-before" semantics.
+  *
+  * The reference has no joins at all; this is the relational generalization
+  * of its "latest reading for the selected device" dashboard pattern
+  * (iot_dashboard.py:147-157).
+  *
+  * @param left      probe side
+  * @param right     reference side whose latest-at-or-before row is wanted
+  * @param key       equi key column name present on both sides
+  * @param leftTime  event-time column on `left`
+  * @param rightTime event-time column on `right`
+  * @param rightVals right columns to carry (renamed as given)
+  */
+object AsOfJoin {
+  def apply(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTime: String, rightTime: String,
+      rightVals: Seq[String]): DataFrame = {
+    val lCols = left.columns
+    val l = left.select(
+      col(key) +: col(leftTime).as("__t") +: lit(1).as("__tag") +:
+        lCols.filterNot(c => c == key).map(col) ++:
+        rightVals.map(v => lit(null).cast(right.schema(v).dataType).as(s"__r_$v")): _*)
+    val r = right.select(
+      col(key) +: col(rightTime).as("__t") +: lit(0).as("__tag") +:
+        lCols.filterNot(c => c == key)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++:
+        rightVals.map(v => col(v).as(s"__r_$v")): _*)
+    val w = Window.partitionBy(key).orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = rightVals.foldLeft(l.unionByName(r)) { (df, v) =>
+      df.withColumn(s"__r_$v", last(col(s"__r_$v"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__tag") === 1)
+      .select(
+        col(key) +: col("__t").as(leftTime) +:
+          lCols.filterNot(c => c == key || c == leftTime).map(col) ++:
+          rightVals.map(v => col(s"__r_$v").as(v)): _*)
+  }
+}

@@ -157,19 +157,15 @@ object Events {
     Q("q_events_asof",
       (s, dir) => {
         val ev = t(s, dir)
-        val purchases = ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts"), lit(0).as("tag"),
-            col("ts").as("p_ts"), lit(null).cast("long").as("event_id"))
         val errors = ev.filter(col("event_type") === "error")
-          .select(col("user_id"), col("ts"), lit(1).as("tag"),
-            lit(null).cast("timestamp").as("p_ts"), col("event_id"))
-        val w = Window.partitionBy("user_id").orderBy("ts", "tag")
-          .rowsBetween(Window.unboundedPreceding, 0)
-        purchases.union(errors)
-          .withColumn("last_p", last("p_ts", ignoreNulls = true).over(w))
-          .filter(col("tag") === 1)
+          .select("user_id", "ts", "event_id")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("ts").as("p_ts"))
+        graft.operators.AsOfJoin(errors, purchases,
+          key = "user_id", leftTime = "ts", rightTime = "ts",
+          rightVals = Seq("p_ts"))
           .select(col("event_id"), col("user_id"),
-            date_format(col("last_p"), "yyyy-MM-dd HH:mm:ss").as("last_purchase_ts"))
+            date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("last_purchase_ts"))
           .orderBy("event_id")
       },
       Some("""SELECT e.event_id, e.user_id,

@@ -226,17 +226,15 @@ object Relational {
     // synthetic lineitem — the unique key is (l_orderkey, l_linenumber,
     // l_partkey, l_suppkey), so every window/output order includes all four.
     Q("q_topk_per_group",
-      (s, dir) => {
-        val w = Window.partitionBy("l_returnflag")
-          .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"),
-            asc("l_partkey"), asc("l_suppkey"))
-        t(s, dir, "lineitem")
-          .withColumn("rn", row_number().over(w).cast("long"))
-          .filter(col("rn") <= 3)
+      (s, dir) =>
+        graft.operators.TopKPerGroup(
+          t(s, dir, "lineitem"), Seq("l_returnflag"),
+          Seq(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"),
+            asc("l_partkey"), asc("l_suppkey")),
+          k = 3, rankCol = "rn")
           .select("l_returnflag", "rn", "l_orderkey", "l_linenumber",
             "l_partkey", "l_suppkey", "l_extendedprice")
-          .orderBy("l_returnflag", "rn")
-      },
+          .orderBy("l_returnflag", "rn"),
       Some("""SELECT l_returnflag, rn, l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice
              |FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice,
              |  ROW_NUMBER() OVER (PARTITION BY l_returnflag

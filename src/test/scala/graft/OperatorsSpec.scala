@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.{AsOfJoin, SaltedJoin, TopKPerGroup}
+import graft.sources.Bucketed
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reusable operator surface: generic as-of join, salted skew join,
+  * top-k per group, bucketed co-located join.
+  */
+class OperatorsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("AsOfJoin attaches the latest at-or-before right row per key") {
+    val quotes = Seq( // key, time, px
+      ("a", 1L, 10.0), ("a", 5L, 11.0), ("b", 3L, 20.0)
+    ).toDF("sym", "t", "px")
+    val trades = Seq(
+      ("a", 0L, 1), ("a", 1L, 2), ("a", 6L, 3), ("b", 2L, 4), ("b", 9L, 5)
+    ).toDF("sym", "t", "qty")
+    val r = AsOfJoin(trades, quotes, key = "sym",
+      leftTime = "t", rightTime = "t", rightVals = Seq("px"))
+      .orderBy("sym", "t")
+      .select("sym", "t", "qty", "px")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(r.toSeq == Seq(
+      ("a", 0L, 1, None),          // before any quote
+      ("a", 1L, 2, Some(10.0)),    // tie: at-or-before includes same-ts quote
+      ("a", 6L, 3, Some(11.0)),
+      ("b", 2L, 4, None),
+      ("b", 9L, 5, Some(20.0))))
+  }
+
+  test("SaltedJoin equals the plain join on a skewed key") {
+    val big = (1 to 2000).map(i => (if (i % 10 == 0) "cold" + i else "hot", i))
+      .toDF("k", "v") // 90% of rows share one key
+    val small = Seq(("hot", "H"), ("cold10", "C")).toDF("k", "tag")
+    val salted = SaltedJoin(big, small, Seq("k"), buckets = 8)
+      .orderBy("v").select("k", "v", "tag").collect().toSeq
+    val plain = big.join(small, Seq("k"))
+      .orderBy("v").select("k", "v", "tag").collect().toSeq
+    assert(salted == plain && plain.nonEmpty)
+  }
+
+  test("TopKPerGroup keeps k rows per group in total order") {
+    val df = Seq(("g1", 5), ("g1", 3), ("g1", 9), ("g2", 1), ("g2", 2))
+      .toDF("g", "v")
+    val r = TopKPerGroup(df, Seq("g"), Seq(desc("v")), k = 2)
+      .orderBy("g", "rk").select("g", "rk", "v").as[(String, Long, Int)]
+      .collect().toSeq
+    assert(r == Seq(("g1", 1L, 9), ("g1", 2L, 5), ("g2", 1L, 2), ("g2", 2L, 1)))
+  }
+
+  test("Bucketed.colocatedJoin plans with zero shuffle exchanges") {
+    val orders = (1L to 500L).map(i => (i, s"o$i")).toDF("okey", "oval")
+    val items = (1L to 1500L).map(i => (i % 500 + 1, s"i$i")).toDF("okey", "ival")
+    Bucketed.write(orders, "b_orders", "okey", buckets = 4)
+    Bucketed.write(items, "b_items", "okey", buckets = 4)
+    // force a non-broadcast join so the bucket layout is what avoids shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = Bucketed.colocatedJoin(spark, "b_orders", "b_items", "okey", "okey")
+      assert(j.count() == 1500L)
+      val shuffles = collectWithSubqueries(j.queryExecution.executedPlan) {
+        case e: ShuffleExchangeLike => e
+      }
+      assert(shuffles.isEmpty, s"expected shuffle-free bucketed join, got:\n${j.queryExecution.executedPlan}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_items")
+    }
+  }
+}
