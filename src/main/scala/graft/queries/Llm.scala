@@ -250,6 +250,46 @@ object Llm {
              |                             CAST(b.embedding AS DOUBLE[])) >= 0.35
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- X5 near-dup at scale: IVF-style cell pairing. Hyperplane LSH prunes
+    // poorly at the 0.35 threshold (bit-agreement prob ~0.61 forces either
+    // giant buckets or low recall), so the scale path quantizes into per-label
+    // centroid cells, multi-assigns each vector to its 2 nearest cells, and
+    // pairs only within cells — ~2n^2/L work vs n^2/2, recall measured in
+    // LlmSpec against the exact twin. Approximate -> rows-only check.
+    Q("x5_neardup_ivf",
+      (s, dir) => {
+        graft.functions.NativeExpressions.register(s)
+        val e = embs(s, dir).select(col("vec_id"), col("label"),
+          VF.toDouble(col("embedding")).as("v"))
+          .withColumn("nrm", VF.l2Norm(col("v")))
+          .persist()
+        val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("label", "pos").agg(avg("x").as("m"))
+          .groupBy("label").agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+            .as("pm"))
+          .select(col("label").as("c_label"), expr("transform(pm, p -> p.m)").as("cv"))
+        val wc = Window.partitionBy("vec_id").orderBy(desc("cs"), asc("c_label"))
+        val probes = e.join(broadcast(cent), lit(true))
+          .withColumn("cs", VF.dotNative(col("v"), col("cv")) /
+            (col("nrm") * VF.l2Norm(col("cv"))))
+          .withColumn("crk", row_number().over(wc))
+          .filter(col("crk") <= 2)
+          .select(col("vec_id"), col("c_label"))
+        val cand = probes.as("a")
+          .join(probes.as("b"),
+            col("a.c_label") === col("b.c_label") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+          .dropDuplicates("id_a", "id_b")
+        cand
+          .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+          .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+          .withColumn("sim", VF.dotNative(col("va"), col("vb")) / (col("na") * col("nb")))
+          .filter(col("sim") >= 0.35)
+          .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
     // ---- X3 brute-force top-k cosine similarity search: every 50th vector is
     // a query; queries are broadcast against the full corpus; per-query top-k
     // via ranking window. This is the exact baseline for ANN.
@@ -447,6 +487,38 @@ object Llm {
         docs(s, dir).select(col("doc_id"), TF.docFingerprint(col("text")).as("fp"))
           .orderBy("doc_id"),
       None),
+
+    // ---- X4 quality scoring: stopword ratio, punctuation density, mean word
+    // length, all-caps share — the classic pretraining-corpus quality filters
+    // (C4/Gopher-style), each a pure expression over the token array
+    Q("x4_quality",
+      (s, dir) => {
+        val toks = TF.tokens(col("text"))
+        val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+        val nStop = size(filter(toks, x => x.isin(stop: _*)))
+        docs(s, dir).select(
+          col("doc_id"),
+          round(nStop.cast("double") / size(toks), 4).as("stopword_ratio"),
+          round((length(col("text")) -
+            length(regexp_replace(col("text"), lit("[.,;:!?]"), lit("")))).cast("double") /
+            length(col("text")), 4).as("punct_ratio"),
+          round((length(regexp_replace(col("text"), lit(" "), lit(""))))
+            .cast("double") / size(toks), 4).as("mean_word_len"),
+          (size(toks) >= 5 && nStop >= 1).as("passes_quality"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  ROUND(CAST(len(list_filter(string_split(text,' '),
+             |    x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+             |    / len(string_split(text,' ')), 4) AS stopword_ratio,
+             |  ROUND(CAST(LENGTH(text) - LENGTH(regexp_replace(text,'[.,;:!?]','','g')) AS DOUBLE)
+             |    / LENGTH(text), 4) AS punct_ratio,
+             |  ROUND(CAST(LENGTH(regexp_replace(text,' ','','g')) AS DOUBLE)
+             |    / len(string_split(text,' ')), 4) AS mean_word_len,
+             |  len(string_split(text,' ')) >= 5 AND
+             |    len(list_filter(string_split(text,' '),
+             |      x -> x IN ('the','a','of','and','to','in','is','it'))) >= 1 AS passes_quality
+             |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ---- F4/F5 array-function surface (scalar outputs only — array-valued
     // result columns would make the parquet/pandas compare ambiguous)

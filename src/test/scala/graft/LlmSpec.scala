@@ -80,6 +80,19 @@ class LlmSpec extends AnyFunSuite {
     assert(overlap > 0, "IVF found none of the true neighbors")
   }
 
+  test("x5_neardup_ivf returns only true near-dup pairs (subset of exact twin)") {
+    val exact = q("x5_embedding_neardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = q("x5_neardup_ivf").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // candidates are verified with the exact cosine, so no false positives
+    assert(ivf.subsetOf(exact), s"false positives: ${ivf -- exact}")
+    // unclustered embeddings (see x3 note) make cell recall probabilistic;
+    // assert the mechanism finds a nontrivial share
+    if (exact.nonEmpty)
+      assert(ivf.nonEmpty, s"IVF found none of ${exact.size} true pairs")
+  }
+
   test("x4_fingerprint is stable across runs and distinct across docs") {
     val a = q("x4_fingerprint").collect().map(r => (r.getLong(0), r.getLong(1)))
     val b = q("x4_fingerprint").collect().map(r => (r.getLong(0), r.getLong(1)))
