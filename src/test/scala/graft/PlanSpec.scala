@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gates (SURVEY.md §4): these are the properties that
+  * decide whether a query survives a 100x scale-up, asserted on the actual
+  * executed plans so a regression (lost pushdown, a surprise cartesian, a
+  * de-broadcast) fails CI rather than the cluster.
+  */
+class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
+  private val spark = SparkTestSession.spark
+  private val sfDir = SparkTestSession.sfDir
+
+  /** Run the query (so AQE finalizes the plan), return the final plan string. */
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def scansOf(name: String): Seq[FileSourceScanExec] = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect()
+    collectWithSubqueries(df.queryExecution.executedPlan) {
+      case f: FileSourceScanExec => f
+    }
+  }
+
+  test("q1: shipdate filter is pushed to the parquet scan, columns pruned") {
+    val scans = scansOf("q1_pricing_summary")
+    assert(scans.nonEmpty)
+    val li = scans.head
+    val pushed = li.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("LessThanOrEqual(l_shipdate"), s"pushed=$pushed")
+    // 6 needed columns out of 10 in the table — projection must reach the scan
+    val readCols = li.requiredSchema.fieldNames.toSet
+    assert(readCols == Set("l_returnflag", "l_linestatus", "l_quantity",
+      "l_extendedprice", "l_discount", "l_shipdate"), s"read=$readCols")
+  }
+
+  test("q5: dimension joins broadcast, no cartesian product") {
+    val p = planOf("q5_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), "dims should broadcast")
+    assert(!p.contains("CartesianProduct"), "no cartesian in a star join")
+    // partial aggregation present (map-side combine before the shuffle)
+    assert(p.contains("HashAggregate"), "expect hash aggregation")
+  }
+
+  test("q_events_filter: event_type predicate reaches the scan") {
+    val scans = scansOf("q_events_filter")
+    val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "")).mkString
+    assert(pushed.contains("event_type"), s"pushed=$pushed")
+  }
+
+  test("q_topk_per_group: rank filter becomes WindowGroupLimit") {
+    val p = planOf("q_topk_per_group")
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=k should push a per-group limit below the full window sort")
+  }
+
+  test("q_scan_limit: limit is planned as TakeOrderedAndProject, not global sort") {
+    val df = SparkEntry.queries("q_scan_limit")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"plan=\n$p")
+  }
+
+  test("x5_embedding_neardup: pair join is broadcast, not shuffled") {
+    val p = planOf("x5_embedding_neardup")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the id_a < id_b pair join should broadcast the (small) build side")
+  }
+}
