@@ -1,0 +1,51 @@
+package graft.tools
+
+import graft.gen.Generator
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** CLI twin of the reference generator (`iot-data-stream.py` EP1,
+  * README.md:7-17): emit `--devices` device timelines for `--ticks` cycles to
+  * console / JSON / CSV / keyed parquet — the reference's console, --output
+  * json|csv, and Kinesis (keyed store) fan-outs, Spark-shaped.
+  *
+  *   runMain graft.tools.GenerateMain --devices 10 --ticks 60 \
+  *     --format json --out /tmp/readings
+  *
+  * `--format parquet` partitions by device_id — the Kinesis
+  * `PartitionKey=device_id` analog (iot-data-stream.py:281). No `--out`
+  * prints a sample to the console like the reference's batch logging
+  * (iot-data-stream.py:378-379).
+  */
+object GenerateMain {
+  def main(args: Array[String]): Unit = {
+    val a = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    val devices = a.getOrElse("--devices", "10").toInt
+    val ticks = a.getOrElse("--ticks", "60").toInt
+    val seed = a.getOrElse("--seed", "42").toLong
+    val format = a.getOrElse("--format", "console")
+    val out = a.get("--out")
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-generate")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val readings = Generator.readings(spark, devices, ticks, seed)
+    val flat = Generator.flatten(readings)
+
+    (format, out) match {
+      case ("json", Some(p)) => readings.toDF().write.mode(SaveMode.Overwrite).json(p)
+      case ("csv", Some(p)) =>
+        flat.write.mode(SaveMode.Overwrite).option("header", "true").csv(p)
+      case ("parquet", Some(p)) =>
+        flat.write.mode(SaveMode.Overwrite).partitionBy("device_id").parquet(p)
+      case _ =>
+        println(s"generated ${readings.count()} readings from $devices devices x $ticks ticks")
+        flat.show(10, truncate = false)
+    }
+    spark.stop()
+  }
+}
