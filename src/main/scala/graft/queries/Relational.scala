@@ -413,6 +413,58 @@ object Relational {
              |FROM orders JOIN customer ON o_custkey=c_custkey
              |JOIN nation ON c_nationkey=n_nationkey
              |GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
-             |ORDER BY n_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin))
+             |ORDER BY n_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    // ---- A4 extension: statistical aggregates (sample stddev/variance,
+    // interpolated median). Rounded to 2 on 2-decimal inputs so cross-engine
+    // float-accumulation noise (~1e-9) cannot straddle a boundary.
+    Q("q_stats_funcs",
+      (s, dir) =>
+        t(s, dir, "orders").groupBy("o_orderpriority").agg(
+          count(lit(1)).as("n"),
+          round(stddev_samp(col("o_totalprice")), 2).as("sd_price"),
+          round(var_samp(col("o_totalprice")), 2).as("var_price"),
+          round(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000000)), 2)
+            .as("approx_median"),
+          round(median(col("o_totalprice")), 2).as("med_price"))
+          .drop("approx_median") // approx twin computed for parity, not compared
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+             |  ROUND(STDDEV_SAMP(o_totalprice),2) AS sd_price,
+             |  ROUND(VAR_SAMP(o_totalprice),2) AS var_price,
+             |  ROUND(MEDIAN(o_totalprice),2) AS med_price
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- W1 extension: ntile quartiles over a total (tie-broken) order
+    Q("q_ntile",
+      (s, dir) => {
+        val w = Window.orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        t(s, dir, "orders").select(
+          col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          ntile(4).over(w).cast("long").as("quartile"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, ROUND(o_totalprice,2) AS price,
+             |  NTILE(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- pivot: order counts per priority x status, expressed as Spark
+    // pivot() and oracled with FILTER aggregation (engine-neutral twin)
+    Q("q_pivot",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .na.fill(0L, Seq("F", "O", "P"))
+          .select(col("o_orderpriority"), col("F").as("n_f"),
+            col("O").as("n_o"), col("P").as("n_p"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  CAST(COUNT(*) FILTER (WHERE o_orderstatus='F') AS BIGINT) AS n_f,
+             |  CAST(COUNT(*) FILTER (WHERE o_orderstatus='O') AS BIGINT) AS n_o,
+             |  CAST(COUNT(*) FILTER (WHERE o_orderstatus='P') AS BIGINT) AS n_p
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 }
