@@ -465,6 +465,50 @@ object Relational {
              |  CAST(COUNT(*) FILTER (WHERE o_orderstatus='F') AS BIGINT) AS n_f,
              |  CAST(COUNT(*) FILTER (WHERE o_orderstatus='O') AS BIGINT) AS n_o,
              |  CAST(COUNT(*) FILTER (WHERE o_orderstatus='P') AS BIGINT) AS n_p
-             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- J1/A4 on the one previously-unjoined dim: supplier revenue league
+    // table (TPC-H Q10 flavor), ordered by the ROUNDED revenue in both
+    // engines (rounding first makes the float order cross-engine stable)
+    Q("q_supplier_revenue",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val sup = t(s, dir, "supplier")
+        val nat = t(s, dir, "nation")
+        li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .groupBy("s_name", "n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(desc("revenue"), asc("s_name"))
+          .limit(20)
+      },
+      Some("""SELECT s_name, n_name,
+             |  ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS revenue,
+             |  COUNT(*) AS n_items
+             |FROM lineitem JOIN supplier ON l_suppkey=s_suppkey
+             |JOIN nation ON s_nationkey=n_nationkey
+             |GROUP BY s_name, n_name ORDER BY revenue DESC, s_name LIMIT 20""".stripMargin)),
+
+    // ---- §4 subquery decorrelation: correlated scalar subquery, written as
+    // SQL and left to Catalyst to rewrite into an aggregate + join (the plan
+    // contains no per-row subquery execution)
+    Q("q_corr_subquery",
+      (s, dir) => {
+        Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+                |FROM orders o
+                |WHERE o_totalprice > (SELECT 1.5 * AVG(o2.o_totalprice)
+                |                      FROM orders o2
+                |                      WHERE o2.o_custkey = o.o_custkey)
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+             |FROM orders o
+             |WHERE o_totalprice > (SELECT 1.5 * AVG(o2.o_totalprice)
+             |                      FROM orders o2
+             |                      WHERE o2.o_custkey = o.o_custkey)
+             |ORDER BY o_orderkey""".stripMargin))
   )
 }
