@@ -60,12 +60,11 @@ case class DotProduct(left: Expression, right: Expression)
 
 /** Intersection cardinality of two SORTED long arrays via a single merge
   * scan — the verification kernel for MinHash-LSH candidates (|union| is then
-  * |a|+|b|-i, no array_union materialization). CodegenFallback: the per-row
-  * call overhead is nanoseconds against an O(n+m) primitive loop, and result
-  * rows are ~10^6, not 10^9.
+  * |a|+|b|-i, no array_union materialization). Codegen'd: candidate joins
+  * evaluate this per pair.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -81,8 +80,88 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     n
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      s"""
+         |long[] $x = $a.toLongArray();
+         |long[] $y = $b.toLongArray();
+         |int $i = 0; int $j = 0; long $n = 0L;
+         |while ($i < $x.length && $j < $y.length) {
+         |  if ($x[$i] < $y[$j]) $i++;
+         |  else if ($x[$i] > $y[$j]) $j++;
+         |  else { $n++; $i++; $j++; }
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Build a fixed-width bitmask (`words` longs) from an `array<long>` of bit
+  * indices — the set-as-bitset encoding for vocabulary-bounded Jaccard.
+  */
+case class MaskFromIndices(child: Expression, words: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any = {
+    val idx = a.asInstanceOf[ArrayData].toLongArray()
+    val out = new Array[Long](words)
+    var i = 0
+    while (i < idx.length) {
+      val b = idx(i).toInt
+      out(b >> 6) |= (1L << (b & 63))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MaskFromIndices =
+    copy(child = newChild)
+}
+
+/** popcount(a & b) over two equal-width long-array bitmasks — the
+  * intersection-cardinality kernel for the bitset Jaccard path. Codegen'd:
+  * the set-pair join evaluates this O(S^2) times.
+  */
+case class BitmaskIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toLongArray()
+    val y = b.asInstanceOf[ArrayData].toLongArray()
+    val n = math.min(x.length, y.length)
+    var i = 0; var c = 0L
+    while (i < n) { c += java.lang.Long.bitCount(x(i) & y(i)); i += 1 }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      s"""
+         |long[] $x = $a.toLongArray();
+         |long[] $y = $b.toLongArray();
+         |int $n = Math.min($x.length, $y.length);
+         |long $c = 0L;
+         |for (int $i = 0; $i < $n; $i++) { $c += java.lang.Long.bitCount($x[$i] & $y[$i]); }
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BitmaskIntersectCount =
     copy(left = newLeft, right = newRight)
 }
 
@@ -141,5 +220,12 @@ object NativeExpressions {
       "graft_minhash",
       (args: Seq[Expression]) => MinHashSignature64(args(0),
         args(1).eval().asInstanceOf[Int]), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_mask",
+      (args: Seq[Expression]) => MaskFromIndices(args(0),
+        args(1).eval().asInstanceOf[Int]), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_mask_isect",
+      (args: Seq[Expression]) => BitmaskIntersectCount(args(0), args(1)), "built-in")
   }
 }

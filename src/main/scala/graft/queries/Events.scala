@@ -200,6 +200,33 @@ object Events {
              |WHERE v.event_type='view'
              |GROUP BY v.event_id ORDER BY view_id""".stripMargin)),
 
+    // ---- funnel: users whose first view precedes their first click precedes
+    // their first purchase — conversion analysis as one hash aggregation
+    // (conditional MIN per stage), no self-joins
+    Q("q_events_funnel",
+      (s, dir) => {
+        val ev = t(s, dir)
+        val stages = ev.groupBy("user_id").agg(
+          min(when(col("event_type") === "view", col("ts"))).as("tv"),
+          min(when(col("event_type") === "click", col("ts"))).as("tc"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+        stages.agg(
+          count(lit(1)).as("n_users"),
+          sum(when(col("tv").isNotNull, 1L).otherwise(0L)).as("n_viewed"),
+          sum(when(col("tv") < col("tc"), 1L).otherwise(0L)).as("n_clicked_after_view"),
+          sum(when(col("tv") < col("tc") && col("tc") < col("tp"), 1L).otherwise(0L))
+            .as("n_full_funnel"))
+      },
+      Some("""SELECT COUNT(*) AS n_users,
+             |  CAST(SUM(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+             |  CAST(SUM(CASE WHEN tv < tc THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
+             |  CAST(SUM(CASE WHEN tv < tc AND tc < tp THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+             |FROM (SELECT user_id,
+             |        MIN(CASE WHEN event_type='view' THEN date_trunc('microseconds', ts) END) AS tv,
+             |        MIN(CASE WHEN event_type='click' THEN date_trunc('microseconds', ts) END) AS tc,
+             |        MIN(CASE WHEN event_type='purchase' THEN date_trunc('microseconds', ts) END) AS tp
+             |      FROM events GROUP BY user_id)""".stripMargin)),
+
     // ---- W3 rangeBetween: trailing-1-hour activity per user, a true RANGE
     // frame over epoch seconds (not a row frame). Only order-insensitive
     // aggregates (count/max) so float summation order can't diverge engines;

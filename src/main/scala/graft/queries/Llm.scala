@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -24,6 +24,116 @@ object Llm {
     Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
+
+  /** Exact all-pairs Jaccard >= t, dispatching on vocabulary size (counted
+    * with one tiny action — an AQE-style statistics-driven plan choice):
+    *
+    *  - vocab <= 4096: BITSET path. Encode each doc's set as ceil(V/64)
+    *    longs over a broadcast vocabulary index, collapse identical sets,
+    *    and compare DISTINCT SETS pairwise with popcount(a&b) (native
+    *    kernel) under a length prefilter, then expand back to doc pairs.
+    *    Small vocabularies make every token a hot join key — ANY
+    *    token-explode join (including prefix filtering) degenerates to
+    *    ~|docs|^2 fanout, while set-level bit math is S^2 * V/64 primitive
+    *    ops with no shuffle amplification at all.
+    *  - vocab > 4096: AllPairs prefix filtering (prefixJaccardPairs below) —
+    *    the rarest-token prefix join that scales to open vocabularies.
+    *
+    * Both paths produce intersection/union counts identical to the naive
+    * token join, so j is bit-equal either way.
+    */
+  private def jaccardPairs(s: SparkSession, tok0: DataFrame, t: Double): DataFrame = {
+    graft.functions.NativeExpressions.register(s)
+    // persisted: consumed by the vocab count action, the vocabulary index,
+    // and the mask build — tokenization (interpreted HOFs over text) would
+    // otherwise re-run per consumer
+    val tok = tok0.persist()
+    val vocabSize = tok.select("w").distinct().count()
+    if (vocabSize <= 4096) bitsetJaccardPairs(tok, t, vocabSize.toInt)
+    else prefixJaccardPairs(tok, t)
+  }
+
+  private def bitsetJaccardPairs(tok: DataFrame, t: Double, vocab: Int): DataFrame = {
+    val words = (vocab + 63) / 64
+    // vocabulary index: single-partition window over <=4096 rows (at larger
+    // scale the dispatcher has already chosen the prefix path)
+    val w = Window.orderBy("w")
+    val idx = tok.select("w").distinct()
+      .select(col("w"), (row_number().over(w) - 1).cast("long").as("i"))
+    val masks = tok.join(broadcast(idx), "w")
+      .groupBy("doc_id")
+      .agg(call_function("graft_mask", collect_list("i"), lit(words)).as("mask"),
+        count(lit(1)).as("n"))
+    val sets = masks.groupBy("mask", "n")
+      .agg(collect_list("doc_id").as("ds"), min("doc_id").as("sid"))
+      .persist() // consumed by both sides of the set-pair join + 2 expansions
+    // The FULL Jaccard predicate lives in the join condition, so the
+    // broadcast NLJ streams S^2 codegen'd popcounts and materializes ONLY
+    // qualifying set pairs (instead of S^2/3 length-passing rows of wide
+    // mask+doc-list tuples). Doc lists re-attach by set id afterwards.
+    def isect(l: Column, r: Column) = call_function("graft_mask_isect", l, r)
+    val a = sets.select(col("mask").as("maska"), col("n").as("na"), col("sid").as("sa"))
+    val b = sets.select(col("mask").as("maskb"), col("n").as("nb"), col("sid").as("sb"))
+    val pairs = a.join(broadcast(b),
+        col("sa") <= col("sb") &&
+          least(col("na"), col("nb")).cast("double") >=
+            greatest(col("na"), col("nb")) * t &&
+          isect(col("maska"), col("maskb")).cast("double") /
+            (col("na") + col("nb") - isect(col("maska"), col("maskb"))).cast("double") >= t)
+      .withColumn("i", isect(col("maska"), col("maskb")))
+      .withColumn("j", col("i").cast("double") /
+        (col("na") + col("nb") - col("i")).cast("double"))
+      .select("sa", "sb", "j")
+    pairs
+      .join(sets.select(col("sid").as("sa"), col("ds").as("da")), "sa")
+      .join(sets.select(col("sid").as("sb"), col("ds").as("db")), "sb")
+      .select(col("sa"), col("sb"), col("j"), explode(col("da")).as("x"), col("db"))
+      .select(col("sa"), col("sb"), col("j"), col("x"), explode(col("db")).as("y"))
+      .filter((col("sa") === col("sb") && col("x") < col("y")) || col("sa") < col("sb"))
+      .select(least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"),
+        round(col("j"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact all-pairs Jaccard >= t via AllPairs prefix filtering (Bayardo et
+    * al., WWW'07), over `tok(doc_id, w)` set-element rows. Sort each doc's
+    * set in a global (document-frequency asc, element asc) order; two sets
+    * with J >= t MUST share an element within each one's first
+    * n - ceil(t*n) + 1 — so the self-join only explodes that ~(1-t) prefix
+    * (the RAREST elements — small fanout per key when the vocabulary is
+    * large). A length filter (min/max >= t, implied by J >= t) prunes
+    * further; candidates are verified with the exact intersection, so this
+    * is pure pruning, not approximation.
+    */
+  private def prefixJaccardPairs(tok: DataFrame, t: Double): DataFrame = {
+    val dfreq = tok.groupBy("w").agg(count(lit(1)).as("df"))
+    val sorted = tok.join(dfreq, "w")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("w")))).as("sw"))
+      .select(col("doc_id"),
+        expr("transform(sw, p -> p.w)").as("toks"),
+        size(col("sw")).cast("long").as("n"))
+    val pref = sorted.select(col("doc_id"), col("toks"), col("n"),
+      explode(slice(col("toks"), lit(1),
+        (col("n") - ceil(col("n") * t) + 1).cast("int"))).as("w"))
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")).cast("double") >=
+            greatest(col("a.n"), col("b.n")) * t)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.toks").as("ta"), col("b.toks").as("tb"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .withColumn("i", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("j", col("i").cast("double") /
+        (col("na") + col("nb") - col("i")).cast("double"))
+      .filter(col("j") >= t)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -49,94 +159,13 @@ object Llm {
 
     // ---- X2 exact n-gram (unigram-set) Jaccard near-dup pairs, via AllPairs
     // prefix filtering (Bayardo et al., WWW'07): sort each doc's token set in a
-    // global (document-frequency asc, token asc) order; for threshold t, two
-    // sets with J >= t MUST share a token within each one's first
-    // n - ceil(t*n) + 1 tokens, so the self-join only explodes that ~10% prefix
-    // (the RAREST tokens — tiny fanout per key), instead of every token (where
-    // one hot stopword alone yields |docs|^2 pairs). A length filter
-    // (min/max >= t, implied by J >= t) prunes further. Candidates are then
-    // verified with the exact intersection, so the result set is identical to
-    // the naive all-token join — this is a pure pruning, not an approximation.
+    // adaptive exact algorithm — see jaccardPairs above (bitset path on the
+    // driver's 31-token vocabulary; prefix filtering on open vocabularies)
     Q("x2_jaccard_exact",
       (s, dir) => {
-        val t = 0.9
-        val d = docs(s, dir).select(col("doc_id"), TF.tokenSet(col("text")).as("toks"))
-        val tok = d.select(col("doc_id"), explode(col("toks")).as("w"))
-        val vocabSize = tok.select("w").distinct().count()
-        if (vocabSize <= 64) {
-          // Dense-vocabulary path (the driver's documents table: 31 distinct
-          // tokens across 5000 docs — every token is a hot key, so ANY
-          // token-based join blows up). Instead: (1) encode each token set as
-          // a 64-bit bitmask over the broadcast vocabulary, (2) collapse
-          // identical sets (groupBy mask), (3) compare DISTINCT SETS pairwise
-          // — bit_count(a&b) is whole-stage-codegen'd integer math, ~7.7M set
-          // pairs in well under a second — and (4) expand qualifying set
-          // pairs back to doc pairs. Intersection/union counts are the same
-          // integers as the token-join formulation, so j is bit-identical.
-          val w = Window.orderBy("w")
-          val idx = tok.select("w").distinct()
-            .select(col("w"), (row_number().over(w) - 1).as("i"))
-          val masks = tok.join(broadcast(idx), "w")
-            .groupBy("doc_id")
-            .agg(sum(call_function("shiftleft", lit(1L), col("i"))).as("mask"))
-          val sets = masks.groupBy("mask")
-            .agg(collect_list("doc_id").as("ds"), count(lit(1)).as("cnt"))
-            .withColumn("n", call_function("bit_count", col("mask")).cast("long"))
-            .persist() // consumed by both sides of the set-pair join
-          val a = sets.select(col("mask").as("ma"), col("ds").as("da"), col("n").as("na"))
-          val b = sets.select(col("mask").as("mb"), col("ds").as("db"), col("n").as("nb"))
-          a.join(broadcast(b),
-              col("ma") <= col("mb") &&
-                least(col("na"), col("nb")).cast("double") >=
-                  greatest(col("na"), col("nb")) * t)
-            .withColumn("i",
-              call_function("bit_count", col("ma").bitwiseAND(col("mb"))).cast("long"))
-            .withColumn("j", col("i").cast("double") /
-              (col("na") + col("nb") - col("i")).cast("double"))
-            .filter(col("j") >= t)
-            .select(col("ma"), col("mb"), col("j"), explode(col("da")).as("x"), col("db"))
-            .select(col("ma"), col("mb"), col("j"), col("x"), explode(col("db")).as("y"))
-            .filter((col("ma") === col("mb") && col("x") < col("y")) || col("ma") < col("mb"))
-            .select(least(col("x"), col("y")).as("doc_a"),
-              greatest(col("x"), col("y")).as("doc_b"),
-              round(col("j"), 4).as("jaccard"))
-            .orderBy("doc_a", "doc_b")
-        } else {
-          // General path: AllPairs prefix filtering (Bayardo et al., WWW'07).
-          // Sort each doc's token set in a global (document-frequency asc,
-          // token asc) order; for threshold t, two sets with J >= t MUST share
-          // a token within each one's first n - ceil(t*n) + 1 tokens, so the
-          // self-join only explodes that ~10% prefix (the RAREST tokens —
-          // small fanout per key when the vocabulary is large). A length
-          // filter prunes further; candidates are verified with the exact
-          // intersection, so this is pure pruning, not approximation.
-          val dfreq = tok.groupBy("w").agg(count(lit(1)).as("df"))
-          val sorted = tok.join(dfreq, "w")
-            .groupBy("doc_id")
-            .agg(array_sort(collect_list(struct(col("df"), col("w")))).as("sw"))
-            .select(col("doc_id"),
-              expr("transform(sw, p -> p.w)").as("toks"),
-              size(col("sw")).cast("long").as("n"))
-          val pref = sorted.select(col("doc_id"), col("toks"), col("n"),
-            explode(slice(col("toks"), lit(1),
-              (col("n") - ceil(col("n") * t) + 1).cast("int"))).as("w"))
-          val cand = pref.as("a")
-            .join(pref.as("b"),
-              col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id") &&
-                least(col("a.n"), col("b.n")).cast("double") >=
-                  greatest(col("a.n"), col("b.n")) * t)
-            .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-              col("a.toks").as("ta"), col("b.toks").as("tb"),
-              col("a.n").as("na"), col("b.n").as("nb"))
-            .dropDuplicates("doc_a", "doc_b")
-          cand
-            .withColumn("i", size(array_intersect(col("ta"), col("tb"))).cast("long"))
-            .withColumn("j", col("i").cast("double") /
-              (col("na") + col("nb") - col("i")).cast("double"))
-            .filter(col("j") >= t)
-            .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
-            .orderBy("doc_a", "doc_b")
-        }
+        val tok = docs(s, dir)
+          .select(col("doc_id"), explode(TF.tokenSet(col("text"))).as("w"))
+        jaccardPairs(s, tok, 0.9)
       },
       Some("""WITH tok AS (SELECT doc_id, UNNEST(list_distinct(string_split(text,' '))) AS w
              |            FROM documents),
@@ -149,6 +178,32 @@ object Llm {
              |FROM inter JOIN cnt ca ON ca.doc_id = doc_a
              |           JOIN cnt cb ON cb.doc_id = doc_b
              |WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= 0.9
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ---- X2 exact BIGRAM-set Jaccard (word-order-sensitive near-dup). The
+    // bigram vocabulary is ~900 — the dispatcher picks the multi-word bitset
+    // path (15 longs/doc). The oracle SQL carries the same length prefilter
+    // so it stays O(candidates) in DuckDB too.
+    Q("x2_jaccard_bigram",
+      (s, dir) => {
+        val toks = TF.tokens(col("text"))
+        val bigrams = array_distinct(transform(
+          sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", slice(toks, i, lit(2)))))
+        val tok = docs(s, dir).select(col("doc_id"), explode(bigrams).as("w"))
+        jaccardPairs(s, tok, 0.7)
+      },
+      Some("""WITH b AS (SELECT doc_id,
+             |  list_distinct([string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+             |    for i in range(1, len(string_split(text,' ')))]) AS bg
+             |  FROM documents)
+             |SELECT a.doc_id AS doc_a, x.doc_id AS doc_b,
+             |  ROUND(CAST(len(list_intersect(a.bg,x.bg)) AS DOUBLE)
+             |    / (len(a.bg)+len(x.bg)-len(list_intersect(a.bg,x.bg))), 4) AS jaccard
+             |FROM b a JOIN b x ON a.doc_id < x.doc_id
+             | AND CAST(least(len(a.bg),len(x.bg)) AS DOUBLE) >= 0.7*greatest(len(a.bg),len(x.bg))
+             | AND CAST(len(list_intersect(a.bg,x.bg)) AS DOUBLE)
+             |    / (len(a.bg)+len(x.bg)-len(list_intersect(a.bg,x.bg))) >= 0.7
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // ---- X2 MinHash + LSH near-dup (the scale path: candidates via band
