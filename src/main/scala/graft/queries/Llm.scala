@@ -42,6 +42,12 @@ object Llm {
     * Both paths produce intersection/union counts identical to the naive
     * token join, so j is bit-equal either way.
     */
+  /** Test hook: NativeKernelsSpec cross-checks both dispatch paths against a
+    * naive all-pairs reference on synthetic vocabularies.
+    */
+  private[graft] def jaccardPairsForTest(s: SparkSession, tok: DataFrame,
+      t: Double): DataFrame = jaccardPairs(s, tok, t)
+
   private def jaccardPairs(s: SparkSession, tok0: DataFrame, t: Double): DataFrame = {
     graft.functions.NativeExpressions.register(s)
     // persisted: consumed by the vocab count action, the vocabulary index,
@@ -106,7 +112,7 @@ object Llm {
     * further; candidates are verified with the exact intersection, so this
     * is pure pruning, not approximation.
     */
-  private def prefixJaccardPairs(tok: DataFrame, t: Double): DataFrame = {
+  private[graft] def prefixJaccardPairs(tok: DataFrame, t: Double): DataFrame = {
     val dfreq = tok.groupBy("w").agg(count(lit(1)).as("df"))
     val sorted = tok.join(dfreq, "w")
       .groupBy("doc_id")

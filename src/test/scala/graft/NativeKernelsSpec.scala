@@ -1,0 +1,154 @@
+package graft
+
+import graft.functions.NativeExpressions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Property tests for the native kernels (DotProduct, SortedIntersectCount,
+  * BitmaskIntersectCount, MaskFromIndices, MinHashSignature64) against naive
+  * Scala references on seeded-random inputs, PLUS codegen-vs-interpreted
+  * parity: every kernel with a doGenCode must produce identical results with
+  * whole-stage codegen forced on and off (the classic custom-Expression bug
+  * class).
+  */
+class NativeKernelsSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+  NativeExpressions.register(spark)
+
+  private val modes = Seq("CODEGEN_ONLY", "NO_CODEGEN")
+
+  private def withCodegen[T](mode: String)(f: => T): T = {
+    val key = "spark.sql.codegen.factoryMode"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, mode)
+    try f finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("graft_dot matches sequential fold, codegen and interpreted") {
+    val rng = new Random(7)
+    val cases = Seq.fill(25)(
+      (List.fill(16)(rng.nextDouble() * 200 - 100),
+       List.fill(16)(rng.nextDouble() * 200 - 100)))
+    for ((a, b) <- cases) {
+      val expected = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      for (mode <- modes) {
+        val got = withCodegen(mode) {
+          Seq((a, b)).toDF("a", "b")
+            .select(call_function("graft_dot", col("a"), col("b")))
+            .as[Double].head()
+        }
+        assert(got == expected, s"mode=$mode")
+      }
+    }
+  }
+
+  test("graft_isect matches set intersection on sorted arrays, both modes") {
+    val rng = new Random(11)
+    val cases = Seq.fill(25)(
+      (List.fill(rng.nextInt(40))(rng.nextLong() % 500).distinct.sorted,
+       List.fill(rng.nextInt(40))(rng.nextLong() % 500).distinct.sorted))
+    for ((a, b) <- cases) {
+      val expected = a.toSet.intersect(b.toSet).size.toLong
+      for (mode <- modes) {
+        val got = withCodegen(mode) {
+          Seq((a, b)).toDF("a", "b")
+            .select(call_function("graft_isect", col("a"), col("b")))
+            .as[Long].head()
+        }
+        assert(got == expected, s"mode=$mode a=$a b=$b")
+      }
+    }
+  }
+
+  test("graft_mask + graft_mask_isect equal set intersection, both modes") {
+    val rng = new Random(13)
+    val cases = Seq.fill(25)(
+      (List.fill(rng.nextInt(60))(rng.nextInt(256).toLong).distinct,
+       List.fill(rng.nextInt(60))(rng.nextInt(256).toLong).distinct))
+    for ((a, b) <- cases) {
+      val expected = a.toSet.intersect(b.toSet).size.toLong
+      for (mode <- modes) {
+        val got = withCodegen(mode) {
+          Seq((a, b)).toDF("a", "b")
+            .select(call_function("graft_mask_isect",
+              call_function("graft_mask", col("a"), lit(4)),
+              call_function("graft_mask", col("b"), lit(4))))
+            .as[Long].head()
+        }
+        assert(got == expected, s"mode=$mode")
+      }
+    }
+  }
+
+  test("graft_minhash: deterministic, fixed length, superset only lowers minima") {
+    val rng = new Random(17)
+    for (_ <- 1 to 10) {
+      val a = List.fill(1 + rng.nextInt(50))(rng.nextLong()).distinct
+      def sig(xs: List[Long]) =
+        Seq(Tuple1(xs)).toDF("a")
+          .select(call_function("graft_minhash", col("a"), lit(8)).as("sig"))
+          .as[Seq[Long]].head()
+      val s1 = sig(a)
+      assert(s1.length == 8)
+      assert(s1 == sig(a), "same input, same signature")
+      val s2 = sig((a ++ a.map(_ + 1000L)).distinct)
+      s1.zip(s2).foreach { case (m, m2) =>
+        assert(m2 <= m, "adding elements can only lower a family minimum")
+      }
+    }
+  }
+
+  test("bitset and naive all-pairs Jaccard agree on a ~120-word vocabulary") {
+    val docs = (1L to 60L).map { i =>
+      val words = (0 until 20).map(k => s"w${(i * 7 + k * 3) % 120}").distinct
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val sets = docs.collect().map(r => r.getLong(0) ->
+      r.getString(1).split(" ").toSet).toMap
+    val naive = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      i = sets(a).intersect(sets(b)).size
+      j = i.toDouble / (sets(a).size + sets(b).size - i)
+      if j >= 0.5
+    } yield (a, b)).toSet
+    val tok = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("w"))
+    val got = graft.queries.Llm.jaccardPairsForTest(spark, tok, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive, s"missing=${naive -- got} extra=${got -- naive}")
+  }
+
+  test("prefix-path Jaccard (open-vocabulary branch) agrees with naive") {
+    val rng = new Random(23)
+    // open-ish vocabulary with planted near-dup pairs; call the prefix path
+    // DIRECTLY (the dispatcher would pick bitset at this vocab size)
+    val base = (1L to 40L).map { i =>
+      i -> List.fill(30)(s"w${rng.nextInt(5000)}").distinct
+    }
+    val dups = base.map { case (i, ws) =>
+      // mutate one word -> high-but-not-1.0 jaccard twin
+      (i + 40L) -> (ws.tail :+ s"w${rng.nextInt(5000)}").distinct
+    }
+    val docs = (base ++ dups).map { case (i, ws) => (i, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val sets = docs.collect().map(r => r.getLong(0) ->
+      r.getString(1).split(" ").toSet).toMap
+    val naive = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      i = sets(a).intersect(sets(b)).size
+      j = i.toDouble / (sets(a).size + sets(b).size - i)
+      if j >= 0.8
+    } yield (a, b)).toSet
+    assert(naive.nonEmpty, "planted near-dups must qualify")
+    val tok = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("w"))
+    val got = graft.queries.Llm.prefixJaccardPairs(tok, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive, s"missing=${naive -- got} extra=${got -- naive}")
+  }
+}
