@@ -581,6 +581,38 @@ object Llm {
              |      x -> x IN ('the','a','of','and','to','in','is','it'))) >= 1 AS passes_quality
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- X4 TF-IDF salient terms: top-3 terms per doc. Ranking uses ONLY
+    // integer keys (tf desc, df asc, term asc) so cross-engine float noise in
+    // ln() can never flip a rank; the tf-idf score itself is informational
+    // output (identical integers into ln -> same double to 4 decimals).
+    Q("x4_tfidf",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val tok = d.select(col("doc_id"), explode(TF.tokens(col("text"))).as("w"))
+        val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val dfq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+        val n = d.agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("doc_id").orderBy(desc("tf"), asc("df"), asc("w"))
+        tf.join(dfq, "w").crossJoin(broadcast(n))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("w").as("term"),
+            col("tf"), col("df"),
+            round(col("tf") * log(col("n").cast("double") / col("df")), 4).as("score"))
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH tok AS (SELECT doc_id, UNNEST(string_split(text,' ')) AS w FROM documents),
+             |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+             |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT COUNT(*) AS n FROM documents)
+             |SELECT doc_id, rk, term, tf, df, score FROM (
+             |  SELECT tf.doc_id, tf.w AS term, tf.tf, dfq.df,
+             |    ROUND(tf.tf * LN(CAST(n.n AS DOUBLE) / dfq.df), 4) AS score,
+             |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+             |      ORDER BY tf.tf DESC, dfq.df ASC, tf.w ASC) AS rk
+             |  FROM tf JOIN dfq USING (w) CROSS JOIN n)
+             |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
+
     // ---- F4/F5 array-function surface (scalar outputs only — array-valued
     // result columns would make the parquet/pandas compare ambiguous)
     Q("q_array_funcs",

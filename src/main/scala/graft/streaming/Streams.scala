@@ -97,6 +97,15 @@ object Streams {
       }
   }
 
+  /** Stream-static enrichment: the reference embeds its LOCATIONS lookup at
+    * generation time (iot-data-stream.py:101-107,229-230); relationally that
+    * is a broadcast join of the stream against a static dim, re-broadcast per
+    * micro-batch. Left outer so unknown locations pass through (P6's
+    * default-on-missing behavior).
+    */
+  def enriched(readings: DataFrame, locationDim: DataFrame): DataFrame =
+    readings.join(broadcast(locationDim), Seq("location_id"), "left_outer")
+
   /** S2/S7: keyed sink — foreachBatch writing parquet partitioned by
     * device_id (the Kinesis PartitionKey / DynamoDB key leg,
     * iot-data-stream.py:281, iot_dashboard.py:58). Exactly-once per batch via

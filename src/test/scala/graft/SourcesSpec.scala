@@ -1,0 +1,58 @@
+package graft
+
+import graft.gen.Generator
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** S3/S4 sink round-trips (iot-data-stream.py:299-346) and the one
+  * schema-on-read path (SURVEY.md §1.3): generator output written as
+  * JSON / CSV / keyed parquet must read back losslessly enough to run the
+  * dashboard analytics on.
+  */
+class SourcesSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val flat =
+    Generator.flatten(Generator.readings(spark, nDevices = 8, ticks = 20)).cache()
+
+  test("S3 JSON sink round-trips with schema inference (schema-on-read)") {
+    val dir = Files.createTempDirectory("graft-json").toString
+    flat.write.mode("overwrite").json(dir)
+    // schema-on-read: infer like the reference's dynamic pandas frame
+    val back = spark.read.json(dir)
+    assert(back.count() == flat.count())
+    assert(back.columns.contains("device_id") && back.columns.contains("status"))
+    // numeric columns infer as numbers, not strings
+    assert(back.schema("latitude").dataType.typeName == "double")
+  }
+
+  test("S4 CSV sink round-trips the wide schema with nulls for absent sensors") {
+    val dir = Files.createTempDirectory("graft-csv").toString
+    flat.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(dir)
+    assert(back.count() == flat.count())
+    // a device lacking a sensor must read back as null, not empty string
+    val missing = back.filter(col("temperature_value").isNull).count()
+    val missingOrig = flat.filter(col("temperature_value").isNull).count()
+    assert(missing == missingOrig)
+  }
+
+  test("S2 keyed parquet sink partitions by device and prunes on read") {
+    val dir = Files.createTempDirectory("graft-keyed").toString
+    flat.write.mode("overwrite").partitionBy("device_id").parquet(dir)
+    val devices = flat.select("device_id").distinct().as[String].collect()
+    // partition directories exist per device (the PartitionKey layout)
+    val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("device_id=")).toSet
+    assert(subdirs == devices.map(d => s"device_id=$d").toSet)
+    // a single-device read scans only that partition (partition pruning)
+    val one = spark.read.parquet(dir).filter(col("device_id") === devices.head)
+    one.collect()
+    val scan = one.queryExecution.executedPlan.toString
+    assert(!scan.contains("PushedFilters: [IsNotNull(device_id), EqualTo(device_id"),
+      "device_id must prune partitions, not filter rows")
+    assert(one.count() == flat.filter(col("device_id") === devices.head).count())
+  }
+}

@@ -22,6 +22,21 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable(); q.stop()
   }
 
+  test("stream-static enrichment broadcasts the dim and keeps unknown keys") {
+    val in = MemoryStream[(String, String, Double)](spark)
+    val df = in.toDF().toDF("device_id", "location_id", "value")
+    val dim = Seq(("warehouse_a", "Warehouse A", 40.7128),
+      ("factory_1", "Factory One", 41.8781))
+      .toDF("location_id", "location_name", "lat")
+    in.addData(("d1", "warehouse_a", 1.0), ("d2", "mystery", 2.0))
+    runToMemory(Streams.enriched(df, dim), "enrich_out")
+    val rows = spark.table("enrich_out")
+      .select("device_id", "location_name").as[(String, Option[String])]
+      .collect().toMap
+    assert(rows("d1").contains("Warehouse A"))
+    assert(rows("d2").isEmpty) // unknown location passes through as null
+  }
+
   test("T5 dedup: duplicate (device, ts) rows collapse to one") {
     val in = MemoryStream[(String, Timestamp, Double)](spark)
     val df = in.toDF().toDF("device_id", "timestamp", "value")
