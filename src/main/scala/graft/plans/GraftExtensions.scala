@@ -1,0 +1,43 @@
+package graft.plans
+
+import graft.functions.{BitmaskIntersectCount, DotProduct, MaskFromIndices, MinHashSignature64, SortedIntersectCount}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions into every session built with
+  *
+  *   spark.sql.extensions=graft.plans.GraftExtensions
+  *
+  * Unlike `NativeExpressions.register` (imperative, per-session temp
+  * functions), injection binds the functions at session construction, so
+  * they exist in `spark.newSession()` children and in pure-SQL contexts too.
+  * No custom Rule/Strategy is injected — SURVEY.md §4: stock Catalyst plans
+  * every operator here; the extension surface carries expressions only.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, clazz: Class[_]): ExpressionInfo =
+    new ExpressionInfo(clazz.getCanonicalName, name)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      info("graft_dot", classOf[DotProduct]),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_isect"),
+      info("graft_isect", classOf[SortedIntersectCount]),
+      (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_mask_isect"),
+      info("graft_mask_isect", classOf[BitmaskIntersectCount]),
+      (args: Seq[Expression]) => BitmaskIntersectCount(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_mask"),
+      info("graft_mask", classOf[MaskFromIndices]),
+      (args: Seq[Expression]) =>
+        MaskFromIndices(args(0), args(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("graft_minhash"),
+      info("graft_minhash", classOf[MinHashSignature64]),
+      (args: Seq[Expression]) =>
+        MinHashSignature64(args(0), args(1).eval().asInstanceOf[Int])))
+  }
+}

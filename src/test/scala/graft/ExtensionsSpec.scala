@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions must bind the native functions at session construction:
+  * a `newSession()` child has a FRESH function registry (imperative
+  * `NativeExpressions.register` temp functions do NOT carry over), so the
+  * functions resolving there proves the extensions path, not a leftover
+  * registration from another suite.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("injected functions resolve in a brand-new child session via SQL") {
+    val fresh = SparkTestSession.spark.newSession()
+    val dot = fresh.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))")
+      .collect().head.getDouble(0)
+    assert(dot == 11.0)
+    val isect = fresh.sql(
+      "SELECT graft_isect(array(1L, 2L, 5L), array(2L, 3L, 5L))")
+      .collect().head.getLong(0)
+    assert(isect == 2L)
+    val maskIsect = fresh.sql(
+      """SELECT graft_mask_isect(graft_mask(array(0L, 3L, 70L), 2),
+        |                        graft_mask(array(3L, 70L, 100L), 2))""".stripMargin)
+      .collect().head.getLong(0)
+    assert(maskIsect == 2L)
+    val sig = fresh.sql("SELECT size(graft_minhash(array(42L, 7L), 16))")
+      .collect().head.getInt(0)
+    assert(sig == 16)
+  }
+}
