@@ -491,6 +491,23 @@ object Relational {
              |JOIN nation ON s_nationkey=n_nationkey
              |GROUP BY s_name, n_name ORDER BY revenue DESC, s_name LIMIT 20""".stripMargin)),
 
+    // ---- histogram: fixed-width price buckets via integer bucket math
+    // (identical IEEE divide in both engines; 2-decimal data never sits on a
+    // representable-boundary knife edge at this width)
+    Q("q_histogram",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .withColumn("bucket", floor(col("o_totalprice") / 50000).cast("long"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            round(min("o_totalprice"), 2).as("lo"),
+            round(max("o_totalprice"), 2).as("hi"))
+          .orderBy("bucket"),
+      Some("""SELECT CAST(FLOOR(o_totalprice/50000) AS BIGINT) AS bucket,
+             |  COUNT(*) AS n, ROUND(MIN(o_totalprice),2) AS lo,
+             |  ROUND(MAX(o_totalprice),2) AS hi
+             |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // ---- §4 subquery decorrelation: correlated scalar subquery, written as
     // SQL and left to Catalyst to rewrite into an aggregate + join (the plan
     // contains no per-row subquery execution)
