@@ -3,7 +3,8 @@ package graft.streaming
 import graft.model._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.Encoders
 
 /** Structured Streaming leg (SURVEY.md §2.9 T1-T6): the reference's
   * generator→Kinesis→Lambda→store pipeline re-expressed as
@@ -95,6 +96,48 @@ object Streams {
           state.update(st)
           alerts.result().iterator
       }
+  }
+
+  final case class BatteryAlert(device_id: String, ts: java.sql.Timestamp,
+      value: Double, drop: Double)
+
+  /** T4 on the MODERN state API: per-device battery-drop alerting via Spark
+    * 4's transformWithState (typed ValueState through a StatefulProcessor
+    * handle — finer-grained than flatMapGroupsWithState's single state blob,
+    * and the API the RocksDB state store is built around). Same semantics
+    * family as the generator's monotone battery decay
+    * (iot-data-stream.py:96,161-163): alert when a reading drops more than
+    * `maxDrop` below the device's previous reading.
+    * Requires the RocksDB state store provider (set in StreamingSpec).
+    */
+  class BatteryDropProcessor(maxDrop: Double)
+      extends StatefulProcessor[String, Flat, BatteryAlert] {
+    @transient private var last: ValueState[Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[Double]("last", Encoders.scalaDouble, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Flat],
+        tv: TimerValues): Iterator[BatteryAlert] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime) // batch rows are unordered
+      val out = Seq.newBuilder[BatteryAlert]
+      sorted.foreach { r =>
+        if (last.exists()) {
+          val drop = last.get() - r.value
+          if (drop > maxDrop) out += BatteryAlert(key, r.ts, r.value, drop)
+        }
+        last.update(r.value)
+      }
+      out.result().iterator
+    }
+  }
+
+  def batteryDropAlerts(readings: Dataset[Flat], maxDrop: Double): Dataset[BatteryAlert] = {
+    import readings.sparkSession.implicits._
+    readings
+      .groupByKey(_.device_id)
+      .transformWithState(new BatteryDropProcessor(maxDrop),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Stream-static enrichment: the reference embeds its LOCATIONS lookup at

@@ -22,6 +22,38 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable(); q.stop()
   }
 
+  test("T4 (transformWithState): battery-drop alerts across micro-batches") {
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Flat](spark)
+      val alerts = Streams.batteryDropAlerts(in.toDS(), maxDrop = 5.0)
+      val q = alerts.writeStream.format("memory")
+        .queryName("battery_out").outputMode("append").start()
+      in.addData(Flat("d1", ts(0), 100.0), Flat("d1", ts(1), 98.0))
+      q.processAllAvailable()
+      in.addData(Flat("d1", ts(2), 80.0), Flat("d2", ts(2), 50.0)) // cross-batch state
+      q.processAllAvailable()
+      in.addData(Flat("d2", ts(3), 49.0))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("battery_out")
+        .select("device_id", "value", "drop").as[(String, Double, Double)]
+        .collect().toSet
+      // only d1's 98 -> 80 drop exceeds 5.0; d2's first row has no previous,
+      // its second drops just 1.0
+      assert(rows == Set(("d1", 80.0, 18.0)))
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-static enrichment broadcasts the dim and keeps unknown keys") {
     val in = MemoryStream[(String, String, Double)](spark)
     val df = in.toDF().toDF("device_id", "location_id", "value")
