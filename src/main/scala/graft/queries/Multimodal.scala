@@ -69,6 +69,21 @@ object Multimodal {
           sequence(lit(9), length(col("payload")) - frameBytes, lit(stride)),
           off => substring(col("payload"), off, lit(frameBytes)))).as(Seq("frame_no", "frame")))
 
+  /** "Resize" for an image-like payload: STUB downsample keeping every k-th
+    * body byte (a real resize swaps the kernel, not the plumbing) — header
+    * preserved, body decimated, still a `binary` column.
+    */
+  def resizeStub(withPayloadDf: DataFrame, factor: Int): DataFrame =
+    withPayloadDf.withColumn("payload_small",
+      concat(
+        substring(col("payload"), 1, 8),
+        call_function("to_binary",
+          concat_ws("",
+            transform(
+              sequence(lit(9), length(col("payload")), lit(factor)),
+              off => hex(substring(col("payload"), off, lit(1))))),
+          lit("hex"))))
+
   val all: Seq[Q] = Seq(
 
     // ---- binary metadata surface: byte length / checksum / magic — all

@@ -32,6 +32,19 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resize stub keeps the header and decimates the body by the factor") {
+    val df = Multimodal.resizeStub(payloads.limit(20), factor = 4)
+      .select("doc_id", "payload", "payload_small").collect()
+    df.foreach { r =>
+      val full = r.getAs[Array[Byte]]("payload")
+      val small = r.getAs[Array[Byte]]("payload_small")
+      assert(small.take(8).sameElements(full.take(8)), "header preserved")
+      val body = full.drop(8)
+      val expect = body.indices.collect { case i if i % 4 == 0 => body(i) }
+      assert(small.drop(8).sameElements(expect), "every 4th body byte kept")
+    }
+  }
+
   test("frame sampling slices the body into fixed-size binary frames") {
     val frames = Multimodal.sampleFrames(payloads, frameBytes = 16, stride = 64)
     val r = frames.select(col("doc_id"), length(col("frame")).as("fl")).collect()

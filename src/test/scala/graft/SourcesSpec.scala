@@ -39,6 +39,14 @@ class SourcesSpec extends AnyFunSuite {
     assert(missing == missingOrig)
   }
 
+  test("ORC round-trips the wide schema (alternate columnar format)") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    flat.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == flat.count())
+    assert(back.schema == flat.schema)
+  }
+
   test("S2 keyed parquet sink partitions by device and prunes on read") {
     val dir = Files.createTempDirectory("graft-keyed").toString
     flat.write.mode("overwrite").partitionBy("device_id").parquet(dir)
