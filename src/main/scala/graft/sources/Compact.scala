@@ -1,0 +1,31 @@
+package graft.sources
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Small-files compaction: rewrite a parquet directory into
+  * ceil(bytes/target) files. Streaming keyed sinks (Streams.keyedParquetSink)
+  * and per-batch upserts accumulate small files; at 100 TB an uncompacted
+  * table means millions of scan tasks and dead NameNode/liststore time.
+  * Run on a schedule, partition by partition.
+  */
+object Compact {
+  def apply(spark: SparkSession, path: String,
+      targetFileBytes: Long = 256L * 1024 * 1024): Int = {
+    val bytes = {
+      def size(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(size).sum).getOrElse(0L)
+      size(new java.io.File(path))
+    }
+    val files = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(path)
+    val tmp = path + ".compact"
+    df.coalesce(files).write.mode(SaveMode.Overwrite).parquet(tmp)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(path))
+    new java.io.File(tmp).renameTo(new java.io.File(path))
+    files
+  }
+}

@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Latest-wins keyed upsert into a parquet directory — the batch twin of the
+  * reference's Lambda→DynamoDB put_item leg (README.md:2): new readings for
+  * a (device, timestamp) key replace old ones, unseen keys insert.
+  *
+  * Implementation is read-union-dedupe-rewrite: one shuffle by key over
+  * existing ∪ updates, keep the max-version row per key. At 100 TB you'd
+  * bound the rewrite with partition overwrite (partitionBy a date/bucket
+  * column + spark.sql.sources.partitionOverwriteMode=dynamic) or a table
+  * format with merge-on-read; the dedupe shape — window by key, latest
+  * version wins — is identical.
+  */
+object KeyedUpsert {
+  def apply(spark: SparkSession, path: String, updates: DataFrame,
+      keys: Seq[String], versionCol: String): Unit = {
+    val existing =
+      if (new java.io.File(path).exists()) Some(spark.read.parquet(path))
+      else None
+    val all = existing.map(_.unionByName(updates)).getOrElse(updates)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(desc(versionCol))
+    val merged = all
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    // rewrite via a temp dir: the plan reads `path`, so writing over it
+    // in-place would delete its own input mid-scan
+    val tmp = path + ".tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val target = new java.io.File(path)
+    if (target.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(target)
+    }
+    new java.io.File(tmp).renameTo(target)
+  }
+}

@@ -39,6 +39,32 @@ class SourcesSpec extends AnyFunSuite {
     assert(missing == missingOrig)
   }
 
+  test("KeyedUpsert: latest version wins, unseen keys insert") {
+    import graft.sources.KeyedUpsert
+    val dir = Files.createTempDirectory("graft-upsert").toString + "/t"
+    val v1 = Seq(("d1", 1L, 10.0), ("d2", 1L, 20.0)).toDF("device_id", "v", "reading")
+    KeyedUpsert(spark, dir, v1, Seq("device_id"), "v")
+    val v2 = Seq(("d1", 2L, 11.0), ("d3", 1L, 30.0)).toDF("device_id", "v", "reading")
+    KeyedUpsert(spark, dir, v2, Seq("device_id"), "v")
+    val out = spark.read.parquet(dir)
+      .select("device_id", "v", "reading").as[(String, Long, Double)]
+      .collect().toSet
+    assert(out == Set(("d1", 2L, 11.0), ("d2", 1L, 20.0), ("d3", 1L, 30.0)))
+  }
+
+  test("Compact: many small files rewrite to the computed file count") {
+    import graft.sources.Compact
+    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    flat.repartition(16).write.parquet(dir)
+    val before = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before >= 8, s"setup should create many files, got $before")
+    val n = flat.count()
+    Compact(spark, dir, targetFileBytes = 1024L * 1024 * 1024)
+    val after = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after == 1, s"expected 1 compacted file, got $after")
+    assert(spark.read.parquet(dir).count() == n, "no rows lost")
+  }
+
   test("ORC round-trips the wide schema (alternate columnar format)") {
     val dir = Files.createTempDirectory("graft-orc").toString
     flat.write.mode("overwrite").orc(dir)
