@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Zero-cost data-quality counters via `Dataset.observe`: metrics are
+  * accumulated inside the existing job (no second scan — at 100 TB a
+  * separate `count()`-style audit pass doubles the read). Attach before the
+  * action; read the observation after it completes.
+  *
+  * The reference does this client-side after the fetch
+  * (iot_dashboard.py:77-82 existence checks, :134 record count); observe
+  * moves the audit into the distributed plan.
+  *
+  * {{{
+  * val (audited, get) = QualityMetrics.audit(df, "load", Seq("temperature"))
+  * audited.write.parquet(out)       // metrics accumulate during the write
+  * val m = get()                    // rows, nulls per column
+  * }}}
+  */
+object QualityMetrics {
+  def audit(df: DataFrame, name: String, nullCheckCols: Seq[String])
+      : (DataFrame, () => Map[String, Long]) = {
+    val metrics =
+      count(lit(1)).as("rows") +:
+        nullCheckCols.map(c =>
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
+    val observed = df.observe(name, metrics.head, metrics.tail: _*)
+    val read = () => {
+      val row = observed.queryExecution.observedMetrics(name)
+      row.schema.fieldNames.map(f =>
+        f -> row.getAs[Long](f)).toMap
+    }
+    (observed, read)
+  }
+}

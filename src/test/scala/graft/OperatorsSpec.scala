@@ -56,6 +56,15 @@ class OperatorsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(r == Seq(("g1", 1L, 9), ("g1", 2L, 5), ("g2", 1L, 2), ("g2", 2L, 1)))
   }
 
+  test("QualityMetrics.audit counts rows and nulls inside the existing job") {
+    val df = Seq(("a", Some(1.0)), ("b", None), ("c", Some(3.0)), ("d", None))
+      .toDF("k", "v")
+    val (audited, get) = graft.operators.QualityMetrics.audit(df, "t", Seq("v"))
+    assert(audited.collect().length == 4) // the action that accumulates
+    val m = get()
+    assert(m("rows") == 4L && m("nulls_v") == 2L, s"got $m")
+  }
+
   test("Bucketed.colocatedJoin plans with zero shuffle exchanges") {
     val orders = (1L to 500L).map(i => (i, s"o$i")).toDF("okey", "oval")
     val items = (1L to 1500L).map(i => (i % 500 + 1, s"i$i")).toDF("okey", "ival")
