@@ -508,6 +508,94 @@ object Relational {
              |  ROUND(MAX(o_totalprice),2) AS hi
              |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
+    // ---- W-family: first_value / last_value / nth_value over a running
+    // frame with a tie-broken total order
+    Q("q_first_last_window",
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "orders").select(
+          col("o_orderkey"),
+          col("o_orderpriority"),
+          first("o_orderkey").over(w).as("first_key"),
+          last("o_orderkey").over(w).as("last_key"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+             |  FIRST_VALUE(o_orderkey) OVER w AS first_key,
+             |  LAST_VALUE(o_orderkey) OVER w AS last_key,
+             |  NTH_VALUE(o_orderkey, 2) OVER w AS second_key
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority
+             |  ORDER BY o_orderdate, o_orderkey
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- W-family: percent_rank / cume_dist — ratios of rank integers over
+    // a tie-broken order, so cross-engine floats agree exactly (same
+    // numerator/denominator integers, same IEEE divide)
+    Q("q_pct_rank",
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, dir, "orders").select(
+          col("o_orderkey"),
+          col("o_orderpriority"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+             |  ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+             |  ROUND(CUME_DIST() OVER w, 6) AS cd
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- F2: date arithmetic (day diff, day/month add, truncation)
+    Q("q_date_arith",
+      (s, dir) =>
+        t(s, dir, "orders").select(
+          col("o_orderkey"),
+          datediff(lit("1999-01-01").cast("date"), col("o_orderdate").cast("date"))
+            .cast("long").as("days_to_1999"),
+          date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd")
+            .as("plus_30d"),
+          date_format(add_months(col("o_orderdate").cast("date"), 2), "yyyy-MM-dd")
+            .as("plus_2m"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+            .as("month_start"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS days_to_1999,
+             |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d,
+             |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus_2m,
+             |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- F1: regexp / string-shaping surface on part names
+    Q("q_regexp_funcs",
+      (s, dir) =>
+        t(s, dir, "part").select(
+          col("p_partkey"),
+          regexp_extract(col("p_brand"), "#(\\d+)", 1).as("brand_num"),
+          // capitalize-first built from primitives (DuckDB has no initcap)
+          concat(upper(substring(col("p_name"), 1, 1)),
+            lower(substring(col("p_name"), 2, 1000))).as("name_cap"),
+          translate(col("p_type"), " ", "_").as("type_snake"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("key_padded"),
+          reverse(col("p_brand")).as("brand_rev"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |  regexp_extract(p_brand, '#(\d+)', 1) AS brand_num,
+             |  upper(substr(p_name,1,1)) || lower(substr(p_name,2,1000)) AS name_cap,
+             |  translate(p_type, ' ', '_') AS type_snake,
+             |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+             |  reverse(p_brand) AS brand_rev
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
     // ---- §4 subquery decorrelation: correlated scalar subquery, written as
     // SQL and left to Catalyst to rewrite into an aggregate + join (the plan
     // contains no per-row subquery execution)
