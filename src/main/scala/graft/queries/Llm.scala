@@ -613,6 +613,51 @@ object Llm {
              |  FROM tf JOIN dfq USING (w) CROSS JOIN n)
              |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
 
+    // ---- X4 training-chunk splitting: fixed 20-token windows, stride 10
+    // (overlapping chunks, the standard pretraining shape). Pure array math
+    // per doc — explode produces (doc, chunk) rows ready to repartition for
+    // downstream tokenization.
+    Q("x4_chunk",
+      (s, dir) => {
+        val toks = TF.tokens(col("text"))
+        val size_ = 20; val stride = 10
+        docs(s, dir).select(
+          col("doc_id"),
+          posexplode(transform(
+            sequence(lit(1), greatest(size(toks) - (size_ - stride), lit(1)), lit(stride)),
+            off => concat_ws(" ", slice(toks, off, lit(size_)))))
+            .as(Seq("chunk_no", "chunk")))
+          .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"),
+            col("chunk"),
+            size(split(col("chunk"), " ")).cast("long").as("n_tokens"))
+          .orderBy("doc_id", "chunk_no")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
+             |SELECT doc_id, CAST(i AS BIGINT) AS chunk_no,
+             |  array_to_string(toks[o:o+19], ' ') AS chunk,
+             |  CAST(len(toks[o:o+19]) AS BIGINT) AS n_tokens
+             |FROM (SELECT doc_id, toks, UNNEST(range(1, greatest(len(toks)-10,1)+1, 10)) AS o,
+             |        UNNEST(range(0, CAST(ceil(greatest(len(toks)-10,1)/10.0) AS INT), 1)) AS i
+             |      FROM t)
+             |ORDER BY doc_id, chunk_no""".stripMargin)),
+
+    // ---- X4 scrubbing: digit masking + token-level redaction counts (the
+    // PII-filter shape: regexp_replace over the raw text, counts for audit)
+    Q("x4_scrub",
+      (s, dir) =>
+        docs(s, dir).select(
+          col("doc_id"),
+          regexp_replace(col("text"), lit("[0-9]"), lit("#")).as("scrubbed"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), lit("[0-9]"), lit(""))))
+            .cast("long").as("n_masked"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  regexp_replace(text, '[0-9]', '#', 'g') AS scrubbed,
+             |  CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT)
+             |    AS n_masked
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---- F4/F5 array-function surface (scalar outputs only — array-valued
     // result columns would make the parquet/pandas compare ambiguous)
     Q("q_array_funcs",
