@@ -22,6 +22,18 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable(); q.stop()
   }
 
+  test("T2 bounded run: Trigger.AvailableNow drains the source then stops") {
+    import org.apache.spark.sql.streaming.Trigger
+    val in = MemoryStream[(String, Timestamp, Double)](spark)
+    val df = in.toDF().toDF("device_id", "timestamp", "value")
+    in.addData(("d1", ts(0), 1.0), ("d2", ts(1), 2.0), ("d1", ts(2), 3.0))
+    val q = df.writeStream.format("memory").queryName("avail_now_out")
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    q.awaitTermination(30000) // AvailableNow terminates by itself (--count analog)
+    assert(!q.isActive, "query must self-terminate after draining")
+    assert(spark.table("avail_now_out").count() == 3)
+  }
+
   test("T4 (transformWithState): battery-drop alerts across micro-batches") {
     // transformWithState requires the RocksDB state store provider
     val key = "spark.sql.streaming.stateStore.providerClass"
