@@ -39,7 +39,11 @@ object AsOfJoin {
         lCols.filterNot(c => c == key)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++:
         rightVals.map(v => col(v).as(s"__r_$v")): _*)
-    val w = Window.partitionBy(key).orderBy(col("__t"), col("__tag"))
+    // Tie-break: right rows sharing (key, time) would otherwise leave
+    // last() partition-order-dependent; ordering by the carried value
+    // columns makes "latest" deterministic (greatest value tuple wins).
+    val w = Window.partitionBy(key)
+      .orderBy(col("__t") +: col("__tag") +: rightVals.map(v => col(s"__r_$v")): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val filled = rightVals.foldLeft(l.unionByName(r)) { (df, v) =>
       df.withColumn(s"__r_$v", last(col(s"__r_$v"), ignoreNulls = true).over(w))

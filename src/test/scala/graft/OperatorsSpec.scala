@@ -36,6 +36,19 @@ class OperatorsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       ("b", 9L, 5, Some(20.0))))
   }
 
+  test("AsOfJoin breaks right-side timestamp ties deterministically") {
+    // two quotes at the same (sym, t): the greater px must win, regardless
+    // of input partitioning
+    val quotes = Seq(("a", 5L, 11.0), ("a", 5L, 13.0)).toDF("sym", "t", "px")
+      .repartition(4)
+    val trades = Seq(("a", 7L, 1)).toDF("sym", "t", "qty")
+    (1 to 3).foreach { _ =>
+      val r = AsOfJoin(trades, quotes, "sym", "t", "t", Seq("px"))
+        .select("px").as[Double].head()
+      assert(r == 13.0)
+    }
+  }
+
   test("SaltedJoin equals the plain join on a skewed key") {
     val big = (1 to 2000).map(i => (if (i % 10 == 0) "cold" + i else "hot", i))
       .toDF("k", "v") // 90% of rows share one key
