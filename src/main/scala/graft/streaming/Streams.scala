@@ -140,6 +140,23 @@ object Streams {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Stream-stream interval join (the streaming twin of the batch range join
+    * q_events_range_join): clicks attributed to the view by the same user
+    * within `window`. Both sides watermarked so Spark can bound the join
+    * state buffer — without watermarks a stream-stream join retains
+    * everything forever. Inner join: unmatched rows age out of state once
+    * the watermark passes.
+    */
+  def clickAttribution(views: DataFrame, clicks: DataFrame,
+      window: String = "5 minutes", watermark: String = "1 minute"): DataFrame = {
+    val v = views.withWatermark("v_ts", watermark)
+    val c = clicks.withWatermark("c_ts", watermark)
+    v.join(c,
+      col("c_user") === col("v_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr(s"INTERVAL $window"))
+  }
+
   /** Stream-static enrichment: the reference embeds its LOCATIONS lookup at
     * generation time (iot-data-stream.py:101-107,229-230); relationally that
     * is a broadcast join of the stream against a static dim, re-broadcast per

@@ -22,6 +22,25 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable(); q.stop()
   }
 
+  test("stream-stream interval join attributes clicks to in-window views") {
+    val views = MemoryStream[(Long, Long, Timestamp)](spark)
+    val clicks = MemoryStream[(Long, Long, Timestamp)](spark)
+    val v = views.toDF().toDF("view_id", "v_user", "v_ts")
+    val c = clicks.toDF().toDF("click_id", "c_user", "c_ts")
+    views.addData((1L, 10L, ts(0)), (2L, 20L, ts(0)))
+    clicks.addData(
+      (100L, 10L, ts(60)),   // within 5 min of view 1 -> attributed
+      (101L, 10L, ts(600)),  // 10 min later -> outside window
+      (102L, 30L, ts(30)))   // no view by this user
+    val joined = Streams.clickAttribution(v, c)
+      .select("view_id", "click_id")
+    val q = joined.writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("attr_out").as[(Long, Long)].collect().toSet
+    assert(rows == Set((1L, 100L)))
+  }
+
   test("T2 bounded run: Trigger.AvailableNow drains the source then stops") {
     import org.apache.spark.sql.streaming.Trigger
     val in = MemoryStream[(String, Timestamp, Double)](spark)
