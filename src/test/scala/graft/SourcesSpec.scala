@@ -65,6 +65,19 @@ class SourcesSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == n, "no rows lost")
   }
 
+  test("schema evolution: mergeSchema unions columns across appended batches") {
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    Seq(("d1", 1.0)).toDF("device_id", "temperature")
+      .write.mode("append").parquet(dir)
+    // a later generator version adds a sensor column
+    Seq(("d2", 2.0, 55.5)).toDF("device_id", "temperature", "humidity")
+      .write.mode("append").parquet(dir)
+    val back = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(back.columns.toSet == Set("device_id", "temperature", "humidity"))
+    val d1 = back.filter(col("device_id") === "d1").select("humidity").collect()
+    assert(d1.head.isNullAt(0), "old rows read the new column as null")
+  }
+
   test("ORC round-trips the wide schema (alternate columnar format)") {
     val dir = Files.createTempDirectory("graft-orc").toString
     flat.write.mode("overwrite").orc(dir)
