@@ -90,7 +90,11 @@ object Generator {
       seed: Long = 42L, t0Millis: Long = 1704067200000L, // 2024-01-01T00:00Z
       tickMillis: Long = 1000L): Dataset[Reading] = {
     import spark.implicits._
-    spark.range(0, nDevices.toLong, 1, math.min(nDevices, 64))
+    // slices scale with the cluster (4 waves per core), capped by device
+    // count; per-device seeding keeps output identical at any slicing
+    val slices = math.max(1,
+      math.min(nDevices, spark.sparkContext.defaultParallelism * 4))
+    spark.range(0, nDevices.toLong, 1, slices)
       .flatMap(i => deviceTimeline(i, ticks, seed, t0Millis, tickMillis))
   }
 
