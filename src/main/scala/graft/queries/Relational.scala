@@ -596,6 +596,28 @@ object Relational {
              |  reverse(p_brand) AS brand_rev
              |FROM part ORDER BY p_partkey""".stripMargin)),
 
+    // ---- §4 predicate subqueries: IN + NOT EXISTS through the SQL surface
+    // (Catalyst rewrites both to semi/anti joins — RewritePredicateSubquery)
+    Q("q_in_exists_sql",
+      (s, dir) => {
+        Seq("orders", "customer", "lineitem")
+          .foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))
+        s.sql("""SELECT o_orderkey, o_custkey
+                |FROM orders o
+                |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+                |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+                |                  WHERE l.l_orderkey = o.o_orderkey
+                |                    AND l.l_returnflag = 'R')
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey
+             |FROM orders o
+             |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+             |                  WHERE l.l_orderkey = o.o_orderkey
+             |                    AND l.l_returnflag = 'R')
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // ---- §4 subquery decorrelation: correlated scalar subquery, written as
     // SQL and left to Catalyst to rewrite into an aggregate + join (the plan
     // contains no per-row subquery execution)
