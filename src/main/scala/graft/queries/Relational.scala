@@ -40,6 +40,8 @@ object Relational {
             round(sum("l_quantity"), 2).as("sum_qty"),
             round(sum("l_extendedprice"), 2).as("sum_base_price"),
             round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+              (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
             // avg via round(sum)/count: the inner round lands both engines on
             // the identical double (data is 2-decimal-granular, float noise
             // ~1e-10), so the outer round sees the same input either side
@@ -52,6 +54,7 @@ object Relational {
              |  ROUND(SUM(l_quantity),2) AS sum_qty,
              |  ROUND(SUM(l_extendedprice),2) AS sum_base_price,
              |  ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+             |  ROUND(SUM(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
              |  ROUND(ROUND(SUM(l_quantity),2)/COUNT(*),4) AS avg_qty,
              |  ROUND(ROUND(SUM(l_discount),2)/COUNT(*),4) AS avg_disc,
              |  COUNT(*) AS count_order

@@ -35,10 +35,10 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     val li = scans.head
     val pushed = li.metadata.getOrElse("PushedFilters", "")
     assert(pushed.contains("LessThanOrEqual(l_shipdate"), s"pushed=$pushed")
-    // 6 needed columns out of 10 in the table — projection must reach the scan
+    // 7 needed columns out of 11 in the table — projection must reach the scan
     val readCols = li.requiredSchema.fieldNames.toSet
     assert(readCols == Set("l_returnflag", "l_linestatus", "l_quantity",
-      "l_extendedprice", "l_discount", "l_shipdate"), s"read=$readCols")
+      "l_extendedprice", "l_discount", "l_tax", "l_shipdate"), s"read=$readCols")
   }
 
   test("q5: dimension joins broadcast, no cartesian product") {
