@@ -73,16 +73,23 @@ object Events {
       (s, dir) =>
         t(s, dir).groupBy("user_id").agg(
           count(lit(1)).as("n_events"),
-          round(sum("value"), 2).as("sum_value"),
-          // round(sum)/count: both engines agree on the inner double exactly
-          // (value is 2-decimal-granular), making the outer round stable
-          round(round(sum("value"), 2) / count(lit(1)), 4).as("avg_value"),
+          sum("value").as("s"),
           round(min("value"), 2).as("min_value"),
           round(max("value"), 2).as("max_value"))
+          // avg via exact integer floor-division: sum is 2-decimal-granular,
+          // so cents are exact longs; ROUND(quotient, 4) is NOT cross-engine
+          // stable because quotients like k/3200 land exactly on x.xxxx5 and
+          // the engines break the tie differently (found at sf0.1)
+          .select(col("user_id"), col("n_events"),
+            round(col("s"), 2).as("sum_value"),
+            (expr("CAST(ROUND(s*100) AS BIGINT) * 100 div n_events").cast("double")
+              / 10000.0).as("avg_value"),
+            col("min_value"), col("max_value"))
           .orderBy("user_id"),
       Some("""SELECT user_id, COUNT(*) AS n_events,
              |  ROUND(SUM(value),2) AS sum_value,
-             |  ROUND(ROUND(SUM(value),2)/COUNT(*),4) AS avg_value,
+             |  CAST((CAST(ROUND(SUM(value)*100) AS BIGINT) * 100) // COUNT(*) AS DOUBLE)/10000
+             |    AS avg_value,
              |  ROUND(MIN(value),2) AS min_value, ROUND(MAX(value),2) AS max_value
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
@@ -92,11 +99,16 @@ object Events {
       (s, dir) =>
         t(s, dir)
           .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"), col("event_type"))
-          .agg(count(lit(1)).as("n"),
-            round(round(sum("value"), 2) / count(lit(1)), 4).as("avg_value"))
+          .agg(count(lit(1)).as("n"), sum("value").as("s"))
+          // integer floor-division avg — see q_events_user_stats note
+          .select(col("hour"), col("event_type"), col("n"),
+            (expr("CAST(ROUND(s*100) AS BIGINT) * 100 div n").cast("double")
+              / 10000.0).as("avg_value"))
           .orderBy("hour", "event_type"),
       Some("""SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
-             |  COUNT(*) AS n, ROUND(ROUND(SUM(value),2)/COUNT(*),4) AS avg_value
+             |  COUNT(*) AS n,
+             |  CAST((CAST(ROUND(SUM(value)*100) AS BIGINT) * 100) // COUNT(*) AS DOUBLE)/10000
+             |    AS avg_value
              |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)),
 
     // ---- O3/W1: latest event per user (top-1 per key ranking window)
@@ -247,7 +259,8 @@ object Events {
              |  COUNT(*) OVER w AS n_1h,
              |  ROUND(MAX(value) OVER w, 2) AS max_1h
              |FROM events
-             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+             |WINDOW w AS (PARTITION BY user_id
+             |             ORDER BY epoch(date_trunc('second', ts))
              |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
              |ORDER BY event_id""".stripMargin))
   )
