@@ -456,13 +456,15 @@ object Llm {
       (s, dir) =>
         docs(s, dir).groupBy("lang").agg(
           count(lit(1)).as("n_docs"),
-          // integer sum / count: exact in both engines, stable under rounding
-          round(sum("n_chars").cast("double") / count(lit(1)), 2).as("avg_chars"),
+          // integer sum -> avg in exact e2 units via integer floor-division
+          // (ROUND of a quotient is tie-unstable cross-engine)
+          (expr("SUM(n_chars) * 100 div COUNT(1)").cast("double") / 100.0)
+            .as("avg_chars"),
           sum(length(col("text")).cast("long")).as("total_len"),
           countDistinct(col("source")).as("n_sources"))
           .orderBy("lang"),
       Some("""SELECT lang, COUNT(*) AS n_docs,
-             |  ROUND(CAST(SUM(n_chars) AS DOUBLE)/COUNT(*),2) AS avg_chars,
+             |  CAST((CAST(SUM(n_chars) AS BIGINT) * 100) // COUNT(*) AS DOUBLE)/100 AS avg_chars,
              |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_len,
              |  COUNT(DISTINCT source) AS n_sources
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),

@@ -42,12 +42,21 @@ object Relational {
             round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
             round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
               (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
-            // avg via round(sum)/count: the inner round lands both engines on
-            // the identical double (data is 2-decimal-granular, float noise
-            // ~1e-10), so the outer round sees the same input either side
-            round(round(sum("l_quantity"), 2) / count(lit(1)), 4).as("avg_qty"),
-            round(round(sum("l_discount"), 2) / count(lit(1)), 4).as("avg_disc"),
+            sum("l_quantity").as("sq"),
+            sum("l_discount").as("sd"),
             count(lit(1)).as("count_order"))
+          // avg via exact integer floor-division in e4 units: ROUND(q/n, 4)
+          // is tie-UNSTABLE cross-engine when the true quotient ends exactly
+          // in .00005 (Spark rounds the shortest decimal string HALF_UP,
+          // DuckDB rounds the binary value) — found on sibling queries at
+          // sf0.1; integer div cannot tie
+          .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+            col("sum_base_price"), col("sum_disc_price"), col("sum_charge"),
+            (expr("CAST(ROUND(sq*100) AS BIGINT) * 100 div count_order")
+              .cast("double") / 10000.0).as("avg_qty"),
+            (expr("CAST(ROUND(sd*100) AS BIGINT) * 100 div count_order")
+              .cast("double") / 10000.0).as("avg_disc"),
+            col("count_order"))
           .orderBy("l_returnflag", "l_linestatus")
       },
       Some("""SELECT l_returnflag, l_linestatus,
@@ -55,8 +64,8 @@ object Relational {
              |  ROUND(SUM(l_extendedprice),2) AS sum_base_price,
              |  ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
              |  ROUND(SUM(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
-             |  ROUND(ROUND(SUM(l_quantity),2)/COUNT(*),4) AS avg_qty,
-             |  ROUND(ROUND(SUM(l_discount),2)/COUNT(*),4) AS avg_disc,
+             |  CAST((CAST(ROUND(SUM(l_quantity)*100) AS BIGINT) * 100) // COUNT(*) AS DOUBLE)/10000 AS avg_qty,
+             |  CAST((CAST(ROUND(SUM(l_discount)*100) AS BIGINT) * 100) // COUNT(*) AS DOUBLE)/10000 AS avg_disc,
              |  COUNT(*) AS count_order
              |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-01-01 00:00:00'
              |GROUP BY l_returnflag, l_linestatus
@@ -429,13 +438,17 @@ object Relational {
           round(var_samp(col("o_totalprice")), 2).as("var_price"),
           round(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000000)), 2)
             .as("approx_median"),
-          round(median(col("o_totalprice")), 2).as("med_price"))
+          // median in exact mills: even-count medians are (a+b)/2 of
+          // 2-decimal values -> can end exactly in .005, where ROUND(x,2)
+          // tie-breaks differently per engine; *1000 is integer-valued
+          // (within 1e-9) so ROUND-to-integer cannot tie
+          round(median(col("o_totalprice")) * 1000).cast("long").as("med_mills"))
           .drop("approx_median") // approx twin computed for parity, not compared
           .orderBy("o_orderpriority"),
       Some("""SELECT o_orderpriority, COUNT(*) AS n,
              |  ROUND(STDDEV_SAMP(o_totalprice),2) AS sd_price,
              |  ROUND(VAR_SAMP(o_totalprice),2) AS var_price,
-             |  ROUND(MEDIAN(o_totalprice),2) AS med_price
+             |  CAST(ROUND(MEDIAN(o_totalprice)*1000) AS BIGINT) AS med_mills
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
     // ---- W1 extension: ntile quartiles over a total (tie-broken) order
