@@ -473,24 +473,26 @@ object Llm {
     Q("x4_doc_features",
       (s, dir) => {
         val toks = TF.tokens(col("text"))
+        // ratios in exact e4 units (integer floor-division) — see x4_quality
         docs(s, dir).select(
           col("doc_id"),
           length(col("text")).cast("long").as("text_len"),
           size(toks).cast("long").as("n_words"),
           size(array_distinct(toks)).cast("long").as("n_distinct_words"),
-          round(size(array_distinct(toks)).cast("double") / size(toks).cast("double"), 4)
-            .as("ttr"),
-          round((length(col("text")) - (size(toks) - 1)).cast("double") /
-            size(toks).cast("double"), 4).as("avg_word_len"))
+          (size(array_distinct(toks)).cast("long") * 10000 / size(toks).cast("long"))
+            .cast("long").cast("double").divide(10000.0).as("ttr"),
+          ((length(col("text")) - (size(toks) - 1)).cast("long") * 10000 /
+            size(toks).cast("long")).cast("long").cast("double").divide(10000.0)
+            .as("avg_word_len"))
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id, LENGTH(text) AS text_len,
              |  len(string_split(text,' ')) AS n_words,
              |  len(list_distinct(string_split(text,' '))) AS n_distinct_words,
-             |  ROUND(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
-             |        / len(string_split(text,' ')), 4) AS ttr,
-             |  ROUND(CAST(LENGTH(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
-             |        / len(string_split(text,' ')), 4) AS avg_word_len
+             |  CAST((CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) * 10000)
+             |    // len(string_split(text,' ')) AS DOUBLE)/10000 AS ttr,
+             |  CAST((CAST(LENGTH(text) - (len(string_split(text,' ')) - 1) AS BIGINT) * 10000)
+             |    // len(string_split(text,' ')) AS DOUBLE)/10000 AS avg_word_len
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ---- X4 token counting, BPE-ish: greedy <=4-char alnum chunks via regex
@@ -559,25 +561,32 @@ object Llm {
         val toks = TF.tokens(col("text"))
         val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
         val nStop = size(filter(toks, x => x.isin(stop: _*)))
+        // ratios in exact e4 units via integer floor-division — ROUND of an
+        // integer/integer quotient is tie-unstable cross-engine whenever the
+        // denominator is of the form 2^a*5^b but not a power of two (e.g. a
+        // 160-char doc makes punct_ratio k/160 end exactly in ...5)
+        def ratioE4(num: Column, den: Column): Column =
+          (num.cast("long") * 10000 / den.cast("long")).cast("long")
+            .cast("double") / 10000.0
+        val nPunct = length(col("text")) -
+          length(regexp_replace(col("text"), lit("[.,;:!?]"), lit("")))
+        val nNonSpace = length(regexp_replace(col("text"), lit(" "), lit("")))
         docs(s, dir).select(
           col("doc_id"),
-          round(nStop.cast("double") / size(toks), 4).as("stopword_ratio"),
-          round((length(col("text")) -
-            length(regexp_replace(col("text"), lit("[.,;:!?]"), lit("")))).cast("double") /
-            length(col("text")), 4).as("punct_ratio"),
-          round((length(regexp_replace(col("text"), lit(" "), lit(""))))
-            .cast("double") / size(toks), 4).as("mean_word_len"),
+          ratioE4(nStop, size(toks)).as("stopword_ratio"),
+          ratioE4(nPunct, length(col("text"))).as("punct_ratio"),
+          ratioE4(nNonSpace, size(toks)).as("mean_word_len"),
           (size(toks) >= 5 && nStop >= 1).as("passes_quality"))
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
-             |  ROUND(CAST(len(list_filter(string_split(text,' '),
-             |    x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
-             |    / len(string_split(text,' ')), 4) AS stopword_ratio,
-             |  ROUND(CAST(LENGTH(text) - LENGTH(regexp_replace(text,'[.,;:!?]','','g')) AS DOUBLE)
-             |    / LENGTH(text), 4) AS punct_ratio,
-             |  ROUND(CAST(LENGTH(regexp_replace(text,' ','','g')) AS DOUBLE)
-             |    / len(string_split(text,' ')), 4) AS mean_word_len,
+             |  CAST((CAST(len(list_filter(string_split(text,' '),
+             |    x -> x IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) * 10000)
+             |    // len(string_split(text,' ')) AS DOUBLE)/10000 AS stopword_ratio,
+             |  CAST((CAST(LENGTH(text) - LENGTH(regexp_replace(text,'[.,;:!?]','','g')) AS BIGINT)
+             |    * 10000) // LENGTH(text) AS DOUBLE)/10000 AS punct_ratio,
+             |  CAST((CAST(LENGTH(regexp_replace(text,' ','','g')) AS BIGINT) * 10000)
+             |    // len(string_split(text,' ')) AS DOUBLE)/10000 AS mean_word_len,
              |  len(string_split(text,' ')) >= 5 AND
              |    len(list_filter(string_split(text,' '),
              |      x -> x IN ('the','a','of','and','to','in','is','it'))) >= 1 AS passes_quality

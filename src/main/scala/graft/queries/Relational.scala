@@ -549,25 +549,36 @@ object Relational {
              |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
              |ORDER BY o_orderkey""".stripMargin)),
 
-    // ---- W-family: percent_rank / cume_dist — ratios of rank integers over
-    // a tie-broken order, so cross-engine floats agree exactly (same
-    // numerator/denominator integers, same IEEE divide)
+    // ---- W-family: percent_rank / cume_dist semantics, emitted in exact e6
+    // units from rank/count integers (ROUND of the rank ratio is
+    // tie-unstable cross-engine when a partition has e.g. 641 rows:
+    // k/640 ends exactly in ...5 at the 7th decimal)
     Q("q_pct_rank",
       (s, dir) => {
         val w = Window.partitionBy("o_orderpriority")
           .orderBy(col("o_totalprice"), col("o_orderkey"))
-        t(s, dir, "orders").select(
-          col("o_orderkey"),
-          col("o_orderpriority"),
-          round(percent_rank().over(w), 6).as("pr"),
-          round(cume_dist().over(w), 6).as("cd"))
+        val wn = Window.partitionBy("o_orderpriority")
+        t(s, dir, "orders")
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(wn))
+          .select(
+            col("o_orderkey"),
+            col("o_orderpriority"),
+            when(col("n") > 1,
+              ((col("rk") - 1) * 1000000 / (col("n") - 1)).cast("long"))
+              .otherwise(0L).cast("double").divide(1000000.0).as("pr"),
+            (col("rk") * 1000000 / col("n")).cast("long")
+              .cast("double").divide(1000000.0).as("cd"))
           .orderBy("o_orderkey")
       },
       Some("""SELECT o_orderkey, o_orderpriority,
-             |  ROUND(PERCENT_RANK() OVER w, 6) AS pr,
-             |  ROUND(CUME_DIST() OVER w, 6) AS cd
-             |FROM orders
-             |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+             |  CAST(CASE WHEN n > 1 THEN ((rk-1)*1000000) // (n-1) ELSE 0 END AS DOUBLE)/1000000 AS pr,
+             |  CAST((rk*1000000) // n AS DOUBLE)/1000000 AS cd
+             |FROM (SELECT o_orderkey, o_orderpriority,
+             |        ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+             |          ORDER BY o_totalprice, o_orderkey) AS rk,
+             |        COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+             |      FROM orders)
              |ORDER BY o_orderkey""".stripMargin)),
 
     // ---- F2: date arithmetic (day diff, day/month add, truncation)
