@@ -22,14 +22,14 @@ import scala.util.Random
 object Generator {
 
   /** Weighted choice via cumulative CDF walk (iot-data-stream.py:182). */
-  private def weightedChoice(rng: Random, weighted: Seq[(String, Double)]): String = {
+  private[gen] def weightedChoice(rng: Random, weighted: Seq[(String, Double)]): String = {
     val x = rng.nextDouble()
     var acc = 0.0
     for ((v, w) <- weighted) { acc += w; if (x < acc) return v }
     weighted.last._1
   }
 
-  private def roundTo(v: Double, p: Int): Double = {
+  private[gen] def roundTo(v: Double, p: Int): Double = {
     val m = math.pow(10, p.toDouble)
     math.round(v * m) / m
   }
