@@ -212,6 +212,41 @@ object Llm {
              |    / (len(a.bg)+len(x.bg)-len(list_intersect(a.bg,x.bg))) >= 0.7
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // ---- X1/X2 dedup clustering: near-dup pairs -> connected components ->
+    // every doc labeled with its cluster representative (min reachable id).
+    // This is the step that turns pair lists into dedup DECISIONS (keep the
+    // representative, drop the rest). Oracle: recursive-CTE reachability.
+    Q("x1_dedup_clusters",
+      (s, dir) => {
+        val tok = docs(s, dir)
+          .select(col("doc_id"), explode(TF.tokenSet(col("text"))).as("w"))
+        val pairs = jaccardPairs(s, tok, 0.9)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        val vertices = docs(s, dir).select(col("doc_id").as("id"))
+        graft.operators.ConnectedComponents(vertices, pairs)
+          .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE
+             |tok AS (SELECT doc_id, UNNEST(list_distinct(string_split(text,' '))) AS w
+             |        FROM documents),
+             |cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+             |          FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2),
+             |pairs AS (SELECT doc_a, doc_b FROM inter
+             |          JOIN cnt ca ON ca.doc_id = doc_a
+             |          JOIN cnt cb ON cb.doc_id = doc_b
+             |          WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= 0.9),
+             |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+             |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+             |reach(a, b) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT reach.a, e.b FROM reach JOIN edges e ON reach.b = e.a)
+             |SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach
+             |GROUP BY a ORDER BY doc_id""".stripMargin)),
+
     // ---- X2 MinHash + LSH near-dup (the scale path: candidates via band
     // buckets instead of all pairs; candidates then verified with exact
     // 3-shingle Jaccard). Hash-function-dependent -> rows-only check; recall

@@ -69,6 +69,17 @@ class OperatorsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(r == Seq(("g1", 1L, 9), ("g1", 2L, 5), ("g2", 1L, 2), ("g2", 2L, 1)))
   }
 
+  test("ConnectedComponents labels chains, cliques, and singletons correctly") {
+    val vertices = (1L to 10L).toDF("id")
+    // chain 1-2-3-4, clique {6,7,8}, edge 9-10, singleton 5
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L), (7L, 8L),
+      (6L, 8L), (10L, 9L)).toDF("src", "dst")
+    val r = graft.operators.ConnectedComponents(vertices, edges)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(r == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L,
+      6L -> 6L, 7L -> 6L, 8L -> 6L, 9L -> 9L, 10L -> 9L))
+  }
+
   test("QualityMetrics.audit counts rows and nulls inside the existing job") {
     val df = Seq(("a", Some(1.0)), ("b", None), ("c", Some(3.0)), ("d", None))
       .toDF("k", "v")
