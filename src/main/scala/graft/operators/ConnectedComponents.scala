@@ -44,12 +44,14 @@ object ConnectedComponents {
         .join(labels, sym("src") === labels("id"))
         .groupBy(col("dst").as("id2"))
         .agg(min("component").as("nbr_min"))
+      // lazy checkpoint: the convergence-sum action below materializes it,
+      // so each iteration costs ONE job, not two
       labels = labels
         .join(neighborMin, labels("id") === col("id2"), "left_outer")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val newSum = labelSum(labels)
       converged = newSum == prevSum
       prevSum = newSum

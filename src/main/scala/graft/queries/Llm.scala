@@ -59,7 +59,12 @@ object Llm {
     else prefixJaccardPairs(tok, t)
   }
 
-  private def bitsetJaccardPairs(tok: DataFrame, t: Double, vocab: Int): DataFrame = {
+  /** Bitset core: distinct sets (mask, doc list, set id = min doc, size) and
+    * the QUALIFYING SET PAIRS (sa, sb, j) — shared by pair expansion and by
+    * set-level dedup clustering (which never needs doc-level edges).
+    */
+  private def bitsetSetsAndPairs(tok: DataFrame, t: Double,
+      vocab: Int): (DataFrame, DataFrame) = {
     val words = (vocab + 63) / 64
     // vocabulary index: single-partition window over <=4096 rows (at larger
     // scale the dispatcher has already chosen the prefix path)
@@ -90,6 +95,11 @@ object Llm {
       .withColumn("j", col("i").cast("double") /
         (col("na") + col("nb") - col("i")).cast("double"))
       .select("sa", "sb", "j")
+    (sets, pairs)
+  }
+
+  private def bitsetJaccardPairs(tok: DataFrame, t: Double, vocab: Int): DataFrame = {
+    val (sets, pairs) = bitsetSetsAndPairs(tok, t, vocab)
     pairs
       .join(sets.select(col("sid").as("sa"), col("ds").as("da")), "sa")
       .join(sets.select(col("sid").as("sb"), col("ds").as("db")), "sb")
@@ -218,14 +228,33 @@ object Llm {
     // representative, drop the rest). Oracle: recursive-CTE reachability.
     Q("x1_dedup_clusters",
       (s, dir) => {
+        graft.functions.NativeExpressions.register(s)
         val tok = docs(s, dir)
           .select(col("doc_id"), explode(TF.tokenSet(col("text"))).as("w"))
-        val pairs = jaccardPairs(s, tok, 0.9)
-          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        val vertices = docs(s, dir).select(col("doc_id").as("id"))
-        graft.operators.ConnectedComponents(vertices, pairs)
-          .select(col("id").as("doc_id"), col("component").as("cluster_id"))
-          .orderBy("doc_id")
+          .persist()
+        val vocabSize = tok.select("w").distinct().count()
+        if (vocabSize <= 4096) {
+          // set-level clustering: CC runs over DISTINCT SETS (~S nodes,
+          // qualifying set pairs as edges), not the quadratically larger
+          // doc-pair graph; docs inherit their set's component, and
+          // min-reachable-sid == min-reachable-doc-id since sid = min doc
+          // of its set
+          val (sets, pairs) = bitsetSetsAndPairs(tok, 0.9, vocabSize.toInt)
+          val comp = graft.operators.ConnectedComponents(
+            sets.select(col("sid").as("id")),
+            pairs.filter(col("sa") =!= col("sb"))
+              .select(col("sa").as("src"), col("sb").as("dst")))
+          sets.join(comp, sets("sid") === comp("id"))
+            .select(explode(col("ds")).as("doc_id"), col("component").as("cluster_id"))
+            .orderBy("doc_id")
+        } else {
+          val edges = prefixJaccardPairs(tok, 0.9)
+            .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          val vertices = tok.select(col("doc_id").as("id")).distinct()
+          graft.operators.ConnectedComponents(vertices, edges)
+            .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+            .orderBy("doc_id")
+        }
       },
       Some("""WITH RECURSIVE
              |tok AS (SELECT doc_id, UNNEST(list_distinct(string_split(text,' '))) AS w
