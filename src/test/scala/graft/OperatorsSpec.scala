@@ -74,10 +74,16 @@ class OperatorsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     // chain 1-2-3-4, clique {6,7,8}, edge 9-10, singleton 5
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L), (7L, 8L),
       (6L, 8L), (10L, 9L)).toDF("src", "dst")
+    val expect = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L,
+      6L -> 6L, 7L -> 6L, 8L -> 6L, 9L -> 9L, 10L -> 9L)
+    // adaptive entry point (driver union-find at this size)
     val r = graft.operators.ConnectedComponents(vertices, edges)
       .orderBy("id").as[(Long, Long)].collect().toSeq
-    assert(r == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L,
-      6L -> 6L, 7L -> 6L, 8L -> 6L, 9L -> 9L, 10L -> 9L))
+    assert(r == expect)
+    // distributed label-propagation path, called directly
+    val rd = graft.operators.ConnectedComponents.distributed(vertices, edges)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(rd == expect)
   }
 
   test("QualityMetrics.audit counts rows and nulls inside the existing job") {
