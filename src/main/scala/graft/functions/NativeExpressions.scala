@@ -202,6 +202,47 @@ case class MinHashSignature64(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** 64-bit SimHash over an `array<long>` of (distinct) token hashes: bit b of
+  * the signature is set iff strictly more inputs have bit b set than clear.
+  * One primitive pass per document — replaces the (doc, token, bit) explode
+  * formulation, whose 64× row inflation through the vote-count shuffle was
+  * the dominant cost (the explode shape shuffles tokens×64 rows per doc; this
+  * shuffles nothing beyond the tokenize).
+  *
+  * Bit-for-bit identical to the explode+sum(vote) formulation: vote sum
+  * `ones - zeros > 0` ⟺ `2*ones > n` (NativeKernelsSpec cross-checks).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData].toLongArray()
+    val ones = new Array[Int](64)
+    var i = 0
+    while (i < xs.length) {
+      val x = xs(i)
+      var b = 0
+      while (b < 64) {
+        ones(b) += ((x >>> b) & 1L).toInt
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (2 * ones(b) > xs.length) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 object NativeExpressions {
   /** Session-scoped registration of the native functions; idempotent.
     * Registered through the classic FunctionRegistry so call sites can use
@@ -227,5 +268,8 @@ object NativeExpressions {
     registry.createOrReplaceTempFunction(
       "graft_mask_isect",
       (args: Seq[Expression]) => BitmaskIntersectCount(args(0), args(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_simhash",
+      (args: Seq[Expression]) => SimHash64(args(0)), "built-in")
   }
 }

@@ -30,28 +30,34 @@ object AsOfJoin {
       key: String, leftTime: String, rightTime: String,
       rightVals: Seq[String]): DataFrame = {
     val lCols = left.columns
+    // The carried right columns travel as ONE struct filled by a single
+    // last(ignoreNulls) — filling each column independently would mix
+    // columns from different right rows whenever the latest right row holds
+    // a NULL in one of them (and would fill a genuinely-null latest value
+    // through from an older row).
+    val rvStructType = org.apache.spark.sql.types.StructType(
+      rightVals.map(v => right.schema(v).copy(name = v)))
     val l = left.select(
       col(key) +: col(leftTime).as("__t") +: lit(1).as("__tag") +:
         lCols.filterNot(c => c == key).map(col) ++:
-        rightVals.map(v => lit(null).cast(right.schema(v).dataType).as(s"__r_$v")): _*)
+        Seq(lit(null).cast(rvStructType).as("__rv")): _*)
     val r = right.select(
       col(key) +: col(rightTime).as("__t") +: lit(0).as("__tag") +:
         lCols.filterNot(c => c == key)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++:
-        rightVals.map(v => col(v).as(s"__r_$v")): _*)
+        Seq(struct(rightVals.map(v => col(v).as(v)): _*).as("__rv")): _*)
     // Tie-break: right rows sharing (key, time) would otherwise leave
-    // last() partition-order-dependent; ordering by the carried value
-    // columns makes "latest" deterministic (greatest value tuple wins).
+    // last() partition-order-dependent; ordering by the carried struct
+    // makes "latest" deterministic (greatest value tuple wins).
     val w = Window.partitionBy(key)
-      .orderBy(col("__t") +: col("__tag") +: rightVals.map(v => col(s"__r_$v")): _*)
+      .orderBy(col("__t"), col("__tag"), col("__rv"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = rightVals.foldLeft(l.unionByName(r)) { (df, v) =>
-      df.withColumn(s"__r_$v", last(col(s"__r_$v"), ignoreNulls = true).over(w))
-    }
+    val filled = l.unionByName(r)
+      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
     filled.filter(col("__tag") === 1)
       .select(
         col(key) +: col("__t").as(leftTime) +:
           lCols.filterNot(c => c == key || c == leftTime).map(col) ++:
-          rightVals.map(v => col(s"__r_$v").as(v)): _*)
+          rightVals.map(v => col("__rv").getField(v).as(v)): _*)
   }
 }

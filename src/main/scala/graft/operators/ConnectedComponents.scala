@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
   * cluster representative, the minimum id reachable through near-dup edges).
   *
   * Each iteration: every vertex takes the min of its own label and its
-  * neighbors' labels (one shuffle join + one aggregation); converges in
-  * O(component diameter) iterations — near-dup clusters are dense, so
-  * diameter is tiny. This is the simple form of the large-star/small-star
-  * algorithm (Kiveris et al., "Connected Components in MapReduce"); at
-  * 100 TB you'd add the star-contraction steps to cut iteration count on
-  * long chains, but the join shape per iteration is identical.
+  * neighbors' labels (one shuffle join + one aggregation), then a pointer
+  * SHORTCUT step (label := label of my label) halves the distance any label
+  * still has to travel — the path-doubling trick from the
+  * large-star/small-star family (Kiveris et al., "Connected Components in
+  * MapReduce"), so a chain of diameter d converges in O(log d) combined
+  * iterations instead of O(d). Near-dup clusters are dense (tiny diameter),
+  * but the log bound is what makes the operator safe on adversarial
+  * long-chain graphs at 100 TB.
   *
   * @param vertices single-column DataFrame of vertex ids (named `id`)
   * @param edges    two-column DataFrame (`src`, `dst`), undirected
@@ -31,11 +33,15 @@ object ConnectedComponents {
 
   def apply(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val spark = vertices.sparkSession
-    val edgeCount = edges.count()
+    // One materialization: count() and the follow-up consumer (collect or
+    // the distributed loop's symmetric closure) would otherwise both
+    // re-execute the upstream pair-mining join.
+    val edgesM = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint(true)
+    val edgeCount = edgesM.count()
     if (edgeCount <= DriverThreshold) {
       import spark.implicits._
-      val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
-        .as[(Long, Long)].collect()
+      val es = edgesM.as[(Long, Long)].collect()
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -54,11 +60,20 @@ object ConnectedComponents {
         .join(broadcast(mapping), vertices("id") === col("id2"), "left_outer")
         .select(col("id"), coalesce(col("comp"), col("id")).as("component"))
     }
-    distributed(vertices, edges, maxIter)
+    distributed(vertices, edgesM, maxIter)
   }
 
   private[graft] def distributed(vertices: DataFrame, edges: DataFrame,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20): DataFrame =
+    distributedWithStats(vertices, edges, maxIter)._1
+
+  /** Distributed loop, also returning the number of iterations it took to
+    * converge (OperatorsSpec pins the O(log d) bound on a path graph).
+    * Throws if `maxIter` is exhausted before convergence — a silent exit
+    * would hand back incorrect (unconverged) component labels.
+    */
+  private[graft] def distributedWithStats(vertices: DataFrame, edges: DataFrame,
+      maxIter: Int = 20): (DataFrame, Int) = {
     // symmetric closure materialized once (localCheckpoint also cuts the
     // upstream pair-mining plan out of every iteration's lineage)
     val sym = edges.select(col("src"), col("dst"))
@@ -82,19 +97,34 @@ object ConnectedComponents {
         .join(labels, sym("src") === labels("id"))
         .groupBy(col("dst").as("id2"))
         .agg(min("component").as("nbr_min"))
-      // lazy checkpoint: the convergence-sum action below materializes it,
-      // so each iteration costs ONE job, not two
-      labels = labels
+      val propagated = labels
         .join(neighborMin, labels("id") === col("id2"), "left_outer")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
+      // pointer shortcut (path doubling): component := component's component.
+      // After the neighbor-min step every label points some hops toward the
+      // component minimum; composing the mapping with itself halves the
+      // remaining hop count, giving O(log d) total iterations on chains.
+      val target = propagated
+        .select(col("id").as("t_id"), col("component").as("t_comp"))
+      // lazy checkpoint: the convergence-sum action below materializes it,
+      // so each iteration costs ONE job, not two
+      labels = propagated
+        .join(target, propagated("component") === col("t_id"), "left_outer")
+        .select(col("id"),
+          coalesce(col("t_comp"), col("component")).as("component"))
         .localCheckpoint(false)
       val newSum = labelSum(labels)
       converged = newSum == prevSum
       prevSum = newSum
       i += 1
     }
-    labels
+    if (!converged)
+      throw new IllegalStateException(
+        s"ConnectedComponents did not converge within $maxIter iterations — " +
+          "raise maxIter (labels would be silently wrong for components of " +
+          "diameter > 2^maxIter)")
+    (labels, i)
   }
 }

@@ -203,9 +203,14 @@ object Llm {
     Q("x2_jaccard_bigram",
       (s, dir) => {
         val toks = TF.tokens(col("text"))
-        val bigrams = array_distinct(transform(
-          sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", slice(toks, i, lit(2)))))
+        // guard: a 1-token doc would make sequence(1, 0) step -1 -> [1, 0],
+        // and slice(toks, 0, 2) throws under ANSI; emit no bigrams instead
+        // (matches the oracle's range(1, 1) = empty list)
+        val bigrams = when(size(toks) >= 2,
+          array_distinct(transform(
+            sequence(lit(1), size(toks) - 1),
+            i => concat_ws(" ", slice(toks, i, lit(2))))))
+          .otherwise(array().cast("array<string>"))
         val tok = docs(s, dir).select(col("doc_id"), explode(bigrams).as("w"))
         jaccardPairs(s, tok, 0.7)
       },
@@ -327,23 +332,18 @@ object Llm {
       None),
 
     // ---- X2 SimHash fingerprints: 64-bit, from distinct-token xxhash64 bit
-    // votes. Fully distributed: (doc, bit) vote rows -> sum -> bit assembly.
+    // votes, computed in ONE native pass per document (graft_simhash). The
+    // explode formulation ((doc, token, 64 bits) vote rows -> groupBy shuffle)
+    // inflates rows 64× through the shuffle; the native kernel shuffles
+    // nothing beyond the final sort and is bit-identical (NativeKernelsSpec
+    // cross-checks it against the explode+sum(vote) form).
     Q("x2_simhash",
       (s, dir) => {
-        val tok = docs(s, dir).select(col("doc_id"),
-          explode(TF.tokenSet(col("text"))).as("w"))
-          .withColumn("h", xxhash64(col("w")))
-        val votes = tok
-          .select(col("doc_id"), col("h"),
-            explode(sequence(lit(0), lit(63))).as("bit"))
-          .withColumn("vote", TF.bitVote(col("h"), col("bit")))
-        votes.groupBy("doc_id", "bit")
-          .agg(sum("vote").as("v"))
-          .withColumn("contrib",
-            when(col("v") > 0,
-              call_function("shiftleft", lit(1L), col("bit"))).otherwise(lit(0L)))
-          .groupBy("doc_id")
-          .agg(sum("contrib").as("simhash"))
+        graft.functions.NativeExpressions.register(s)
+        docs(s, dir).select(
+          col("doc_id"),
+          call_function("graft_simhash",
+            transform(TF.tokenSet(col("text")), w => xxhash64(w))).as("simhash"))
           .orderBy("doc_id")
       },
       None),

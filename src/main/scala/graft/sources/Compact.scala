@@ -21,11 +21,7 @@ object Compact {
     val df = spark.read.parquet(path)
     val tmp = path + ".compact"
     df.coalesce(files).write.mode(SaveMode.Overwrite).parquet(tmp)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    rm(new java.io.File(path))
-    new java.io.File(tmp).renameTo(new java.io.File(path))
+    FileSwap.replace(new java.io.File(path), new java.io.File(tmp))
     files
   }
 }

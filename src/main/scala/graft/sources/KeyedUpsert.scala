@@ -32,13 +32,6 @@ object KeyedUpsert {
     // in-place would delete its own input mid-scan
     val tmp = path + ".tmp"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val target = new java.io.File(path)
-    if (target.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(target)
-    }
-    new java.io.File(tmp).renameTo(target)
+    FileSwap.replace(new java.io.File(path), new java.io.File(tmp))
   }
 }

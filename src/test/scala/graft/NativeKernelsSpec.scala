@@ -103,6 +103,30 @@ class NativeKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_simhash is bit-identical to the explode+vote formulation") {
+    val rng = new Random(19)
+    val docs = (1L to 40L).map { i =>
+      (i, List.fill(1 + rng.nextInt(60))(s"w${rng.nextInt(300)}").distinct.mkString(" "))
+    }.toDF("doc_id", "text")
+    val hashed = docs.select(col("doc_id"),
+      transform(array_distinct(split(col("text"), " ")), w => xxhash64(w)).as("hs"))
+    // reference: the r01 (doc, token, bit) explode + vote-sum formulation
+    val votes = hashed
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(63))).as("bit"))
+      .withColumn("vote", graft.functions.TextFunctions.bitVote(col("h"), col("bit")))
+    val explodeForm = votes.groupBy("doc_id", "bit").agg(sum("vote").as("v"))
+      .withColumn("contrib", when(col("v") > 0,
+        call_function("shiftleft", lit(1L), col("bit"))).otherwise(lit(0L)))
+      .groupBy("doc_id").agg(sum("contrib").as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = hashed
+      .select(col("doc_id"), call_function("graft_simhash", col("hs")).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == explodeForm)
+  }
+
   test("bitset and naive all-pairs Jaccard agree on a ~120-word vocabulary") {
     val docs = (1L to 60L).map { i =>
       val words = (0 until 20).map(k => s"w${(i * 7 + k * 3) % 120}").distinct

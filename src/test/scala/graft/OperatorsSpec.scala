@@ -86,6 +86,48 @@ class OperatorsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(rd == expect)
   }
 
+  test("AsOfJoin attaches the whole right row atomically when carried columns hold nulls") {
+    // latest quote has px but NULL sz: the output must carry (12.0, null) —
+    // per-column filling would mix px from t=5 with sz from t=1
+    val quotes = Seq(
+      ("a", 1L, Some(10.0), Some(100)), ("a", 5L, Some(12.0), Option.empty[Int])
+    ).toDF("sym", "t", "px", "sz")
+    val trades = Seq(("a", 7L, 1)).toDF("sym", "t", "qty")
+    val r = AsOfJoin(trades, quotes, "sym", "t", "t", Seq("px", "sz"))
+      .select("px", "sz").collect().head
+    assert(r.getDouble(0) == 12.0)
+    assert(r.isNullAt(1), s"expected null sz from the latest right row, got ${r.get(1)}")
+  }
+
+  test("ConnectedComponents path graph converges in O(log n) iterations (shortcutting)") {
+    val n = 64
+    val vertices = (1L to n.toLong).toDF("id")
+    val edges = (1L until n.toLong).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labels, iters) = graft.operators.ConnectedComponents
+      .distributedWithStats(vertices, edges)
+    assert(labels.select("component").distinct().count() == 1L)
+    val bound = (math.log(n.toDouble) / math.log(2.0)).ceil.toInt + 2
+    assert(iters <= bound, s"path-$n took $iters iterations, bound $bound")
+  }
+
+  test("ConnectedComponents.distributed throws instead of returning unconverged labels") {
+    val vertices = (1L to 20L).toDF("id")
+    val edges = (1L until 20L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      graft.operators.ConnectedComponents.distributed(vertices, edges, maxIter = 1)
+    }
+  }
+
+  test("QualityMetrics.audit populates metrics for a WRITE action (Observation)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_qm").toString
+    val df = Seq(("a", Some(1.0)), ("b", None), ("c", Some(3.0)))
+      .toDF("k", "v")
+    val (audited, get) = graft.operators.QualityMetrics.audit(df, "wr", Seq("v"))
+    audited.write.mode("overwrite").parquet(s"$dir/out")
+    val m = get()
+    assert(m("rows") == 3L && m("nulls_v") == 1L, s"got $m")
+  }
+
   test("QualityMetrics.audit counts rows and nulls inside the existing job") {
     val df = Seq(("a", Some(1.0)), ("b", None), ("c", Some(3.0)), ("d", None))
       .toDF("k", "v")
