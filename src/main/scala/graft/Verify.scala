@@ -37,6 +37,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // release every frame the queries persisted (Dashboard memo, dedup
+    // token/set frames, IVF assignments) — cached partitions must not
+    // outlive the run
+    graft.queries.Dashboard.clearCache(spark)
+    spark.catalog.clearCache()
     spark.stop()
   }
 }

@@ -16,8 +16,14 @@ import scala.util.Random
   * across devices and the per-device sequential drift state (the one
   * genuinely stateful computation in the reference) stays local to a task —
   * no shuffle, no driver loop. 1e6 devices x 1e3 ticks distributes evenly.
-  * Determinism: every device's RNG is seeded with (seed, deviceIndex), so the
-  * output is identical regardless of partitioning or cluster size.
+  *
+  * Determinism: the device PROFILE (id, location, sensor subset, initial
+  * values) is a pure function of (seed, deviceIndex), and every tick draws
+  * from a Random seeded by splitmix64(seed, deviceIndex, tick) — so output
+  * is identical at any partitioning AND the per-tick step can be replayed
+  * incrementally by the STREAMING twin (streaming.Streams.generatorStream),
+  * which carries only the sensor-value map as keyed state and produces
+  * bit-identical readings (StreamingSpec pins stream == batch).
   */
 object Generator {
 
@@ -34,12 +40,28 @@ object Generator {
     math.round(v * m) / m
   }
 
-  /** Generate the full timeline of one device. Mirrors generate_reading
-    * (iot-data-stream.py:139-209) tick by tick.
+  /** splitmix64 finalizer (Steele et al., public domain): full-avalanche
+    * mixing so per-tick Random seeds are uncorrelated (java.util.Random's
+    * own scrambler is too weak for sequential seeds).
     */
-  private[gen] def deviceTimeline(
-      deviceIdx: Long, ticks: Int, seed: Long, t0Millis: Long,
-      tickMillis: Long): Iterator[Reading] = {
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def tickRng(seed: Long, deviceIdx: Long, tick: Long): Random =
+    new Random(mix(seed * 0x9E3779B97F4A7C15L + deviceIdx * 0xBF58476D1CE4E5B9L + tick))
+
+  /** Static per-device identity + the initial sensor values — pure in
+    * (seed, deviceIdx), so batch and streaming twins derive the same device.
+    */
+  final case class DeviceProfile(
+      deviceId: String, loc: Location, sensors: Seq[SensorConfig],
+      initialValues: Map[String, Double])
+
+  private[graft] def deviceProfile(deviceIdx: Long, seed: Long): DeviceProfile = {
     val rng = new Random(seed * 1000003L + deviceIdx)
     // "device_" + 8 hex chars (iot-data-stream.py:227)
     val deviceId = f"device_${rng.nextLong() & 0xFFFFFFFFL}%08x"
@@ -48,40 +70,65 @@ object Generator {
     val nSensors = 4 + rng.nextInt(3)
     val mySensors = rng.shuffle(sensorConfigs).take(nSensors).sortBy(_.name)
     // initial values uniform in range (iot-data-stream.py:128-137)
-    val state = scala.collection.mutable.Map[String, Double]()
-    mySensors.foreach { sc =>
-      state(sc.name) = roundTo(sc.min + rng.nextDouble() * (sc.max - sc.min), sc.precision)
+    val init = mySensors.map { sc =>
+      sc.name -> roundTo(sc.min + rng.nextDouble() * (sc.max - sc.min), sc.precision)
+    }.toMap
+    DeviceProfile(deviceId, loc, mySensors, init)
+  }
+
+  /** One generation cycle (generate_reading, iot-data-stream.py:139-209):
+    * given the carried sensor values, emit the new values and the reading
+    * (None on the 2% non-reporting cycles). Shared verbatim by the batch
+    * timeline and the streaming stateful twin.
+    */
+  private[graft] def tickStep(
+      profile: DeviceProfile, values: Map[String, Double],
+      deviceIdx: Long, tick: Long, seed: Long,
+      tsMillis: Long): (Map[String, Double], Option[Reading]) = {
+    val rng = tickRng(seed, deviceIdx, tick)
+    // 98% per-cycle report probability (iot-data-stream.py:254)
+    if (rng.nextDouble() >= reportProbability) (values, None)
+    else {
+      var next = values
+      val readings = profile.sensors.map { sc =>
+        val prev = next(sc.name)
+        val next0 =
+          if (rng.nextDouble() < anomalyProbability) {
+            // anomaly: 50/50 pin to max / min (iot-data-stream.py:185-193)
+            if (rng.nextBoolean()) sc.max else sc.min
+          } else if (sc.monotoneDecay) {
+            prev - rng.nextDouble() * sc.driftFactor // battery only decays
+          } else {
+            prev + (rng.nextDouble() * 2 - 1) * sc.driftFactor
+          }
+        val v = roundTo(math.max(sc.min, math.min(next0, sc.max)), sc.precision)
+        next = next.updated(sc.name, v)
+        sc.name -> SensorValue(v, sc.unit)
+      }.toMap
+      val jLat = profile.loc.lat + (rng.nextDouble() * 2 - 1) * 0.0001
+      val jLon = profile.loc.lon + (rng.nextDouble() * 2 - 1) * 0.0001
+      (next, Some(Reading(
+        device_id = profile.deviceId,
+        timestamp = new java.sql.Timestamp(tsMillis),
+        location_id = profile.loc.id,
+        location_name = profile.loc.name,
+        coordinates = Coordinates(roundTo(jLat, 6), roundTo(jLon, 6)),
+        readings = readings,
+        status = weightedChoice(rng, statuses))))
     }
+  }
+
+  /** Generate the full timeline of one device, tick by tick. */
+  private[gen] def deviceTimeline(
+      deviceIdx: Long, ticks: Int, seed: Long, t0Millis: Long,
+      tickMillis: Long): Iterator[Reading] = {
+    val profile = deviceProfile(deviceIdx, seed)
+    var values = profile.initialValues
     (0 until ticks).iterator.flatMap { t =>
-      // 98% per-cycle report probability (iot-data-stream.py:254)
-      if (rng.nextDouble() >= reportProbability) None
-      else {
-        val readings = mySensors.map { sc =>
-          val prev = state(sc.name)
-          val next0 =
-            if (rng.nextDouble() < anomalyProbability) {
-              // anomaly: 50/50 pin to max / min (iot-data-stream.py:185-193)
-              if (rng.nextBoolean()) sc.max else sc.min
-            } else if (sc.monotoneDecay) {
-              prev - rng.nextDouble() * sc.driftFactor // battery only decays
-            } else {
-              prev + (rng.nextDouble() * 2 - 1) * sc.driftFactor
-            }
-          val next = roundTo(math.max(sc.min, math.min(next0, sc.max)), sc.precision)
-          state(sc.name) = next
-          sc.name -> SensorValue(next, sc.unit)
-        }.toMap
-        val jLat = loc.lat + (rng.nextDouble() * 2 - 1) * 0.0001
-        val jLon = loc.lon + (rng.nextDouble() * 2 - 1) * 0.0001
-        Some(Reading(
-          device_id = deviceId,
-          timestamp = new java.sql.Timestamp(t0Millis + t * tickMillis),
-          location_id = loc.id,
-          location_name = loc.name,
-          coordinates = Coordinates(roundTo(jLat, 6), roundTo(jLon, 6)),
-          readings = readings,
-          status = weightedChoice(rng, statuses)))
-      }
+      val (nv, reading) = tickStep(profile, values, deviceIdx, t.toLong, seed,
+        t0Millis + t * tickMillis)
+      values = nv
+      reading
     }
   }
 

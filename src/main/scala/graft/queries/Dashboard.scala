@@ -33,6 +33,13 @@ object Dashboard {
     df
   }
 
+  /** Release the memoized frame — drivers (Verify/Bench/DashboardMain) call
+    * this when done so the cached 6k-row frame doesn't outlive its queries.
+    */
+  def clearCache(s: SparkSession): Unit = cache.synchronized {
+    Option(cache.remove(s)).foreach(_.unpersist())
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- P1/P2 nested extraction + P7 ts + O1 global sort (dashboard load,

@@ -375,45 +375,31 @@ object Llm {
              |                             CAST(b.embedding AS DOUBLE[])) >= 0.35
              |ORDER BY id_a, id_b""".stripMargin)),
 
-    // ---- X5 near-dup at scale: IVF-style cell pairing. Hyperplane LSH prunes
-    // poorly at the 0.35 threshold (bit-agreement prob ~0.61 forces either
-    // giant buckets or low recall), so the scale path quantizes into per-label
-    // centroid cells, multi-assigns each vector to its 2 nearest cells, and
-    // pairs only within cells — ~2n^2/L work vs n^2/2, recall measured in
-    // LlmSpec against the exact twin. Approximate -> rows-only check.
+    // ---- X5 near-dup at scale: IVF cell-pair search with DATA-DRIVEN cells
+    // (k ∝ √n — the cell count grows with the data, unlike the r01 per-label
+    // cells whose fixed count left Θ(n²/L) within-cell work at 100×) and
+    // EXACT triangle-inequality pruning: a cell pair is scanned only if
+    // cos(θ(ca,cb) − ra − rb) could still reach the 0.35 threshold. Exact by
+    // construction → the oracle is the same SQL as the brute twin. On
+    // clustered corpora (the realistic shape) most cell pairs prune away;
+    // on the driver's isotropic vectors it degrades to a distributed block
+    // scan and still answers exactly (OperatorsSpec pins both behaviors).
     Q("x5_neardup_ivf",
       (s, dir) => {
-        graft.functions.NativeExpressions.register(s)
-        val e = embs(s, dir).select(col("vec_id"), col("label"),
+        val e = embs(s, dir).select(col("vec_id"),
           VF.toDouble(col("embedding")).as("v"))
-          .withColumn("nrm", VF.l2Norm(col("v")))
-          .persist()
-        val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy("label", "pos").agg(avg("x").as("m"))
-          .groupBy("label").agg(array_sort(collect_list(struct(col("pos"), col("m"))))
-            .as("pm"))
-          .select(col("label").as("c_label"), expr("transform(pm, p -> p.m)").as("cv"))
-        val wc = Window.partitionBy("vec_id").orderBy(desc("cs"), asc("c_label"))
-        val probes = e.join(broadcast(cent), lit(true))
-          .withColumn("cs", VF.dotNative(col("v"), col("cv")) /
-            (col("nrm") * VF.l2Norm(col("cv"))))
-          .withColumn("crk", row_number().over(wc))
-          .filter(col("crk") <= 2)
-          .select(col("vec_id"), col("c_label"))
-        val cand = probes.as("a")
-          .join(probes.as("b"),
-            col("a.c_label") === col("b.c_label") && col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-          .dropDuplicates("id_a", "id_b")
-        cand
-          .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
-          .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
-          .withColumn("sim", VF.dotNative(col("va"), col("vb")) / (col("na") * col("nb")))
-          .filter(col("sim") >= 0.35)
+        val idx = graft.operators.IvfIndex.build(e)
+        graft.operators.IvfIndex.pairsExact(idx, 0.35)
           .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
           .orderBy("id_a", "id_b")
       },
-      None),
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |                               CAST(b.embedding AS DOUBLE[])), 4) AS sim
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |                             CAST(b.embedding AS DOUBLE[])) >= 0.35
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     // ---- X3 brute-force top-k cosine similarity search: every 50th vector is
     // a query; queries are broadcast against the full corpus; per-query top-k
@@ -447,45 +433,37 @@ object Llm {
              |  WHERE q.vec_id % 50 = 0)
              |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
 
-    // ---- X3 IVF-style ANN (scale path): coarse-quantize the corpus into
-    // per-label centroid cells (computed distributively), probe the 3 nearest
-    // cells per query, exact-search only inside probed cells. Approximate ->
-    // rows-only check; recall vs x3_knn_brute asserted in AnnSpec.
+    // ---- X3 IVF top-k search (scale path): data-driven cells (k ∝ √n, one
+    // Lloyd refinement), probe the 3 nearest cells to establish a per-query
+    // k-th-best bound, then triangle-inequality pruning decides which other
+    // cells can be skipped — EXACT top-k (recall 1.0 vs x3_knn_brute,
+    // asserted in LlmSpec), so the oracle is the brute-force SQL. Per-query
+    // work is O(√n·d) centroid scan + the surviving cells; on clustered data
+    // the bound prunes nearly everything (OperatorsSpec), on the driver's
+    // isotropic vectors it degrades to a distributed exact scan.
     Q("x3_knn_ivf",
       (s, dir) => {
-        graft.functions.NativeExpressions.register(s)
-        val e = embs(s, dir).select(col("vec_id"), col("label"),
+        val e = embs(s, dir).select(col("vec_id"),
           VF.toDouble(col("embedding")).as("v"))
-          .persist()
-        // centroids: element-wise mean per label, assembled back into arrays
-        val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy("label", "pos").agg(avg("x").as("m"))
-          .groupBy("label").agg(array_sort(collect_list(struct(col("pos"), col("m"))))
-            .as("pm"))
-          .select(col("label").as("c_label"), expr("transform(pm, p -> p.m)").as("cv"))
-        val q = e.filter(col("vec_id") % 50 === 0)
+        val idx = graft.operators.IvfIndex.build(e)
+        val q = idx.assigned.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("query_id"), col("v").as("qv"))
-        // probe: 3 closest centroids per query
-        val wc = Window.partitionBy("query_id").orderBy(desc("cs"), asc("c_label"))
-        val probes = q.join(broadcast(cent), lit(true))
-          .withColumn("cs", VF.dotNative(col("qv"), col("cv")) /
-            (VF.l2Norm(col("qv")) * VF.l2Norm(col("cv"))))
-          .withColumn("crk", row_number().over(wc))
-          .filter(col("crk") <= 3)
-          .select(col("query_id"), col("qv"), col("c_label"))
-        // exact search within probed cells only
-        val w = Window.partitionBy("query_id").orderBy(desc("s"), asc("neighbor_id"))
-        e.select(col("vec_id").as("neighbor_id"), col("label"), col("v").as("nv"))
-          .join(broadcast(probes),
-            col("label") === col("c_label") && col("neighbor_id") =!= col("query_id"))
-          .withColumn("s", VF.dotNative(col("qv"), col("nv")) /
-            (VF.l2Norm(col("qv")) * VF.l2Norm(col("nv"))))
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .filter(col("rk") <= 10)
-          .select(col("query_id"), col("rk"), col("neighbor_id"), round(col("s"), 4).as("sim"))
+        graft.operators.IvfIndex.knnExact(idx, q, k = 10, nprobe = 3)
+          .select(col("query_id"), col("rk"), col("neighbor_id"),
+            round(col("s"), 4).as("sim"))
           .orderBy("query_id", "rk")
       },
-      None),
+      Some("""SELECT query_id, rk, neighbor_id, ROUND(s, 4) AS sim FROM (
+             |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+             |                           CAST(n.embedding AS DOUBLE[])) AS s,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+             |                                      CAST(n.embedding AS DOUBLE[])) DESC,
+             |               n.vec_id) AS BIGINT) AS rk
+             |  FROM embeddings q JOIN embeddings n ON n.vec_id != q.vec_id
+             |  WHERE q.vec_id % 50 = 0)
+             |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
 
     // ---- A7: per-label centroid, flattened to (label, pos, value) rows so the
     // aggregation is fully distributed and the oracle is engine-neutral

@@ -451,14 +451,19 @@ object Relational {
              |  CAST(ROUND(MEDIAN(o_totalprice)*1000) AS BIGINT) AS med_mills
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
-    // ---- W1 extension: ntile quartiles over a total (tie-broken) order
+    // ---- W1 extension: ntile quartiles over a total (tie-broken) order.
+    // NOT ntile().over(Window.orderBy(...)) — that is a single-partition
+    // window (all orders through one reducer); RangedNtile computes the
+    // identical buckets via range-partitioned two-pass ranking.
     Q("q_ntile",
       (s, dir) => {
-        val w = Window.orderBy(desc("o_totalprice"), asc("o_orderkey"))
-        t(s, dir, "orders").select(
-          col("o_orderkey"),
-          round(col("o_totalprice"), 2).as("price"),
-          ntile(4).over(w).cast("long").as("quartile"))
+        graft.operators.RangedNtile(
+          t(s, dir, "orders"), tiles = 4,
+          orderCols = Seq(desc("o_totalprice"), asc("o_orderkey")),
+          out = "quartile")
+          .select(col("o_orderkey"),
+            round(col("o_totalprice"), 2).as("price"),
+            col("quartile"))
           .orderBy("o_orderkey")
       },
       Some("""SELECT o_orderkey, ROUND(o_totalprice,2) AS price,

@@ -20,8 +20,8 @@ object Streams {
 
   /** T1/S1: a self-describing synthetic reading stream from the rate source —
     * one logical device per `value % nDevices`, deterministic value columns.
-    * (The full stateful generator semantics live in Generator/driftAudit; the
-    * rate stream exists to exercise the streaming operators end-to-end.)
+    * (A light stand-in for exercising operators; `generatorStream` below is
+    * the FULL-FIDELITY streaming twin of the batch generator.)
     */
   def syntheticReadingStream(spark: SparkSession, nDevices: Int, rowsPerSecond: Int): DataFrame =
     spark.readStream.format("rate")
@@ -32,6 +32,58 @@ object Streams {
         col("timestamp"),
         (sin(col("value").cast("double")) * 10 + 20).as("temperature"),
         when(pmod(col("value"), lit(97)) === 0, "error").otherwise("operational").as("status"))
+
+  /** One generation cycle for one device, as a streaming input row. */
+  final case class GenTick(device_idx: Long, tick: Long)
+
+  /** S1 at full fidelity: the streaming twin of `Generator.readings`, with
+    * the reference generator's COMPLETE semantics — per-device 4-6 sensor
+    * subset, drift with clamp+round, monotone battery decay, 1% anomaly
+    * pins, weighted status, 98% reporting (iot-data-stream.py:139-209,
+    * 234-236, 254). Keyed state carries only the sensor-value map; the
+    * device profile is a pure function of (seed, device_idx) and every
+    * tick's draws are replayed from the shared `Generator.tickStep`, so the
+    * streamed output is BIT-IDENTICAL to the batch generator's
+    * (StreamingSpec pins stream == batch across micro-batches).
+    */
+  def generatorStream(ticks: Dataset[GenTick], seed: Long = 42L,
+      t0Millis: Long = 1704067200000L, tickMillis: Long = 1000L): Dataset[Reading] = {
+    import ticks.sparkSession.implicits._
+    ticks
+      .groupByKey(_.device_idx)
+      .flatMapGroupsWithState[Map[String, Double], Reading](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (deviceIdx: Long, rows: Iterator[GenTick], state: GroupState[Map[String, Double]]) =>
+          val profile = graft.gen.Generator.deviceProfile(deviceIdx, seed)
+          var values = state.getOption.getOrElse(profile.initialValues)
+          val out = Seq.newBuilder[Reading]
+          rows.toSeq.sortBy(_.tick).foreach { r =>
+            val (nv, reading) = graft.gen.Generator.tickStep(
+              profile, values, deviceIdx, r.tick, seed,
+              t0Millis + r.tick * tickMillis)
+            values = nv
+            reading.foreach(out += _)
+          }
+          state.update(values)
+          out.result().iterator
+      }
+  }
+
+  /** `generatorStream` driven by the rate source: one global cycle counter
+    * fans out round-robin to `nDevices` devices (`--devices`/`--frequency`,
+    * iot-data-stream.py:369-391).
+    */
+  def generatorRateStream(spark: SparkSession, nDevices: Int, rowsPerSecond: Int,
+      seed: Long = 42L): Dataset[Reading] = {
+    import spark.implicits._
+    val ticks = spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toLong)
+      .load()
+      .select((col("value") % nDevices).as("device_idx"),
+        (col("value") / nDevices).cast("long").as("tick"))
+      .as[GenTick]
+    generatorStream(ticks, seed)
+  }
 
   /** T5: watermark + exact-once dedup by (device_id, timestamp) — the Lambda
     * leg's idempotent upsert (README.md:2) as a streaming operator.
@@ -166,19 +218,34 @@ object Streams {
   def enriched(readings: DataFrame, locationDim: DataFrame): DataFrame =
     readings.join(broadcast(locationDim), Seq("location_id"), "left_outer")
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** S2/S7: keyed sink — foreachBatch writing parquet partitioned by
     * device_id (the Kinesis PartitionKey / DynamoDB key leg,
     * iot-data-stream.py:281, iot_dashboard.py:58). Exactly-once per batch via
     * overwrite-by-batch-directory.
+    *
+    * Every batch is audited IN the write job via QualityMetrics (Observation
+    * — no second scan): per-batch row and null counts are the relational
+    * form of the reference's failed-record logging per put_records call
+    * (iot-data-stream.py:289-292). `onBatchAudit` receives (batchId,
+    * metrics) after each batch commits; by default the metrics are logged.
     */
   def keyedParquetSink(readings: DataFrame, path: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String, auditCols: Seq[String] = Nil,
+      onBatchAudit: (Long, Map[String, Long]) => Unit = null)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     readings.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("overwrite")
+        val (audited, metrics) = graft.operators.QualityMetrics.audit(
+          batch, s"keyed_sink_b$batchId", auditCols)
+        audited.write.mode("overwrite")
           .partitionBy("device_id")
           .parquet(s"$path/batch_id=$batchId")
+        val m = metrics()
+        log.info(s"keyedParquetSink batch=$batchId metrics=$m")
+        if (onBatchAudit != null) onBatchAudit(batchId, m)
       }
       .start()
 }

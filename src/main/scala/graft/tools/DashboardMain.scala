@@ -57,6 +57,8 @@ object DashboardMain {
         .select("timestamp", "temperature_value", "humidity_value", "status")
         .orderBy("timestamp").show(20, truncate = false)
     }
+    df.unpersist()
+    graft.queries.Dashboard.clearCache(spark)
     spark.stop()
   }
 }

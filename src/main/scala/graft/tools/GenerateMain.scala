@@ -11,6 +11,10 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   *   runMain graft.tools.GenerateMain --devices 10 --ticks 60 \
   *     --format json --out /tmp/readings
   *
+  * `--format json-array` writes the reference's exact single-file
+  * pretty-printed JSON array (iot-data-stream.py:299-309); `json` is the
+  * distributed JSON-lines form.
+  *
   * `--format parquet` partitions by device_id — the Kinesis
   * `PartitionKey=device_id` analog (iot-data-stream.py:281). No `--out`
   * prints a sample to the console like the reference's batch logging
@@ -38,6 +42,14 @@ object GenerateMain {
 
     (format, out) match {
       case ("json", Some(p)) => readings.toDF().write.mode(SaveMode.Overwrite).json(p)
+      case ("json-array", Some(p)) =>
+        // the reference's exact file shape: ONE pretty-printed JSON array
+        // (iot-data-stream.py:299-309, json.dump(data, f, indent=2)). Like
+        // the reference, this accumulates the bounded CLI-sized run in driver
+        // memory — the distributed path is `--format json` (JSON-lines).
+        val rows = readings.toDF().toJSON.collect()
+        val body = rows.mkString("[\n  ", ",\n  ", "\n]")
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(p), body)
       case ("csv", Some(p)) =>
         flat.write.mode(SaveMode.Overwrite).option("header", "true").csv(p)
       case ("parquet", Some(p)) =>

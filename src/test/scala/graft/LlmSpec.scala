@@ -61,36 +61,41 @@ class LlmSpec extends AnyFunSuite {
     assert(near <= 16, s"near-dup hamming distance $near too large")
   }
 
-  test("x3_knn_ivf results are a subset of valid neighbors and overlap brute force") {
+  test("x3_knn_ivf is EXACT: identical to x3_knn_brute (recall 1.0)") {
+    // the pruned IVF search is exact by the triangle-inequality bound, so
+    // the full (query, rank, neighbor, sim) table must match brute force —
+    // this is recall 1.0, strictly stronger than the 0.95 target
     val brute = q("x3_knn_brute").collect()
-      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
-      .view.mapValues(_.map(_._2).toSet).toMap
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
     val ivf = q("x3_knn_ivf").collect()
-      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
-      .view.mapValues(_.map(_._2).toSet).toMap
-    assert(ivf.nonEmpty)
-    // the driver's embeddings are NOT clustered by label (checked: avg
-    // inter-pair cosine ~0 regardless of label), so label-cell IVF probing 3
-    // of 10 cells has expected recall ~0.3 on this data; assert the
-    // mechanism works (nonempty, k results, some overlap) not high recall
-    ivf.foreach { case (_, ns) => assert(ns.size == 10) }
-    val overlap = brute.keySet.intersect(ivf.keySet).toSeq.map { k =>
-      brute(k).intersect(ivf(k)).size
-    }.sum
-    assert(overlap > 0, "IVF found none of the true neighbors")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(brute.nonEmpty)
+    assert(ivf == brute)
   }
 
-  test("x5_neardup_ivf returns only true near-dup pairs (subset of exact twin)") {
+  test("x5_neardup_ivf is EXACT: identical to the x5_embedding_neardup twin") {
     val exact = q("x5_embedding_neardup").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     val ivf = q("x5_neardup_ivf").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // candidates are verified with the exact cosine, so no false positives
-    assert(ivf.subsetOf(exact), s"false positives: ${ivf -- exact}")
-    // unclustered embeddings (see x3 note) make cell recall probabilistic;
-    // assert the mechanism finds a nontrivial share
-    if (exact.nonEmpty)
-      assert(ivf.nonEmpty, s"IVF found none of ${exact.size} true pairs")
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(exact.nonEmpty)
+    assert(ivf == exact)
+  }
+
+  test("IVF cells are data-driven and balanced: k ~ sqrt(n), no oversized cell") {
+    import org.apache.spark.sql.functions.{col => c}
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(c("vec_id"), graft.functions.VectorFunctions.toDouble(c("embedding")).as("v"))
+    val n = e.count()
+    val idx = graft.operators.IvfIndex.build(e)
+    val counts = idx.cells.select("cnt").collect().map(_.getLong(0))
+    // cell count grows with the data (k ≈ √n), unlike label-bound cells
+    assert(counts.length >= math.sqrt(n.toDouble).toInt / 2,
+      s"only ${counts.length} cells for n=$n")
+    assert(counts.sum == n)
+    // no cell holds more than a constant fraction of the corpus
+    assert(counts.max <= n / 5,
+      s"largest cell ${counts.max} exceeds n/5 of n=$n")
   }
 
   test("x4_fingerprint is stable across runs and distinct across docs") {

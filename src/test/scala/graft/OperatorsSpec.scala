@@ -137,6 +137,88 @@ class OperatorsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(m("rows") == 4L && m("nulls_v") == 2L, s"got $m")
   }
 
+  test("RangedNtile equals ntile().over(global window) without a single-partition stage") {
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(31)
+    // 997 rows (not divisible by 4) exercises the uneven-bucket arithmetic
+    val df = (1 to 997).map(i => (i.toLong, rng.nextInt(500))).toDF("id", "v")
+      .repartition(7)
+    val expected = df.withColumn("nt",
+        ntile(4).over(Window.orderBy(desc("v"), asc("id"))).cast("long"))
+      .select("id", "nt").as[(Long, Long)].collect().toMap
+    val ranged = graft.operators.RangedNtile(df, 4, Seq(desc("v"), asc("id")))
+    val got = ranged.select("id", "ntile").as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    // scale shape: the only single-partition exchange allowed is the one
+    // over the P-row per-partition-counts AGGREGATE (the offsets window);
+    // the full table must never pass through one partition
+    val badSingleParts = collectWithSubqueries(ranged.queryExecution.executedPlan) {
+      case e: ShuffleExchangeLike if e.outputPartitioning.numPartitions == 1 &&
+        e.child.collectFirst {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+        }.isEmpty => e
+    }
+    assert(badSingleParts.isEmpty,
+      "RangedNtile must not plan a single-partition exchange over unaggregated rows")
+  }
+
+  test("IvfIndex: triangle-inequality pruning skips most cell pairs on clustered data") {
+    // 16 tight clusters in 8-d: the realistic corpus shape. The bound should
+    // prune the large majority of the 16x16-ish cell-pair grid at a high
+    // threshold while the scan stays exact.
+    val rng = new scala.util.Random(5)
+    val centers = Seq.fill(16)(Array.fill(8)(rng.nextGaussian()))
+    val vecs = (0L until 256L).map { i =>
+      val ctr = centers((i % 16).toInt)
+      (i, ctr.map(x => x + rng.nextGaussian() * 0.02).toSeq)
+    }
+    val e = vecs.toDF("vec_id", "v")
+    val idx = graft.operators.IvfIndex.build(e)
+    val k = idx.cells.count()
+    val surviving = graft.operators.IvfIndex.survivingCellPairs(idx, 0.95).count()
+    assert(surviving < k * k / 2,
+      s"expected pruning: $surviving of ${k * k} cell pairs survived")
+    // and the pruned scan is still exact vs naive all-pairs
+    val naive = (for {
+      (a, va) <- vecs; (b, vb) <- vecs if a < b
+      dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      sim = dot / (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum))
+      if sim >= 0.95
+    } yield (a, b)).toSet
+    val got = graft.operators.IvfIndex.pairsExact(idx, 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(naive.nonEmpty)
+    assert(got == naive, s"missing=${naive -- got} extra=${got -- naive}")
+  }
+
+  test("IvfIndex.knnExact equals brute-force top-k on clustered data") {
+    val rng = new scala.util.Random(9)
+    val centers = Seq.fill(8)(Array.fill(6)(rng.nextGaussian()))
+    val vecs = (0L until 120L).map { i =>
+      val ctr = centers((i % 8).toInt)
+      (i, ctr.map(x => x + rng.nextGaussian() * 0.05).toSeq)
+    }
+    val e = vecs.toDF("vec_id", "v")
+    val idx = graft.operators.IvfIndex.build(e)
+    val q = idx.assigned.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val got = graft.operators.IvfIndex.knnExact(idx, q, k = 5, nprobe = 2)
+      .select("query_id", "rk", "neighbor_id").as[(Long, Long, Long)]
+      .collect().toSeq.sorted
+    def cos(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    val byId = vecs.toMap
+    val expected = vecs.map(_._1).filter(_ % 20 == 0).flatMap { qid =>
+      vecs.map(_._1).filter(_ != qid)
+        .map(nid => (nid, cos(byId(qid), byId(nid))))
+        .sortBy { case (nid, s) => (-s, nid) }
+        .take(5).zipWithIndex
+        .map { case ((nid, _), i) => (qid, (i + 1).toLong, nid) }
+    }.sorted
+    assert(got == expected)
+  }
+
   test("Bucketed.colocatedJoin plans with zero shuffle exchanges") {
     val orders = (1L to 500L).map(i => (i, s"o$i")).toDF("okey", "oval")
     val items = (1L to 1500L).map(i => (i % 500 + 1, s"i$i")).toDF("okey", "ival")

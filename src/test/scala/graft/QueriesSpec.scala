@@ -25,4 +25,14 @@ class QueriesSpec extends AnyFunSuite {
       assert(df.count() > 0, s"${q.name} returned no rows on sf0.001")
     }
   }
+
+  test("the end-of-run cache release leaves no cached frames behind") {
+    // the queries above persisted Dashboard memo / dedup / IVF frames;
+    // Verify and Bench end with exactly this release sequence
+    graft.queries.Dashboard.clearCache(spark)
+    spark.catalog.clearCache()
+    val cm = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager
+    assert(cm.isEmpty, "cacheManager still holds cached plans after clear")
+  }
 }

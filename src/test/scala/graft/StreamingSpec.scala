@@ -186,6 +186,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(parts == Set("device_id=d1", "device_id=d2"))
   }
 
+  test("S1 generatorStream is bit-identical to the batch generator, across micro-batches") {
+    import graft.streaming.Streams.GenTick
+    val nDevices = 5; val ticks = 20
+    val in = MemoryStream[GenTick](spark)
+    val q = graft.streaming.Streams.generatorStream(in.toDS())
+      .writeStream.format("memory").queryName("gen_stream_out")
+      .outputMode("append").start()
+    // ticks arrive over THREE micro-batches — drift/battery state must carry
+    val all = for (t <- 0 until ticks; d <- 0 until nDevices)
+      yield GenTick(d.toLong, t.toLong)
+    val (b1, rest) = all.splitAt(all.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable()
+    in.addData(b3); q.processAllAvailable()
+    q.stop()
+    import graft.model.Reading
+    def key(flat: org.apache.spark.sql.DataFrame) =
+      flat.collect().map(_.toString).sorted.toSeq
+    val streamed = graft.gen.Generator.flatten(
+      spark.table("gen_stream_out").as[Reading])
+    val batch = graft.gen.Generator.flatten(
+      graft.gen.Generator.readings(spark, nDevices, ticks))
+    assert(streamed.count() == batch.count())
+    assert(key(streamed) == key(batch),
+      "streamed generator output must equal the batch generator row for row")
+    // and the full reference semantics show up in the stream: per-device
+    // sensor subsets (4-6), weighted status, some skipped (2%) ticks allowed
+    val perDev = spark.table("gen_stream_out").as[Reading].collect()
+      .groupBy(_.device_id)
+    assert(perDev.size == nDevices)
+    perDev.values.foreach { rs =>
+      val sensorSets = rs.map(_.readings.keySet).distinct
+      assert(sensorSets.size == 1 && sensorSets.head.size >= 4 && sensorSets.head.size <= 6)
+    }
+  }
+
+  test("S2 keyedParquetSink audits every batch in the write job (rows + nulls)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_audit").toString
+    val in = MemoryStream[(String, Timestamp, Option[Double])](spark)
+    val df = in.toDF().toDF("device_id", "timestamp", "value")
+    val seen = scala.collection.mutable.Map[Long, Map[String, Long]]()
+    val q = graft.streaming.Streams.keyedParquetSink(
+      df, s"$dir/data", s"$dir/ckpt", auditCols = Seq("value"),
+      onBatchAudit = (b, m) => seen.synchronized { seen(b) = m })
+    in.addData(("d1", ts(0), Some(1.0)), ("d2", ts(1), None))
+    q.processAllAvailable()
+    in.addData(("d1", ts(2), Some(3.0)))
+    q.processAllAvailable()
+    q.stop()
+    assert(seen(0L) == Map("rows" -> 2L, "nulls_value" -> 1L), s"got $seen")
+    assert(seen(1L) == Map("rows" -> 1L, "nulls_value" -> 0L), s"got $seen")
+  }
+
   test("S1 synthetic rate stream yields the reading schema") {
     val df = Streams.syntheticReadingStream(spark, nDevices = 4, rowsPerSecond = 100)
     assert(df.isStreaming)
