@@ -62,12 +62,15 @@ object IvfIndex {
     val seeds = e.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cell0"), col("v").as("sv"), col("nrm").as("snrm"))
     // nearest seed per vector: max_by over (cos, -cell) — partial-aggregates
-    // map-side, so the n·k comparison fan-in shuffles only n rows
+    // map-side, so the n·k comparison fan-in shuffles only n rows. The
+    // vector rides inside the max_by tuple (constant per group), saving a
+    // join-back to `e` after the aggregation.
     val assign0 = e.join(broadcast(seeds), lit(true))
       .withColumn("c0", VF.dotNative(col("v"), col("sv")) / (col("nrm") * col("snrm")))
       .groupBy("vec_id")
-      .agg(max_by(col("cell0"), struct(col("c0"), (-col("cell0")).as("nc"))).as("cell0"))
-      .join(e, "vec_id")
+      .agg(max_by(struct(col("cell0"), col("v")),
+        struct(col("c0"), (-col("cell0")).as("nc"))).as("best"))
+      .select(col("vec_id"), col("best.cell0").as("cell0"), col("best.v").as("v"))
     // one Lloyd step: element-wise mean per cell (distributed: one reducer
     // key per (cell, dim)), rounded to 6 dp for cross-engine reproducibility
     val cent = assign0
@@ -80,14 +83,17 @@ object IvfIndex {
     val assigned = e.join(broadcast(cent), lit(true))
       .withColumn("c1", VF.dotNative(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
       .groupBy("vec_id")
-      .agg(max_by(struct(col("cell"), col("c1")), struct(col("c1"), (-col("cell")).as("nc")))
-        .as("best"))
-      .select(col("vec_id"), col("best.cell").as("cell"), col("best.c1").as("c1"))
-      .join(e, "vec_id")
+      .agg(max_by(struct(col("cell"), col("c1"), col("v"), col("nrm")),
+        struct(col("c1"), (-col("cell")).as("nc"))).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"), col("best.c1").as("c1"),
+        col("best.v").as("v"), col("best.nrm").as("nrm"))
       .persist()
     val radius = assigned.groupBy("cell")
       .agg(max(clampAcos(col("c1"))).as("r"), count(lit(1)).as("cnt"))
-    Index(assigned, cells = cent.join(radius, Seq("cell")))
+    // cells is k ≈ √n rows but its PLAN contains the whole centroid
+    // aggregation — persist so the 4-6 downstream consumers (probe branches,
+    // pair sides, radius) don't each re-run the build
+    Index(assigned, cells = cent.join(radius, Seq("cell")).persist())
   }
 
   /** Exact top-k cosine neighbors for each query row (`query_id`, `qv`).

@@ -1,0 +1,61 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: dump the executed (AQE-final) physical plans of the headline
+  * queries into PLANS.md. Usage:
+  *   sbt "runMain graft.tools.PlanDump /root/testdata/sf0.001 PLANS.md"
+  */
+object PlanDump {
+  private val headliners = Seq(
+    "q1_pricing_summary", "q5_region_revenue", "q_topk_per_group",
+    "q_events_range_join", "q_ntile", "x2_jaccard_exact", "x3_knn_brute",
+    "x3_knn_ivf")
+
+  private val preamble =
+    """# PLANS — executed (AQE-final) physical plans of headline queries
+      |
+      |Generated at sf0.001 on local[8] by `graft.tools.PlanDump` (plans are
+      |shape-identical at any SF; only partition counts change). What to look for:
+      |- q1: both filters in `PushedFilters`, 7-column `ReadSchema`, partial+final
+      |  HashAggregate around one hash shuffle, AQE-coalesced reads.
+      |- q5: three BroadcastHashJoins (dims never shuffle the fact side).
+      |- q_topk_per_group: `WindowGroupLimit` BELOW the shuffle — per-group top-k
+      |  state is O(k) on the map side before the full window sort.
+      |- q_events_range_join: equi-key join with the time window as a post-join
+      |  condition — never a cartesian.
+      |- q_ntile: range exchange + per-partition window (keyed by partition id)
+      |  + broadcast offset join — the only single-partition stage is the P-row
+      |  counts aggregate, never the table.
+      |- x2_jaccard_exact: broadcast set-pair join with the whole Jaccard
+      |  predicate (codegen'd popcount kernel) inside the join condition — only
+      |  qualifying pairs materialize.
+      |- x3_knn_brute: BroadcastNestedLoopJoin over the broadcast query set with
+      |  codegen'd graft_dot in the projection.
+      |- x3_knn_ivf: the exact pruned IVF search — broadcast probe/survivor cell
+      |  lists joined against the persisted cell assignment (InMemoryTableScan),
+      |  per-query windows only over scanned candidates.
+      |""".stripMargin
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = args.lift(1).getOrElse("PLANS.md")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sections = headliners.map { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect() // drive to completion so AQE finalizes every stage
+      s"## $name\n\n```\n${df.queryExecution.executedPlan}```\n"
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+      preamble + "\n" + sections.mkString("\n"))
+    println(s"[plandump] wrote ${headliners.size} plans to $out")
+    spark.stop()
+  }
+}
