@@ -28,8 +28,15 @@ object ConnectedComponents {
     * locally) instead of the iterative join loop — the same statistics-driven
     * planning call Spark itself makes for broadcast joins. 10^6 edges ≈
     * 16 MB on the driver; the distributed loop takes over beyond that.
+    * Tunable per session (like autoBroadcastJoinThreshold) via
+    * `spark.conf.set("graft.cc.driverThreshold", n)`; set 0 to force the
+    * distributed path.
     */
-  private val DriverThreshold = 1000000L
+  private val DefaultDriverThreshold = 1000000L
+
+  private def driverThreshold(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("graft.cc.driverThreshold").map(_.toLong)
+      .getOrElse(DefaultDriverThreshold)
 
   def apply(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val spark = vertices.sparkSession
@@ -39,7 +46,7 @@ object ConnectedComponents {
     val edgesM = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .localCheckpoint(true)
     val edgeCount = edgesM.count()
-    if (edgeCount <= DriverThreshold) {
+    if (edgeCount <= driverThreshold(spark)) {
       import spark.implicits._
       val es = edgesM.as[(Long, Long)].collect()
       val parent = scala.collection.mutable.Map[Long, Long]()

@@ -401,6 +401,36 @@ object Llm {
              |                             CAST(b.embedding AS DOUBLE[])) >= 0.35
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- X5/X1 embedding dedup CLUSTERING: exact near-dup pairs (via the
+    // pruned IVF cell-pair search) -> connected components -> every vector
+    // labeled with its cluster representative — the same pairs-to-decisions
+    // step as x1_dedup_clusters, on the embedding modality. Exact pairs +
+    // deterministic CC -> recursive-CTE oracle.
+    Q("x5_embedding_clusters",
+      (s, dir) => {
+        val e = embs(s, dir).select(col("vec_id"),
+          VF.toDouble(col("embedding")).as("v"))
+        val idx = graft.operators.IvfIndex.build(e)
+        val pairs = graft.operators.IvfIndex.pairsExact(idx, 0.35)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+        graft.operators.ConnectedComponents(e.select(col("vec_id").as("id")), pairs)
+          .select(col("id").as("vec_id"), col("component").as("cluster_id"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH RECURSIVE
+             |pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
+             |          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |                  CAST(b.embedding AS DOUBLE[])) >= 0.35),
+             |edges AS (SELECT va AS a, vb AS b FROM pairs
+             |          UNION ALL SELECT vb, va FROM pairs),
+             |reach(a, b) AS (
+             |  SELECT vec_id, vec_id FROM embeddings
+             |  UNION
+             |  SELECT reach.a, e.b FROM reach JOIN edges e ON reach.b = e.a)
+             |SELECT a AS vec_id, MIN(b) AS cluster_id FROM reach
+             |GROUP BY a ORDER BY vec_id""".stripMargin)),
+
     // ---- X3 brute-force top-k cosine similarity search: every 50th vector is
     // a query; queries are broadcast against the full corpus; per-query top-k
     // via ranking window. This is the exact baseline for ANN.

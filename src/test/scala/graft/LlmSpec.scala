@@ -82,6 +82,25 @@ class LlmSpec extends AnyFunSuite {
     assert(ivf == exact)
   }
 
+  test("x5_embedding_clusters is consistent with the exact pair set") {
+    val pairs = q("x5_embedding_neardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cluster = q("x5_embedding_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every near-dup pair lands in one cluster…
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b), s"pair ($a,$b) split across clusters")
+    }
+    // …the representative is the minimum member, and non-near-dup vectors
+    // are singletons (cluster == own id unless some pair links them)
+    val members = cluster.groupBy(_._2).view.mapValues(_.keys.min).toMap
+    members.foreach { case (rep, minMember) => assert(rep == minMember) }
+    val linked = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    cluster.foreach { case (v, c) =>
+      if (!linked.contains(v)) assert(c == v, s"unlinked $v not a singleton")
+    }
+  }
+
   test("IVF cells are data-driven and balanced: k ~ sqrt(n), no oversized cell") {
     import org.apache.spark.sql.functions.{col => c}
     val e = Tables.load(spark, sfDir, "embeddings")
