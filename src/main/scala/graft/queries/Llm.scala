@@ -741,6 +741,53 @@ object Llm {
              |    AS n_masked
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- X4 curation: deterministic train/val/test split. The split hash is
+    // PORTABLE integer arithmetic (LCG mix of doc_id), not xxhash64 — the
+    // same expression runs in DuckDB, so assignment is reproducible across
+    // engines AND across runs/partitionings (the property a training
+    // pipeline actually needs from a split: re-running never moves a doc
+    // between train and test). 80/10/10 by hash bucket.
+    Q("x4_split",
+      (s, dir) => {
+        val h = (col("doc_id") * 1103515245L + 12345L) % 1000000L
+        docs(s, dir).select(
+          col("doc_id"),
+          h.as("split_hash"),
+          when(h < 800000L, "train").when(h < 900000L, "val")
+            .otherwise("test").as("split"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  (doc_id * 1103515245 + 12345) % 1000000 AS split_hash,
+             |  CASE WHEN (doc_id * 1103515245 + 12345) % 1000000 < 800000 THEN 'train'
+             |       WHEN (doc_id * 1103515245 + 12345) % 1000000 < 900000 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- X4 curation: cap documents per (lang, source) stratum — the
+    // class-balance / source-mixing knob of a pretraining pipeline. Keep at
+    // most 20 docs per stratum in deterministic hash order (so the kept set
+    // is a stable pseudo-random sample, not "first by id"); rank <= k plans
+    // as WindowGroupLimit (partial top-k below the shuffle).
+    Q("x4_cap_per_source",
+      (s, dir) => {
+        val h = (col("doc_id") * 2654435761L + 961748927L) % 1000000L
+        val w = Window.partitionBy("lang", "source")
+          .orderBy(col("h"), col("doc_id"))
+        docs(s, dir).select(col("doc_id"), col("lang"), col("source"), h.as("h"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 20)
+          .select(col("doc_id"), col("lang"), col("source"), col("rk"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, source, rk FROM (
+             |  SELECT doc_id, lang, source,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY lang, source
+             |      ORDER BY (doc_id * 2654435761 + 961748927) % 1000000, doc_id)
+             |      AS BIGINT) AS rk
+             |  FROM documents)
+             |WHERE rk <= 20 ORDER BY doc_id""".stripMargin)),
+
     // ---- F4/F5 array-function surface (scalar outputs only — array-valued
     // result columns would make the parquet/pandas compare ambiguous)
     Q("q_array_funcs",
