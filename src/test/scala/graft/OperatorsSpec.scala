@@ -162,6 +162,43 @@ class OperatorsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "RangedNtile must not plan a single-partition exchange over unaggregated rows")
   }
 
+  test("RangedNtile edge: fewer rows than tiles gives each row its own bucket") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((1L, 30), (2L, 20), (3L, 10)).toDF("id", "v")
+    val expected = df.withColumn("nt",
+        ntile(4).over(Window.orderBy(desc("v"), asc("id"))).cast("long"))
+      .select("id", "nt").as[(Long, Long)].collect().toMap
+    val got = graft.operators.RangedNtile(df, 4, Seq(desc("v"), asc("id")))
+      .select("id", "ntile").as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    assert(got.values.toSeq.sorted == Seq(1L, 2L, 3L))
+  }
+
+  test("IvfIndex edges: tiny corpus, k larger than candidates, self-pair search") {
+    val e = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.9, 0.1)), (2L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "v")
+    val idx = graft.operators.IvfIndex.build(e)
+    assert(idx.assigned.count() == 3)
+    // k=5 > n-1 candidates: returns everything ranked, no crash
+    val q = idx.assigned.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val knn = graft.operators.IvfIndex.knnExact(idx, q, k = 5, nprobe = 1)
+      .select("rk", "neighbor_id").as[(Long, Long)].collect().toSeq.sorted
+    assert(knn == Seq((1L, 1L), (2L, 2L)))
+    // pair search at a threshold only the near-parallel pair passes
+    val pairs = graft.operators.IvfIndex.pairsExact(idx, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("AsOfJoin with an empty right side carries nulls for every left row") {
+    val quotes = Seq.empty[(String, Long, Double)].toDF("sym", "t", "px")
+    val trades = Seq(("a", 1L, 1), ("b", 2L, 2)).toDF("sym", "t", "qty")
+    val r = AsOfJoin(trades, quotes, "sym", "t", "t", Seq("px"))
+      .select("sym", "px").collect()
+    assert(r.length == 2 && r.forall(_.isNullAt(1)))
+  }
+
   test("IvfIndex: triangle-inequality pruning skips most cell pairs on clustered data") {
     // 16 tight clusters in 8-d: the realistic corpus shape. The bound should
     // prune the large majority of the 16x16-ish cell-pair grid at a high

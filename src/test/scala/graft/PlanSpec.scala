@@ -73,4 +73,36 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(p.contains("BroadcastNestedLoopJoin"),
       "the id_a < id_b pair join should broadcast the (small) build side")
   }
+
+  test("x4_cap_per_source: per-stratum cap becomes WindowGroupLimit") {
+    val p = planOf("x4_cap_per_source")
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=k should push a per-group limit below the window sort")
+  }
+
+  test("x4_split: only doc_id is read from the documents table") {
+    val scans = scansOf("x4_split")
+    assert(scans.nonEmpty)
+    assert(scans.head.requiredSchema.fieldNames.toSet == Set("doc_id"),
+      s"read=${scans.head.requiredSchema.fieldNames.toSet}")
+  }
+
+  test("x5_neardup_ivf: no cartesian product; cell scans read the persisted index") {
+    val df = SparkEntry.queries("x5_neardup_ivf")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      "cell-pair search must join on cell keys, never plan a cartesian")
+    assert(p.contains("InMemoryTableScan"),
+      "pair sides should read the persisted assignment, not rebuild the index")
+  }
+
+  test("x3_knn_ivf: probe and scan joins broadcast the small side") {
+    val df = SparkEntry.queries("x3_knn_ivf")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "cell lists and query vectors must broadcast against the corpus")
+  }
 }
