@@ -33,6 +33,7 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     graft.queries.Dashboard.clearCache(spark)
+    graft.queries.Llm.clearCache(spark)
     spark.catalog.clearCache()
     spark.stop()
   }

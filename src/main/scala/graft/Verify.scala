@@ -41,6 +41,7 @@ object Verify {
     // token/set frames, IVF assignments) — cached partitions must not
     // outlive the run
     graft.queries.Dashboard.clearCache(spark)
+    graft.queries.Llm.clearCache(spark)
     spark.catalog.clearCache()
     spark.stop()
   }

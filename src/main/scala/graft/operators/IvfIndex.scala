@@ -37,6 +37,13 @@ import org.apache.spark.sql.functions._
   *
   * The same bound prunes CELL PAIRS for threshold near-dup search:
   *   sim(x, y) ≤ cos(max(0, θ(c_a,c_b) − r_a − r_b))  for x∈c_a, y∈c_b.
+  *
+  * Lineage (public literature): inverted-file coarse quantization is the
+  * IVF of Sivic & Zisserman ("Video Google", ICCV'03) as used by Jégou et
+  * al. ("Product Quantization for Nearest Neighbor Search", TPAMI'11);
+  * centroid-distance bounds via the triangle inequality are the Elkan
+  * acceleration family ("Using the Triangle Inequality to Accelerate
+  * k-Means", ICML'03), applied here to search instead of training.
   */
 object IvfIndex {
 

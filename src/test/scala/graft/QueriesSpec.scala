@@ -30,6 +30,7 @@ class QueriesSpec extends AnyFunSuite {
     // the queries above persisted Dashboard memo / dedup / IVF frames;
     // Verify and Bench end with exactly this release sequence
     graft.queries.Dashboard.clearCache(spark)
+    graft.queries.Llm.clearCache(spark)
     spark.catalog.clearCache()
     val cm = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sharedState.cacheManager
