@@ -21,6 +21,17 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * (iot-data-stream.py:378-379).
   */
 object GenerateMain {
+
+  /** The reference's exact file shape: ONE pretty-printed JSON array
+    * (iot-data-stream.py:299-309, json.dump(data, f, indent=2)). Like the
+    * reference, this accumulates the bounded CLI-sized run in driver
+    * memory — the distributed path is `--format json` (JSON-lines).
+    */
+  def writeJsonArray(df: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    val body = df.toJSON.collect().mkString("[\n  ", ",\n  ", "\n]")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body)
+  }
+
   def main(args: Array[String]): Unit = {
     val a = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
     val devices = a.getOrElse("--devices", "10").toInt
@@ -42,14 +53,7 @@ object GenerateMain {
 
     (format, out) match {
       case ("json", Some(p)) => readings.toDF().write.mode(SaveMode.Overwrite).json(p)
-      case ("json-array", Some(p)) =>
-        // the reference's exact file shape: ONE pretty-printed JSON array
-        // (iot-data-stream.py:299-309, json.dump(data, f, indent=2)). Like
-        // the reference, this accumulates the bounded CLI-sized run in driver
-        // memory — the distributed path is `--format json` (JSON-lines).
-        val rows = readings.toDF().toJSON.collect()
-        val body = rows.mkString("[\n  ", ",\n  ", "\n]")
-        java.nio.file.Files.writeString(java.nio.file.Paths.get(p), body)
+      case ("json-array", Some(p)) => writeJsonArray(readings.toDF(), p)
       case ("csv", Some(p)) =>
         flat.write.mode(SaveMode.Overwrite).option("header", "true").csv(p)
       case ("parquet", Some(p)) =>

@@ -86,6 +86,17 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.schema == flat.schema)
   }
 
+  test("S3 json-array sink writes ONE parseable pretty JSON array file") {
+    val out = Files.createTempDirectory("graft-jsonarr").toString + "/readings.json"
+    val readings = Generator.readings(spark, 3, 5).toDF()
+    graft.tools.GenerateMain.writeJsonArray(readings, out)
+    val body = Files.readString(java.nio.file.Paths.get(out))
+    assert(body.startsWith("[\n  {") && body.endsWith("\n]"),
+      "expected a pretty-printed JSON array (the reference's json.dump shape)")
+    // one array, parseable, element count preserved
+    assert(spark.read.option("multiLine", "true").json(out).count() == readings.count())
+  }
+
   test("S2 keyed parquet sink partitions by device and prunes on read") {
     val dir = Files.createTempDirectory("graft-keyed").toString
     flat.write.mode("overwrite").partitionBy("device_id").parquet(dir)

@@ -240,6 +240,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(seen(1L) == Map("rows" -> 1L, "nulls_value" -> 0L), s"got $seen")
   }
 
+  test("S1 generatorRateStream is a streaming Dataset[Reading] (rate-source driver)") {
+    val ds = graft.streaming.Streams.generatorRateStream(spark, nDevices = 3,
+      rowsPerSecond = 50)
+    assert(ds.isStreaming)
+    assert(ds.columns.toSet == Set("device_id", "timestamp", "location_id",
+      "location_name", "coordinates", "readings", "status"))
+  }
+
   test("S1 synthetic rate stream yields the reading schema") {
     val df = Streams.syntheticReadingStream(spark, nDevices = 4, rowsPerSecond = 100)
     assert(df.isStreaming)
