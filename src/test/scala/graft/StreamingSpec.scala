@@ -240,6 +240,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(seen(1L) == Map("rows" -> 1L, "nulls_value" -> 0L), s"got $seen")
   }
 
+  test("streaming near-dup screen flags dups against the static corpus, admits novel docs") {
+    import graft.streaming.Streams
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (101L, "spark shuffles partition data across executors during wide transformations"))
+      .toDF("doc_id", "text")
+    val index = Streams.corpusIndex(corpus)
+    val dir = java.nio.file.Files.createTempDirectory("graft_screen").toString
+    val in = MemoryStream[(Long, String)](spark)
+    val stream = in.toDF().toDF("doc_id", "text")
+    val q = Streams.nearDupScreenSink(stream, index, s"$dir/out", s"$dir/ckpt")
+    in.addData(
+      // near-dup of corpus doc 100 (one word changed)
+      (1L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      // novel document
+      (2L, "completely unrelated text about cooking pasta with garlic and olive oil"))
+    q.processAllAvailable(); q.stop()
+    val flagged = spark.read.parquet(s"$dir/out/batch_id=0")
+      .select("doc_id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(flagged == Set((1L, 100L)),
+      s"expected only the planted near-dup flagged, got $flagged")
+  }
+
   test("S1 generatorRateStream is a streaming Dataset[Reading] (rate-source driver)") {
     val ds = graft.streaming.Streams.generatorRateStream(spark, nDevices = 3,
       rowsPerSecond = 50)
