@@ -764,6 +764,39 @@ object Llm {
              |    AS n_masked
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- X4 quality: unigram language-model score (the CCNet/Gopher-style
+    // LM filter): per-doc mean token log-probability under the corpus's own
+    // unigram distribution — low scores flag gibberish / outlier docs.
+    // Determinism: each token's ln(tf/N) is rounded to integer e6 units
+    // BEFORE the per-doc sum, so the aggregation is an order-independent
+    // integer sum (a float sum's order differs between engines); identical
+    // integer inputs to ln give bit-identical doubles (x4_tfidf precedent).
+    Q("x4_lm_score",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val tok = d.select(col("doc_id"), explode(TF.tokens(col("text"))).as("w"))
+        val cnt = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+        val tot = tok.agg(count(lit(1)).as("n"))
+        val logpE6 = round(log(col("cnt").cast("double") / col("n").cast("double"))
+          * 1000000).cast("long")
+        // no avg column: integer division of the NEGATIVE sum truncates
+        // toward zero in Spark (`div`) but floors in DuckDB (`//`) — emit
+        // the exact integer sum and token count instead
+        tok.join(cnt, "w").crossJoin(broadcast(tot))
+          .select(col("doc_id"), logpE6.as("lp"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum("lp").as("sum_lp_e6"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, UNNEST(string_split(text,' ')) AS w FROM documents),
+             |cnt AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+             |tot AS (SELECT COUNT(*) AS n FROM tok)
+             |SELECT doc_id, COUNT(*) AS n_tokens,
+             |  CAST(SUM(CAST(ROUND(LN(CAST(cnt AS DOUBLE)/n)*1000000) AS BIGINT)) AS BIGINT)
+             |    AS sum_lp_e6
+             |FROM tok JOIN cnt USING (w) CROSS JOIN tot
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- X4 curation: deterministic train/val/test split. The split hash is
     // PORTABLE integer arithmetic (LCG mix of doc_id), not xxhash64 — the
     // same expression runs in DuckDB, so assignment is reproducible across
