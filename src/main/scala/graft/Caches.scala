@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped registry of query-local `persist()`s.
+  *
+  * Operators persist frames that are consumed several times WITHIN one query
+  * (tokenizations, distinct-set encodings, vector norms, index assignments).
+  * Left unreleased, those blocks accumulate across a long session — Bench
+  * runs 81 queries in one JVM — until memory pressure and GC churn slow
+  * every later query, including untouched ones. Routing every query-local
+  * persist through this registry lets the harness drain ALL of a query's
+  * caches the moment its result has been consumed:
+  *
+  *   - operators call `Caches.persist(df)` instead of `df.persist()`;
+  *   - Bench / Verify / tests call `Caches.drain(spark)` after each query.
+  *
+  * Intentional cross-query memos (Dashboard's generated frame) stay outside
+  * this registry and keep their own release hooks.
+  */
+object Caches {
+  private val reg = new java.util.WeakHashMap[
+    SparkSession, scala.collection.mutable.ArrayBuffer[DataFrame]]()
+
+  /** Persist `df` (default MEMORY_AND_DISK) and register it for `drain`. */
+  def persist(df: DataFrame): DataFrame = reg.synchronized {
+    var buf = reg.get(df.sparkSession)
+    if (buf == null) {
+      buf = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      reg.put(df.sparkSession, buf)
+    }
+    buf += df
+    df.persist()
+  }
+
+  /** Unpersist every frame registered for `s` since the last drain. */
+  def drain(s: SparkSession): Unit = reg.synchronized {
+    Option(reg.remove(s)).foreach(_.foreach(_.unpersist(blocking = false)))
+  }
+}

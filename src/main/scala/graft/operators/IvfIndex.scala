@@ -61,9 +61,8 @@ object IvfIndex {
   def build(e0: DataFrame): Index = {
     val spark = e0.sparkSession
     NativeExpressions.register(spark)
-    val e = e0.select(col("vec_id"), col("v"))
-      .withColumn("nrm", VF.l2Norm(col("v")))
-      .persist()
+    val e = graft.Caches.persist(e0.select(col("vec_id"), col("v"))
+      .withColumn("nrm", VF.l2Norm(col("v"))))
     val n = e.count()
     val stride = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
     val seeds = e.filter(col("vec_id") % stride === 0)

@@ -26,32 +26,20 @@ object Llm {
     Tables.load(s, dir, "embeddings")
 
   // The IVF index over a table is a build-once-query-many artifact (exactly
-  // like a real vector index): three registered queries (knn, near-dup
-  // pairs, clustering) share one build per (session, table). Memoized like
-  // Dashboard's generated frame; released by clearCache below.
-  private val ivfCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, graft.operators.IvfIndex.Index]]()
-  private def ivfIndex(s: SparkSession, dir: String): graft.operators.IvfIndex.Index =
-    ivfCache.synchronized {
-      var per = ivfCache.get(s)
-      if (per == null) {
-        per = scala.collection.mutable.Map[String, graft.operators.IvfIndex.Index]()
-        ivfCache.put(s, per)
-      }
-      per.getOrElseUpdate(dir, {
-        val e = embs(s, dir).select(col("vec_id"),
-          VF.toDouble(col("embedding")).as("v"))
-        graft.operators.IvfIndex.build(e)
-      })
-    }
-
-  /** Release memoized IVF indexes — drivers call this at end of run. */
-  def clearCache(s: SparkSession): Unit = ivfCache.synchronized {
-    Option(ivfCache.remove(s)).foreach(_.values.foreach { idx =>
-      idx.assigned.unpersist(); idx.cells.unpersist()
-    })
+  // like a real vector index): the four vector queries (knn, near-dup pairs,
+  // two clusterings) share one PARQUET-BACKED build per (table, n) — built
+  // by whichever session touches it first, loaded (cheap) by every later
+  // query and session, so no per-session rebuild cost lands on a query.
+  private def ivfIndex(s: SparkSession, dir: String): graft.operators.IvfIndex.Index = {
+    val e = embs(s, dir).select(col("vec_id"),
+      VF.toDouble(col("embedding")).as("v"))
+    graft.operators.IvfIndex.loadOrBuild(e, key = dir)
   }
+
+  /** Release this session's query-local caches (delegates to the registry —
+    * kept for callers that predate graft.Caches).
+    */
+  def clearCache(s: SparkSession): Unit = graft.Caches.drain(s)
 
   /** Exact all-pairs Jaccard >= t, dispatching on vocabulary size (counted
     * with one tiny action — an AQE-style statistics-driven plan choice):
@@ -80,8 +68,9 @@ object Llm {
     graft.functions.NativeExpressions.register(s)
     // persisted: consumed by the vocab count action, the vocabulary index,
     // and the mask build — tokenization (interpreted HOFs over text) would
-    // otherwise re-run per consumer
-    val tok = tok0.persist()
+    // otherwise re-run per consumer; registered so the harness drains it
+    // after the query (leaked, it slows every later query in the session)
+    val tok = graft.Caches.persist(tok0)
     val vocabSize = tok.select("w").distinct().count()
     if (vocabSize <= 4096) bitsetJaccardPairs(tok, t, vocabSize.toInt)
     else prefixJaccardPairs(tok, t)
@@ -103,9 +92,9 @@ object Llm {
       .groupBy("doc_id")
       .agg(call_function("graft_mask", collect_list("i"), lit(words)).as("mask"),
         count(lit(1)).as("n"))
-    val sets = masks.groupBy("mask", "n")
-      .agg(collect_list("doc_id").as("ds"), min("doc_id").as("sid"))
-      .persist() // consumed by both sides of the set-pair join + 2 expansions
+    val sets = graft.Caches.persist(masks.groupBy("mask", "n")
+      .agg(collect_list("doc_id").as("ds"), min("doc_id").as("sid")))
+      // consumed by both sides of the set-pair join + 2 expansions
     // The FULL Jaccard predicate lives in the join condition, so the
     // broadcast NLJ streams S^2 codegen'd popcounts and materializes ONLY
     // qualifying set pairs (instead of S^2/3 length-passing rows of wide
@@ -262,9 +251,8 @@ object Llm {
     Q("x1_dedup_clusters",
       (s, dir) => {
         graft.functions.NativeExpressions.register(s)
-        val tok = docs(s, dir)
-          .select(col("doc_id"), explode(TF.tokenSet(col("text"))).as("w"))
-          .persist()
+        val tok = graft.Caches.persist(docs(s, dir)
+          .select(col("doc_id"), explode(TF.tokenSet(col("text"))).as("w")))
         val vocabSize = tok.select("w").distinct().count()
         if (vocabSize <= 4096) {
           // set-level clustering: CC runs over DISTINCT SETS (~S nodes,
@@ -330,10 +318,9 @@ object Llm {
         // Persisted: the hashed-shingle projection is ~100x smaller than the
         // text and is consumed 4x (both band-join sides + both verify joins);
         // without it Spark re-runs text->shingle->hash per consumer.
-        val d = docs(s, dir).select(
+        val d = graft.Caches.persist(docs(s, dir).select(
           col("doc_id"),
-          array_sort(transform(TF.shingles(col("text"), 3), x => xxhash64(x))).as("sh"))
-          .persist()
+          array_sort(transform(TF.shingles(col("text"), 3), x => xxhash64(x))).as("sh")))
         val sig = d.select(col("doc_id"),
           call_function("graft_minhash", col("sh"), lit(numHashes)).as("sig"))
         // Band join carries doc ids ONLY — candidate pairs can be ~10^6 and
@@ -384,9 +371,9 @@ object Llm {
         graft.functions.NativeExpressions.register(s)
         // Norms computed once per vector BEFORE the pair join (not per pair),
         // with the identical expression, so sim is bit-equal to the naive form.
-        val e = embs(s, dir).select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
-          .withColumn("nrm", VF.l2Norm(col("v")))
-          .persist()
+        val e = graft.Caches.persist(
+          embs(s, dir).select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
+            .withColumn("nrm", VF.l2Norm(col("v"))))
         val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
         val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
         a.join(broadcast(b), col("id_a") < col("id_b"))
@@ -462,9 +449,9 @@ object Llm {
     Q("x3_knn_brute",
       (s, dir) => {
         graft.functions.NativeExpressions.register(s)
-        val e = embs(s, dir).select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
-          .withColumn("nrm", VF.l2Norm(col("v")))
-          .persist()
+        val e = graft.Caches.persist(
+          embs(s, dir).select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
+            .withColumn("nrm", VF.l2Norm(col("v"))))
         val q = e.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
         val w = Window.partitionBy("query_id").orderBy(desc("s"), asc("neighbor_id"))
