@@ -19,7 +19,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * this registry and keep their own release hooks.
   */
 object Caches {
-  private val reg = new java.util.WeakHashMap[
+  // plain map, honest semantics: entries live until drain() — the registered
+  // DataFrames reference their session anyway, so key-weakness could never
+  // reclaim them. Harnesses drain per query; a session that skips draining
+  // holds its own caches alive exactly as if it had called .persist() itself.
+  private val reg = new java.util.HashMap[
     SparkSession, scala.collection.mutable.ArrayBuffer[DataFrame]]()
 
   /** Persist `df` (default MEMORY_AND_DISK) and register it for `drain`. */

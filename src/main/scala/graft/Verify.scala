@@ -15,12 +15,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // the q_iot_* oracles read the deterministic generated frame from a
+    // fixed scratch path — materialize it before the driver's DuckDB pass
+    try graft.queries.Dashboard.materializeOracleInput(spark)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] iot oracle input failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // per-query drain: registered persists must not outlive their query
+      graft.Caches.drain(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

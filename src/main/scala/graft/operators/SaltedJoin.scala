@@ -15,15 +15,18 @@ import org.apache.spark.sql.functions._
   * device ids — the reference partitions its stream by device_id,
   * iot-data-stream.py:281, exactly the kind of key that goes power-law).
   *
-  * The salt is `pmod(hash(all big-side columns), buckets)` rather than
-  * rand(): deterministic under retries/speculation (a re-executed task must
-  * salt identically or rows are lost).
+  * The salt is a deterministic hash rather than rand(): a re-executed task
+  * under retries/speculation must salt identically or rows are lost. Hash
+  * input is the join keys plus the FIRST non-key column only — enough to
+  * spread a hot key's rows (they differ in the payload), without paying a
+  * per-row hash over an arbitrarily wide row.
   */
 object SaltedJoin {
   def apply(big: DataFrame, small: DataFrame, keys: Seq[String],
       buckets: Int = 16): DataFrame = {
+    val saltCols = keys ++ big.columns.find(c => !keys.contains(c))
     val salted = big.withColumn(
-      "__salt", pmod(hash(big.columns.map(col): _*), lit(buckets)))
+      "__salt", pmod(hash(saltCols.map(col): _*), lit(buckets)))
     val replicated = small.withColumn(
       "__salt", explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, keys :+ "__salt").drop("__salt")

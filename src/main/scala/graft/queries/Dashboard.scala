@@ -10,13 +10,27 @@ import org.apache.spark.sql.expressions.Window
   * generated IoT readings — P1-P11, A1-A3, O1-O2 from SURVEY.md §2.
   *
   * These queries generate their input with graft.gen.Generator (seeded,
-  * deterministic, partition-count independent) instead of reading sfDir, so
-  * they carry no DuckDB oracle (the driver records a rows-only check);
-  * their semantics are pinned by DashboardSpec / GeneratorSpec instead.
-  * Input size scales with the sf dir only in spirit: fixed 50 devices x 120
-  * ticks keeps the rows-only check fast while exercising every operator.
+  * deterministic, partition-count independent) instead of reading sfDir.
+  * Because the generated frame is deterministic, it still gets a HARD DuckDB
+  * oracle: Verify materializes the flattened frame to [[oracleInputPath]]
+  * (a fixed scratch path) and each query's oracle SQL reads that parquet via
+  * `read_parquet` — so the one reference-anchored query family is under the
+  * same hash gate as everything else. Input size is fixed 50 devices x 120
+  * ticks (exercises every operator; the generator itself scales
+  * embarrassingly parallel, see gen.Generator).
   */
 object Dashboard {
+
+  /** Where Verify materializes the generated frame for the DuckDB oracle. */
+  val oracleInputPath = "/tmp/graft-oracle/iot_readings"
+  private val IOT = s"read_parquet('$oracleInputPath/*.parquet')"
+
+  /** Write the memoized generated frame to [[oracleInputPath]] so the
+    * driver's DuckDB oracle queries can read the exact rows the Spark
+    * queries consumed. Called by Verify before the oracle dump.
+    */
+  def materializeOracleInput(s: SparkSession): Unit =
+    iot(s).coalesce(1).write.mode("overwrite").parquet(oracleInputPath)
 
   // Memoized per session: eight dashboard queries share one generated frame
   // (the reference dashboard likewise scans one table per rerun); without
@@ -49,19 +63,26 @@ object Dashboard {
         iot(s)
           .select("device_id", "timestamp", "location_id", "latitude", "longitude",
             "status", "temperature_value", "humidity_value", "battery_level_value")
-          .orderBy("device_id", "timestamp")),
+          .orderBy("device_id", "timestamp"),
+      Some(s"""SELECT device_id, timestamp, location_id, latitude, longitude,
+             |  status, temperature_value, humidity_value, battery_level_value
+             |FROM $IOT ORDER BY device_id, timestamp""".stripMargin)),
 
     // ---- A1 value_counts of status, desc (iot_dashboard.py:196-197)
     Q("q_iot_status_counts",
       (s, _) =>
         iot(s).groupBy("status").agg(count(lit(1)).as("n"))
-          .orderBy(desc("n"), asc("status"))),
+          .orderBy(desc("n"), asc("status")),
+      Some(s"""SELECT status, COUNT(*) AS n FROM $IOT
+             |GROUP BY status ORDER BY n DESC, status""".stripMargin)),
 
     // ---- A2 distinct device selector (iot_dashboard.py:144)
     Q("q_iot_devices",
       (s, _) =>
         iot(s).select("device_id", "location_id").distinct()
-          .orderBy("device_id")),
+          .orderBy("device_id"),
+      Some(s"""SELECT DISTINCT device_id, location_id FROM $IOT
+             |ORDER BY device_id""".stripMargin)),
 
     // ---- P3 equality filter + P4 dropna + O2 limit (device drill-down,
     // iot_dashboard.py:147-157)
@@ -72,19 +93,38 @@ object Dashboard {
           .filter(col("temperature_value").isNotNull)
           .select("device_id", "timestamp", "temperature_value")
           .orderBy("device_id", "timestamp")
-          .limit(2000)),
+          .limit(2000),
+      Some(s"""SELECT device_id, timestamp, temperature_value FROM $IOT
+             |WHERE location_id = 'warehouse_a' AND temperature_value IS NOT NULL
+             |ORDER BY device_id, timestamp LIMIT 2000""".stripMargin)),
 
     // ---- P5/P6/P9/P10: null-guarded metric panel per location
     Q("q_iot_location_stats",
       (s, _) =>
         iot(s).groupBy("location_id").agg(
           count(lit(1)).as("n"),
-          round(avg("temperature_value"), 2).as("avg_temp"),
-          round(avg("humidity_value"), 2).as("avg_humidity"),
+          // sensor values are exact tenths, so sum*10 is an exact integer;
+          // floor-divide in integer space instead of ROUND(AVG) — a rounded
+          // quotient lands exactly on x.xx5 ties that Spark and DuckDB break
+          // differently (see .claude/skills/verify gotchas)
+          expr("(cast(round(sum(temperature_value)*10) as bigint) * 1000" +
+            " div count(temperature_value)) / 10000.0").as("avg_temp"),
+          expr("(cast(round(sum(humidity_value)*10) as bigint) * 1000" +
+            " div count(humidity_value)) / 10000.0").as("avg_humidity"),
           sum(when(col("temperature_value").isNull, 1L).otherwise(0L)).as("n_missing_temp"),
           round(greatest(least(max("air_quality_value"), lit(500.0)), lit(0.0)), 1)
             .as("max_aqi_clamped"))
-          .orderBy("location_id")),
+          .orderBy("location_id"),
+      Some(s"""SELECT location_id, COUNT(*) AS n,
+             |  ((CAST(ROUND(SUM(temperature_value)*10) AS BIGINT) * 1000)
+             |    // COUNT(temperature_value)) / 10000.0 AS avg_temp,
+             |  ((CAST(ROUND(SUM(humidity_value)*10) AS BIGINT) * 1000)
+             |    // COUNT(humidity_value)) / 10000.0 AS avg_humidity,
+             |  CAST(SUM(CASE WHEN temperature_value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_missing_temp,
+             |  ROUND(GREATEST(LEAST(MAX(air_quality_value), 500.0), 0.0), 1)
+             |    AS max_aqi_clamped
+             |FROM $IOT GROUP BY location_id ORDER BY location_id""".stripMargin)),
 
     // ---- O3: latest reading per device (top-1 ranking window)
     Q("q_iot_latest",
@@ -95,7 +135,12 @@ object Dashboard {
           .filter(col("rn") === 1)
           .select("device_id", "timestamp", "status", "battery_level_value")
           .orderBy("device_id")
-      }),
+      },
+      Some(s"""SELECT device_id, timestamp, status, battery_level_value FROM (
+             |  SELECT device_id, timestamp, status, battery_level_value,
+             |    ROW_NUMBER() OVER (PARTITION BY device_id ORDER BY timestamp DESC) AS rn
+             |  FROM $IOT)
+             |WHERE rn = 1 ORDER BY device_id""".stripMargin)),
 
     // ---- W2 on generated data: verify the generator's own drift/decay
     // invariants declaratively (battery monotone unless anomaly, bounded step)
@@ -111,6 +156,15 @@ object Dashboard {
             sum(when(col("delta") > 0, 1L).otherwise(0L)).as("n_increases"),
             round(min("battery_level_value"), 1).as("min_battery"))
           .orderBy("device_id")
-      })
+      },
+      Some(s"""SELECT device_id, COUNT(*) AS n_readings,
+             |  CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_increases,
+             |  ROUND(MIN(battery_level_value), 1) AS min_battery
+             |FROM (
+             |  SELECT device_id, battery_level_value,
+             |    battery_level_value - LAG(battery_level_value, 1)
+             |      OVER (PARTITION BY device_id ORDER BY timestamp) AS delta
+             |  FROM $IOT WHERE battery_level_value IS NOT NULL)
+             |GROUP BY device_id ORDER BY device_id""".stripMargin)),
   )
 }

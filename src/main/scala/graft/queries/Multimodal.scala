@@ -9,12 +9,15 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns beside typed metadata, with decode / feature
   * extraction as batch-shaped per-partition transforms.
   *
-  * The container has no image/audio codecs, so `decodeImageStub` is a
-  * clearly-marked deterministic fake — but every piece of Spark plumbing
-  * around it is real and tested: the binary schema, the partition-parallel
-  * batched decode (mapPartitions — the Scala analog of mapInPandas batches),
-  * the typed feature struct it returns, and the downstream aggregations.
-  * Swapping the stub for a real JNI/codec call changes no plan shape.
+  * The decode path is REAL for the codec-free netpbm family: documents are
+  * carried as genuine PPM (P6) images and [[decodePpm]] is an actual
+  * pure-JVM parser (header grammar + raster). For formats whose codecs
+  * aren't in the container (JPEG/audio/video), `decodeImageStub` stays a
+  * clearly-marked deterministic fake — with the same real plumbing around
+  * it: binary schema, partition-parallel batched decode (mapPartitions —
+  * the Scala analog of mapInPandas batches), typed feature structs, and the
+  * downstream aggregations. Swapping a stub for a JNI/codec call changes no
+  * plan shape.
   */
 object Multimodal {
 
@@ -30,6 +33,78 @@ object Multimodal {
         to_binary(lpad(hex(pmod(col("n_chars"), lit(256))), 4, "0"), lit("hex")),
         to_binary(lpad(hex(pmod(length(col("text")), lit(256))), 4, "0"), lit("hex")),
         encode(col("text"), "UTF-8")).as("payload"))
+
+  /** A REAL image payload: each document's utf-8 bytes become the RGB
+    * raster of a genuine PPM (P6) image, 4 pixels wide, zero-padded to fill
+    * the last row. The header is standard P6 (`P6\n<w> <h>\n255\n`), so any
+    * off-the-shelf PPM reader decodes these payloads — and [[decodePpm]]
+    * below really does.
+    */
+  def withPpmPayload(docs: DataFrame): DataFrame = {
+    val body = encode(col("text"), "UTF-8")
+    val h = greatest(ceil(length(body).cast("double") / 12.0).cast("int"), lit(1))
+    docs.select(
+      col("doc_id"), col("lang"),
+      concat(
+        encode(concat_ws("", lit("P6\n4 "), h.cast("string"), lit("\n255\n")), "UTF-8"),
+        call_function("rpad", body, h * 12, lit(Array[Byte](0)))).as("ppm"))
+  }
+
+  final case class PpmFeatures(
+      doc_id: Long, width: Int, height: Int, maxval: Int,
+      n_pixels: Long, mean_r: Double, mean_g: Double, mean_b: Double,
+      mean_gray: Double)
+
+  /** REAL pure-JVM P6 decoder: parses the magic, the whitespace- and
+    * comment-tolerant header integers (the full netpbm header grammar, not
+    * just our writer's subset), and the binary raster; extracts per-channel
+    * means. This is an actual codec for an actual format — the stub pattern
+    * below remains only for formats whose codecs genuinely aren't in the
+    * container.
+    */
+  private[graft] def parsePpm(id: Long, b: Array[Byte]): PpmFeatures = {
+    var i = 0
+    def skipWs(): Unit = {
+      var go = true
+      while (go && i < b.length) {
+        val c = (b(i) & 0xff).toChar
+        if (c == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else if (c.isWhitespace) i += 1
+        else go = false
+      }
+    }
+    def readInt(): Int = {
+      skipWs()
+      require(i < b.length && b(i) >= '0' && b(i) <= '9', s"doc $id: bad PPM header")
+      var v = 0
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') { v = v * 10 + (b(i) - '0'); i += 1 }
+      v
+    }
+    require(b.length >= 2 && b(0) == 'P' && b(1) == '6', s"doc $id: not a P6 PPM")
+    i = 2
+    val w = readInt(); val h = readInt(); val maxval = readInt()
+    i += 1 // the single whitespace byte separating header from raster
+    val n = w.toLong * h
+    require(b.length - i >= n * 3, s"doc $id: truncated raster")
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var p = 0L; var j = i
+    while (p < n) {
+      sr += b(j) & 0xff; sg += b(j + 1) & 0xff; sb += b(j + 2) & 0xff
+      j += 3; p += 1
+    }
+    def m(s: Long, d: Long) = math.round(s.toDouble / d * 10000).toDouble / 10000
+    PpmFeatures(id, w, h, maxval, n, m(sr, n), m(sg, n), m(sb, n),
+      m(sr + sg + sb, 3 * n))
+  }
+
+  /** Distributed decode behind the same batch shape as the stub: one
+    * partition streams through the parser without materializing the batch.
+    */
+  def decodePpm(withPpmDf: DataFrame): Dataset[PpmFeatures] = {
+    import withPpmDf.sparkSession.implicits._
+    withPpmDf.select("doc_id", "ppm").as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (id, bytes) => parsePpm(id, bytes) })
+  }
 
   final case class ImageFeatures(
       doc_id: Long, n_bytes: Long, magic_ok: Boolean,
@@ -110,17 +185,20 @@ object Multimodal {
              |      FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
-    // ---- stubbed decode + feature aggregation (rows-only; plumbing pinned
-    // by MultimodalSpec)
+    // ---- REAL decode: documents → genuine PPM (P6) images → pure-JVM
+    // parser → feature aggregation. Rows-only for the driver (the byte-level
+    // means aren't SQL-expressible); MultimodalSpec pins the parser against
+    // hand-crafted golden bytes and the writer's invariants.
     Q("x5_multimodal_decode",
       (s, dir) => {
-        val feats = decodeImageStub(withPayload(Tables.load(s, dir, "documents")))
+        val feats = decodePpm(withPpmPayload(Tables.load(s, dir, "documents")))
         feats.toDF()
-          .groupBy("magic_ok")
+          .groupBy("width", "maxval")
           .agg(count(lit(1)).as("n"),
-            round(avg("mean_byte"), 2).as("avg_mean_byte"),
-            max("n_bytes").as("max_bytes"))
-          .orderBy("magic_ok")
+            round(avg("mean_gray"), 2).as("avg_gray"),
+            max("height").as("max_height"),
+            sum("n_pixels").as("total_pixels"))
+          .orderBy("width", "maxval")
       },
       None)
   )

@@ -32,6 +32,40 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("PPM parser decodes hand-crafted golden bytes exactly") {
+    // 2x2 P6 with a header comment and known pixel values
+    val header = "P6\n# golden\n2 2\n255\n".getBytes("US-ASCII")
+    val raster = Array[Byte](
+      10, 20, 30,   40, 50, 60,
+      70, 80, 90,   100, 110, 120)
+    val f = Multimodal.parsePpm(7L, header ++ raster)
+    assert(f.width == 2 && f.height == 2 && f.maxval == 255 && f.n_pixels == 4)
+    assert(f.mean_r == (10 + 40 + 70 + 100) / 4.0)
+    assert(f.mean_g == (20 + 50 + 80 + 110) / 4.0)
+    assert(f.mean_b == (30 + 60 + 90 + 120) / 4.0)
+    assert(f.mean_gray == 65.0)
+    // raster bytes above 127 must read unsigned
+    val bright = Multimodal.parsePpm(8L,
+      "P6\n1 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](-1, -1, -1))
+    assert(bright.mean_gray == 255.0)
+  }
+
+  test("PPM writer emits valid P6 that the decoder round-trips") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val feats = Multimodal.decodePpm(
+      Multimodal.withPpmPayload(docs).repartition(4)).collect()
+    assert(feats.length == 500)
+    val byId = docs.select(col("doc_id"), length(encode(col("text"), "UTF-8")).as("nb"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    feats.foreach { f =>
+      assert(f.width == 4 && f.maxval == 255)
+      assert(f.height == math.max(1, math.ceil(byId(f.doc_id) / 12.0).toInt),
+        s"doc ${f.doc_id} height")
+      assert(f.n_pixels == 4L * f.height)
+      assert(f.mean_gray >= 0.0 && f.mean_gray <= 255.0)
+    }
+  }
+
   test("resize stub keeps the header and decimates the body by the factor") {
     val df = Multimodal.resizeStub(payloads.limit(20), factor = 4)
       .select("doc_id", "payload", "payload_small").collect()

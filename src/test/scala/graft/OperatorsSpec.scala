@@ -256,6 +256,30 @@ class OperatorsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(got == expected)
   }
 
+  test("IvfIndex.knnExact above the broadcast threshold shuffles the query side") {
+    val rng = new scala.util.Random(11)
+    val vecs = (0L until 100L).map(i => (i, Seq.fill(4)(rng.nextGaussian())))
+    val e = vecs.toDF("vec_id", "v")
+    val idx = graft.operators.IvfIndex.build(e)
+    val q = idx.assigned.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val baseline = graft.operators.IvfIndex.knnExact(idx, q, k = 3, nprobe = 2)
+      .select("query_id", "rk", "neighbor_id").as[(Long, Long, Long)]
+      .collect().toSeq.sorted
+    spark.conf.set("graft.ivf.broadcastThreshold", "0")
+    try {
+      val df = graft.operators.IvfIndex.knnExact(idx, q, k = 3, nprobe = 2)
+      val got = df.select("query_id", "rk", "neighbor_id").as[(Long, Long, Long)]
+        .collect().toSeq.sorted
+      assert(got == baseline, "gated plan changed the answer")
+      val p = df.queryExecution.executedPlan.toString
+      // the query-side joins must fall back to a shuffle, not a broadcast
+      // that grows linearly with the corpus
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a shuffled query-side join above threshold; plan=\n$p")
+    } finally spark.conf.unset("graft.ivf.broadcastThreshold")
+  }
+
   test("Bucketed.colocatedJoin plans with zero shuffle exchanges") {
     val orders = (1L to 500L).map(i => (i, s"o$i")).toDF("okey", "oval")
     val items = (1L to 1500L).map(i => (i % 500 + 1, s"i$i")).toDF("okey", "ival")

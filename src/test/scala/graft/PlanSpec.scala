@@ -87,14 +87,17 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"read=${scans.head.requiredSchema.fieldNames.toSet}")
   }
 
-  test("x5_neardup_ivf: no cartesian product; cell scans read the persisted index") {
+  test("x5_neardup_ivf: no cartesian product; cell scans read the index cache") {
     val df = SparkEntry.queries("x5_neardup_ivf")(spark, sfDir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"),
       "cell-pair search must join on cell keys, never plan a cartesian")
-    assert(p.contains("InMemoryTableScan"),
-      "pair sides should read the persisted assignment, not rebuild the index")
+    // loadOrBuild hands consumers parquet scans of the saved index — the
+    // plan must read those (graft-ivf cache files), not re-run the k-means
+    // build (which would show the centroid aggregation in the plan)
+    assert(p.contains("graft-ivf") && !p.contains("HashAggregate(keys=[cell0"),
+      "pair sides should read the parquet-backed index, not rebuild it")
   }
 
   test("x3_knn_ivf: probe and scan joins broadcast the small side") {

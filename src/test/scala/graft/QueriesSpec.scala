@@ -23,7 +23,22 @@ class QueriesSpec extends AnyFunSuite {
     test(s"${q.name} runs and returns rows") {
       val df = q.fn(spark, sfDir)
       assert(df.count() > 0, s"${q.name} returned no rows on sf0.001")
+      // same per-query hygiene as Bench/Verify
+      graft.Caches.drain(spark)
     }
+  }
+
+  test("Caches.drain releases a cache-heavy query's persisted frames") {
+    graft.queries.Dashboard.clearCache(spark)
+    graft.Caches.drain(spark)
+    spark.catalog.clearCache()
+    val cm = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager
+    // this query persists its tokenization + distinct-set frames
+    SparkEntry.queries("x2_jaccard_exact")(spark, sfDir).count()
+    assert(!cm.isEmpty, "expected registered persists while the query's caches are live")
+    graft.Caches.drain(spark)
+    assert(cm.isEmpty, "Caches.drain left cached plans behind")
   }
 
   test("the end-of-run cache release leaves no cached frames behind") {
