@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native (codegen'd) dot product over two `array<double>` columns.
   *
@@ -165,6 +166,145 @@ case class BitmaskIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Distinct adjacent-token bigrams ("w1 w2") in first-occurrence order —
+  * one primitive pass per document. Replaces the interpreted HOF chain
+  * `transform(sequence(1, n-1), i -> concat_ws(" ", slice(toks, i, 2)))` +
+  * `array_distinct`: higher-order functions evaluate their lambda through
+  * the interpreter per ELEMENT (~µs each, with a slice allocation per
+  * bigram), which made tokenization the dominant stage of
+  * x2_jaccard_bigram. Bit-identical output order (first occurrence), so the
+  * downstream set semantics are unchanged (NativeKernelsSpec cross-checks).
+  */
+case class BigramSet(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 2) new GenericArrayData(Array.empty[Any])
+    else {
+      val seen = new java.util.LinkedHashSet[UTF8String](2 * n)
+      val space = UTF8String.fromString(" ")
+      var i = 0
+      while (i < n - 1) {
+        seen.add(UTF8String.concat(arr.getUTF8String(i), space,
+          arr.getUTF8String(i + 1)))
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = it.next(); j += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BigramSet =
+    copy(child = newChild)
+}
+
+/** Hashed k-word shingles of a token array: each adjacent k-window is
+  * hashed (per-token FNV-1a 64 folded with a golden-ratio multiply, then a
+  * splitmix64 finalizer), deduplicated, and returned SORTED — the exact
+  * input shape `graft_minhash` and `graft_isect` consume. One primitive
+  * pass per document; replaces THREE interpreted HOF traversals
+  * (transform+slice+concat_ws, array_distinct, transform+xxhash64) that
+  * dominated the MinHash-LSH pipeline. A doc with fewer than k tokens
+  * yields its whole token list as one shingle (same fallback as
+  * TextFunctions.shingles). Hash values differ from the xxhash64-of-string
+  * formulation — immaterial: every consumer treats them as opaque shingle
+  * identities (no oracle depends on them), and collision odds are the same
+  * ~n²/2⁶⁵ already accepted for hashed shingles.
+  */
+case class ShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def fnv1a(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L; i += 1 }
+    h
+  }
+
+  private def finalizeMix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val nShingles = math.max(n - (k - 1), 1)
+    val out = new Array[Long](nShingles)
+    var i = 0
+    while (i < nShingles) {
+      var h = 0L
+      var j = i
+      val end = math.min(i + k, n)
+      while (j < end) {
+        h = h * 0x9E3779B97F4A7C15L + fnv1a(arr.getUTF8String(j))
+        j += 1
+      }
+      out(i) = finalizeMix(h)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    // in-place dedup of the sorted hashes (distinct-shingle semantics)
+    var w = 0
+    var r = 0
+    while (r < out.length) {
+      if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** LSH band keys from a MinHash signature: the signature is cut into
+  * `bands` equal slices; key b folds slice b's values with the band index
+  * mixed in, splitmix64-finalized — one long per band, band identity inside
+  * the key, so the bucket join is a single-long equi join (no struct, no
+  * string concat). Replaces `bands` interpreted slice+concat+xxhash64
+  * evaluations per document.
+  */
+case class BandKeys64(child: Expression, bands: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any = {
+    val sig = a.asInstanceOf[ArrayData].toLongArray()
+    val rows = sig.length / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = b * 0xBF58476D1CE4E5B9L
+      var j = b * rows
+      val end = j + rows
+      while (j < end) { h = h * 0x9E3779B97F4A7C15L + sig(j); j += 1 }
+      var z = h + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      out(b) = z ^ (z >>> 31)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BandKeys64 =
+    copy(child = newChild)
+}
+
 /** MinHash signature over a hashed-shingle `array<long>`: for family k, the
   * minimum over elements of splitmix64(x + k*GOLDEN_GAMMA) (Steele et al.'s
   * public-domain finalizer — full avalanche, 5 ALU ops). One pass per family,
@@ -271,5 +411,16 @@ object NativeExpressions {
     registry.createOrReplaceTempFunction(
       "graft_simhash",
       (args: Seq[Expression]) => SimHash64(args(0)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_bigrams",
+      (args: Seq[Expression]) => BigramSet(args(0)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_shingles",
+      (args: Seq[Expression]) => ShingleHashes(args(0),
+        args(1).eval().asInstanceOf[Int]), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_bands",
+      (args: Seq[Expression]) => BandKeys64(args(0),
+        args(1).eval().asInstanceOf[Int]), "built-in")
   }
 }

@@ -25,6 +25,19 @@ object TextFunctions {
     array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i, lit(k)))))
   }
 
+  /** Sorted distinct hashed k-shingles in one native pass (graft_shingles)
+    * — the fast input shape for `graft_minhash` / `graft_isect`. Caller
+    * must have run NativeExpressions.register.
+    */
+  def shingleHashes(text: Column, k: Int): Column =
+    call_function("graft_shingles", tokens(text), lit(k))
+
+  /** One 64-bit LSH band key per band, band index mixed into the key
+    * (graft_bands) — explode and equi-join on the long directly.
+    */
+  def bandKeys64(signature: Column, bands: Int): Column =
+    call_function("graft_bands", signature, lit(bands))
+
   /** MinHash signature: for each of `numHashes` hash families, the minimum
     * xxhash64 over the shingle set, the family index mixed in as an extra
     * hash input. One pass over the array per family; no shuffle.

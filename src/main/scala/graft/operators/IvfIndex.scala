@@ -74,6 +74,9 @@ object IvfIndex {
     */
   def loadOrBuild(e0: DataFrame, key: String): Index = {
     val spark = e0.sparkSession
+    // the load path skips build() — register the kernels here too, or the
+    // first IVF query of a fresh session can't resolve graft_dot
+    NativeExpressions.register(spark)
     val n = e0.count()
     val root = spark.conf.getOption("graft.ivf.cacheDir")
       .orElse(sys.env.get("SPARK_GRAFT_IVF_CACHE"))
@@ -160,11 +163,15 @@ object IvfIndex {
     */
   def knnExact(idx: Index, queries: DataFrame, k: Int, nprobe: Int = 3): DataFrame = {
     val spark = queries.sparkSession
+    NativeExpressions.register(spark)
     val threshold = spark.conf.getOption("graft.ivf.broadcastThreshold")
       .map(_.toLong).getOrElse(100000L)
     // one cheap count decides the plan shape — the AQE-style statistics call
     val bq: DataFrame => DataFrame =
       if (queries.count() <= threshold) broadcast else identity
+    // NOTE: qn/qc/probed are cheap to recompute (a broadcast NLJ over
+    // k ≈ √n cell rows) — persisting them was measured SLOWER at sf0.1
+    // (materialization jobs cost more than the recompute); leave them lazy
     val qn = queries.withColumn("qnrm", VF.l2Norm(col("qv")))
     val qc = qn.join(broadcast(idx.cells.select(col("cell"), col("cv"), col("cnrm"), col("r"))),
         lit(true))
@@ -203,6 +210,7 @@ object IvfIndex {
     * effectiveness assertions in OperatorsSpec.
     */
   def survivingCellPairs(idx: Index, t: Double): DataFrame = {
+    NativeExpressions.register(idx.cells.sparkSession)
     val a = idx.cells.select(col("cell").as("ca"), col("cv").as("cva"),
       col("cnrm").as("cna"), col("r").as("ra"))
     val b = idx.cells.select(col("cell").as("cb"), col("cv").as("cvb"),
@@ -219,6 +227,7 @@ object IvfIndex {
     * Output: (id_a, id_b, sim) with id_a < id_b, sim unrounded.
     */
   def pairsExact(idx: Index, t: Double): DataFrame = {
+    NativeExpressions.register(idx.assigned.sparkSession)
     val cp = survivingCellPairs(idx, t)
     val ma = idx.assigned.select(col("vec_id").as("id_a"), col("v").as("va"),
       col("nrm").as("na"), col("cell").as("ca"))

@@ -80,7 +80,7 @@ object Llm {
     * the QUALIFYING SET PAIRS (sa, sb, j) — shared by pair expansion and by
     * set-level dedup clustering (which never needs doc-level edges).
     */
-  private def bitsetSetsAndPairs(tok: DataFrame, t: Double,
+  private[graft] def bitsetSetsAndPairs(tok: DataFrame, t: Double,
       vocab: Int): (DataFrame, DataFrame) = {
     val words = (vocab + 63) / 64
     // vocabulary index: single-partition window over <=4096 rows (at larger
@@ -219,16 +219,14 @@ object Llm {
     // so it stays O(candidates) in DuckDB too.
     Q("x2_jaccard_bigram",
       (s, dir) => {
-        val toks = TF.tokens(col("text"))
-        // guard: a 1-token doc would make sequence(1, 0) step -1 -> [1, 0],
-        // and slice(toks, 0, 2) throws under ANSI; emit no bigrams instead
-        // (matches the oracle's range(1, 1) = empty list)
-        val bigrams = when(size(toks) >= 2,
-          array_distinct(transform(
-            sequence(lit(1), size(toks) - 1),
-            i => concat_ws(" ", slice(toks, i, lit(2))))))
-          .otherwise(array().cast("array<string>"))
-        val tok = docs(s, dir).select(col("doc_id"), explode(bigrams).as("w"))
+        graft.functions.NativeExpressions.register(s)
+        // one native pass per doc (graft_bigrams) — the HOF formulation
+        // (transform+slice+concat_ws+array_distinct) evaluates its lambda
+        // interpreted per element and dominated this query's runtime; a
+        // <2-token doc yields an empty array (no bigrams), matching the
+        // oracle's range(1, 1) = empty list
+        val tok = docs(s, dir).select(col("doc_id"),
+          explode(call_function("graft_bigrams", TF.tokens(col("text")))).as("w"))
         jaccardPairs(s, tok, 0.7)
       },
       Some("""WITH b AS (SELECT doc_id,
@@ -307,7 +305,7 @@ object Llm {
         // so recall at the 0.5 verify threshold is near-exact while the
         // bucket join stays tiny
         graft.functions.NativeExpressions.register(s)
-        val numHashes = 32; val bands = 16; val rows = numHashes / bands
+        val numHashes = 32; val bands = 16
         // Shingles are hashed to 64-bit longs ONCE up front (collision odds
         // ~n^2/2^65 — immaterial against the 0.5 verify threshold) and kept
         // SORTED, so (a) the 32 minhash families run as one native primitive
@@ -319,8 +317,7 @@ object Llm {
         // text and is consumed 4x (both band-join sides + both verify joins);
         // without it Spark re-runs text->shingle->hash per consumer.
         val d = graft.Caches.persist(docs(s, dir).select(
-          col("doc_id"),
-          array_sort(transform(TF.shingles(col("text"), 3), x => xxhash64(x))).as("sh")))
+          col("doc_id"), TF.shingleHashes(col("text"), 3).as("sh")))
         val sig = d.select(col("doc_id"),
           call_function("graft_minhash", col("sh"), lit(numHashes)).as("sig"))
         // Band join carries doc ids ONLY — candidate pairs can be ~10^6 and
@@ -328,7 +325,7 @@ object Llm {
         // dedup shuffle dominates runtime; the arrays are re-joined (by id,
         // post-dedup) solely for verification.
         val banded = sig.select(col("doc_id"),
-          explode(TF.bandKeys(col("sig"), bands, rows)).as("bk"))
+          explode(TF.bandKeys64(col("sig"), bands)).as("bk"))
         val cand = banded.as("a")
           .join(banded.as("b"),
             col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))

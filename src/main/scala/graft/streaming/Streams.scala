@@ -241,15 +241,13 @@ object Streams {
   def corpusIndex(corpus: DataFrame, numHashes: Int = 32, bands: Int = 16)
       : CorpusIndex = {
     graft.functions.NativeExpressions.register(corpus.sparkSession)
-    val rows = numHashes / bands
     val sh = corpus.select(col("doc_id").as("corpus_id"),
-      array_sort(transform(graft.functions.TextFunctions.shingles(col("text"), 3),
-        x => xxhash64(x))).as("corpus_sh"))
+      graft.functions.TextFunctions.shingleHashes(col("text"), 3).as("corpus_sh"))
       .persist()
     val banded = sh.select(col("corpus_id"),
-      explode(graft.functions.TextFunctions.bandKeys(
+      explode(graft.functions.TextFunctions.bandKeys64(
         call_function("graft_minhash", col("corpus_sh"), lit(numHashes)),
-        bands, rows)).as("bk"))
+        bands)).as("bk"))
     CorpusIndex(banded, sh)
   }
 
@@ -262,14 +260,12 @@ object Streams {
   def nearDupScreen(incoming: DataFrame, index: CorpusIndex, t: Double = 0.5,
       numHashes: Int = 32, bands: Int = 16): DataFrame = {
     graft.functions.NativeExpressions.register(incoming.sparkSession)
-    val rows = numHashes / bands
     val sh = incoming.select(col("doc_id"),
-      array_sort(transform(graft.functions.TextFunctions.shingles(col("text"), 3),
-        x => xxhash64(x))).as("sh"))
+      graft.functions.TextFunctions.shingleHashes(col("text"), 3).as("sh"))
     val banded = sh.select(col("doc_id"), col("sh"),
-      explode(graft.functions.TextFunctions.bandKeys(
+      explode(graft.functions.TextFunctions.bandKeys64(
         call_function("graft_minhash", col("sh"), lit(numHashes)),
-        bands, rows)).as("bk"))
+        bands)).as("bk"))
     banded
       .join(broadcast(index.bands), "bk")
       .dropDuplicates("doc_id", "corpus_id")

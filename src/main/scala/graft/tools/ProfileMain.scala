@@ -1,0 +1,74 @@
+package graft.tools
+
+import graft.SparkEntry
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only micro-profiler. Two modes:
+  *
+  *   sbt "runMain graft.tools.ProfileMain <sfDir> <query> [query...]"
+  *     — time each named query 3x (Caches drained between runs, like Bench)
+  *
+  *   sbt "runMain graft.tools.ProfileMain <sfDir> @bigram"
+  *     — decompose x2_jaccard_bigram into its pipeline stages
+  */
+object ProfileMain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = args.drop(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect() // warm codegen/JIT
+
+    names.foreach {
+      case "@bigram" => bigramPieces(spark, sfDir)
+      case name =>
+        (1 to 3).foreach { i =>
+          time(s"$name run$i") { SparkEntry.queries(name)(spark, sfDir).count() }
+          graft.Caches.drain(spark)
+        }
+    }
+    spark.stop()
+  }
+
+  private def time[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[profile] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+    r
+  }
+
+  private def bigramPieces(spark: SparkSession, dir: String): Unit = {
+    graft.functions.NativeExpressions.register(spark)
+    val bigrams = call_function("graft_bigrams", TF.tokens(col("text")))
+    (1 to 2).foreach { round =>
+      println(s"[profile] --- round $round ---")
+      val tok = graft.Caches.persist(
+        graft.Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), explode(bigrams).as("w")))
+      val vocab = time("tok materialize + vocab count") {
+        tok.select("w").distinct().count()
+      }
+      println(s"[profile] vocab=$vocab")
+      val (sets, pairs) = graft.queries.Llm.bitsetSetsAndPairs(tok, 0.7, vocab.toInt)
+      val nSets = time("sets (masks+collapse)") { sets.count() }
+      println(s"[profile] distinct sets=$nSets")
+      val nPairs = time("set-pair NLJ") { pairs.count() }
+      println(s"[profile] qualifying set pairs=$nPairs")
+      time("full query (expand+sort)") {
+        SparkEntry.queries("x2_jaccard_bigram")(spark, dir).count()
+      }
+      time("prefix path (for comparison)") {
+        graft.queries.Llm.prefixJaccardPairs(tok, 0.7).count()
+      }
+      graft.Caches.drain(spark)
+    }
+  }
+}

@@ -127,6 +127,26 @@ class NativeKernelsSpec extends AnyFunSuite {
     assert(native == explodeForm)
   }
 
+  test("graft_bigrams equals the HOF transform+slice+distinct formulation") {
+    val rng = new Random(13)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "ff", "g")
+    val docs = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.fill(rng.nextInt(8))(vocab(rng.nextInt(vocab.length))).mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val toks = split(col("text"), " ")
+    val hof = when(size(toks) >= 2,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", slice(toks, i, lit(2))))))
+      .otherwise(array().cast("array<string>"))
+    val got = df.select(col("doc_id"),
+        call_function("graft_bigrams", toks).as("bg"))
+      .as[(Long, Seq[String])].collect().toMap
+    val expected = df.select(col("doc_id"), hof.as("bg"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got == expected)
+  }
+
   test("bitset and naive all-pairs Jaccard agree on a ~120-word vocabulary") {
     val docs = (1L to 60L).map { i =>
       val words = (0 until 20).map(k => s"w${(i * 7 + k * 3) % 120}").distinct
