@@ -152,6 +152,13 @@ object IvfIndex {
     * establish a per-query k-th-best lower bound s_k; (2) scan every cell
     * whose triangle bound could still beat s_k; rerank the union.
     *
+    * Statistics-gated plan choice: below `graft.ivf.minCellsForPruning`
+    * cells (default 128) the two-phase plan cannot win — its two extra
+    * windows and three per-query joins cost more than scanning every
+    * member once — so a single-phase exact scan is used instead (identical
+    * output). Cells ≈ √n, so production-scale corpora always take the
+    * pruning path.
+    *
     * The QUERY-proportional frames (the query vectors, the per-query probe
     * lists, the per-query bounds) are broadcast only while the query set is
     * small (`graft.ivf.broadcastThreshold` rows, default 100k): the query
@@ -166,13 +173,32 @@ object IvfIndex {
     NativeExpressions.register(spark)
     val threshold = spark.conf.getOption("graft.ivf.broadcastThreshold")
       .map(_.toLong).getOrElse(100000L)
-    // one cheap count decides the plan shape — the AQE-style statistics call
+    // two cheap counts decide the plan shape — AQE-style statistics calls
     val bq: DataFrame => DataFrame =
       if (queries.count() <= threshold) broadcast else identity
+    val minCells = spark.conf.getOption("graft.ivf.minCellsForPruning")
+      .map(_.toLong).getOrElse(128L)
+    val qn = queries.withColumn("qnrm", VF.l2Norm(col("qv")))
+    if (idx.cells.count() <= minCells) {
+      // SINGLE-PHASE exact scan: with this few cells the triangle bound
+      // cannot prune enough to pay for its own plan (two extra windows and
+      // three joins of per-query frames — measured slower than one pass at
+      // sf0.1's 45 cells). The two-phase path engages exactly when it
+      // matters: cells ≈ √n grows with the corpus, so a production-scale
+      // index clears the bar while small corpora take the short plan.
+      // Output identical by construction (same top-k, same tie-break).
+      val wkAll = Window.partitionBy("query_id").orderBy(desc("s"), asc("neighbor_id"))
+      return idx.assigned
+        .select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("nrm").as("nn"))
+        .join(bq(qn), col("neighbor_id") =!= col("query_id"))
+        .withColumn("s", VF.dotNative(col("qv"), col("nv")) / (col("qnrm") * col("nn")))
+        .withColumn("rk", row_number().over(wkAll).cast("long"))
+        .filter(col("rk") <= k)
+        .select(col("query_id"), col("rk"), col("neighbor_id"), col("s"))
+    }
     // NOTE: qn/qc/probed are cheap to recompute (a broadcast NLJ over
     // k ≈ √n cell rows) — persisting them was measured SLOWER at sf0.1
     // (materialization jobs cost more than the recompute); leave them lazy
-    val qn = queries.withColumn("qnrm", VF.l2Norm(col("qv")))
     val qc = qn.join(broadcast(idx.cells.select(col("cell"), col("cv"), col("cnrm"), col("r"))),
         lit(true))
       .withColumn("qcos", VF.dotNative(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))

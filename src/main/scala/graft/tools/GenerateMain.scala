@@ -23,13 +23,25 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
 object GenerateMain {
 
   /** The reference's exact file shape: ONE pretty-printed JSON array
-    * (iot-data-stream.py:299-309, json.dump(data, f, indent=2)). Like the
-    * reference, this accumulates the bounded CLI-sized run in driver
-    * memory — the distributed path is `--format json` (JSON-lines).
+    * (iot-data-stream.py:299-309, json.dump(data, f, indent=2)). The rows
+    * stream through the driver one partition at a time (`toLocalIterator`)
+    * straight to the file — single-file output inherently serializes
+    * through one writer, but nothing accumulates in memory; the distributed
+    * path is `--format json` (JSON-lines).
     */
   def writeJsonArray(df: org.apache.spark.sql.DataFrame, path: String): Unit = {
-    val body = df.toJSON.collect().mkString("[\n  ", ",\n  ", "\n]")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body)
+    val w = java.nio.file.Files.newBufferedWriter(java.nio.file.Paths.get(path))
+    try {
+      w.write("[")
+      val it = df.toJSON.toLocalIterator()
+      var first = true
+      while (it.hasNext) {
+        w.write(if (first) "\n  " else ",\n  ")
+        w.write(it.next())
+        first = false
+      }
+      w.write("\n]")
+    } finally w.close()
   }
 
   def main(args: Array[String]): Unit = {

@@ -29,6 +29,7 @@ object ProfileMain {
 
     names.foreach {
       case "@bigram" => bigramPieces(spark, sfDir)
+      case "@knn" => knnPieces(spark, sfDir)
       case name =>
         (1 to 3).foreach { i =>
           time(s"$name run$i") { SparkEntry.queries(name)(spark, sfDir).count() }
@@ -43,6 +44,28 @@ object ProfileMain {
     val r = f
     println(f"[profile] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
     r
+  }
+
+  private def knnPieces(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    (1 to 2).foreach { round =>
+      println(s"[profile] --- knn round $round ---")
+      val idx = time("loadOrBuild") {
+        val e = graft.Tables.load(spark, dir, "embeddings").select(col("vec_id"),
+          graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+        graft.operators.IvfIndex.loadOrBuild(e, key = dir)
+      }
+      val q = idx.assigned.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      time("queries count") { q.count() }
+      time("knnExact full") {
+        graft.operators.IvfIndex.knnExact(idx, q, k = 10, nprobe = 3).count()
+      }
+      time("registered query e2e") {
+        graft.SparkEntry.queries("x3_knn_ivf")(spark, dir).count()
+      }
+      graft.Caches.drain(spark)
+    }
   }
 
   private def bigramPieces(spark: SparkSession, dir: String): Unit = {

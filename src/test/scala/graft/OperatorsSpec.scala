@@ -174,17 +174,32 @@ class OperatorsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(got.values.toSeq.sorted == Seq(1L, 2L, 3L))
   }
 
+  /** Force knnExact's two-phase pruning path (the subject under test) even
+    * on tiny corpora, where the statistics gate would take the single-phase
+    * scan.
+    */
+  private def withPruningPath[T](f: => T): T = {
+    spark.conf.set("graft.ivf.minCellsForPruning", "0")
+    try f finally spark.conf.unset("graft.ivf.minCellsForPruning")
+  }
+
   test("IvfIndex edges: tiny corpus, k larger than candidates, self-pair search") {
     val e = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.9, 0.1)), (2L, Seq(0.0, 1.0)))
       .toDF("vec_id", "v")
     val idx = graft.operators.IvfIndex.build(e)
     assert(idx.assigned.count() == 3)
-    // k=5 > n-1 candidates: returns everything ranked, no crash
+    // k=5 > n-1 candidates: returns everything ranked, no crash — on BOTH
+    // the single-phase (default at 3 cells) and the pruning path
     val q = idx.assigned.filter(col("vec_id") === 0L)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val knn = graft.operators.IvfIndex.knnExact(idx, q, k = 5, nprobe = 1)
       .select("rk", "neighbor_id").as[(Long, Long)].collect().toSeq.sorted
     assert(knn == Seq((1L, 1L), (2L, 2L)))
+    val knnPruned = withPruningPath {
+      graft.operators.IvfIndex.knnExact(idx, q, k = 5, nprobe = 1)
+        .select("rk", "neighbor_id").as[(Long, Long)].collect().toSeq.sorted
+    }
+    assert(knnPruned == knn)
     // pair search at a threshold only the near-parallel pair passes
     val pairs = graft.operators.IvfIndex.pairsExact(idx, 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
@@ -239,9 +254,17 @@ class OperatorsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     val idx = graft.operators.IvfIndex.build(e)
     val q = idx.assigned.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val got = graft.operators.IvfIndex.knnExact(idx, q, k = 5, nprobe = 2)
+    // the pruning path is the property under test; the default single-phase
+    // path (this corpus has ~11 cells) must agree with it
+    val got = withPruningPath {
+      graft.operators.IvfIndex.knnExact(idx, q, k = 5, nprobe = 2)
+        .select("query_id", "rk", "neighbor_id").as[(Long, Long, Long)]
+        .collect().toSeq.sorted
+    }
+    val gotSinglePhase = graft.operators.IvfIndex.knnExact(idx, q, k = 5, nprobe = 2)
       .select("query_id", "rk", "neighbor_id").as[(Long, Long, Long)]
       .collect().toSeq.sorted
+    assert(gotSinglePhase == got, "single-phase and pruning paths disagree")
     def cos(a: Seq[Double], b: Seq[Double]) =
       a.zip(b).map { case (x, y) => x * y }.sum /
         (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
@@ -267,7 +290,7 @@ class OperatorsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       .select("query_id", "rk", "neighbor_id").as[(Long, Long, Long)]
       .collect().toSeq.sorted
     spark.conf.set("graft.ivf.broadcastThreshold", "0")
-    try {
+    try withPruningPath {
       val df = graft.operators.IvfIndex.knnExact(idx, q, k = 3, nprobe = 2)
       val got = df.select("query_id", "rk", "neighbor_id").as[(Long, Long, Long)]
         .collect().toSeq.sorted
