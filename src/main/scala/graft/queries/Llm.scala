@@ -95,14 +95,24 @@ object Llm {
     val sets = graft.Caches.persist(masks.groupBy("mask", "n")
       .agg(collect_list("doc_id").as("ds"), min("doc_id").as("sid")))
       // consumed by both sides of the set-pair join + 2 expansions
-    // The FULL Jaccard predicate lives in the join condition, so the
-    // broadcast NLJ streams S^2 codegen'd popcounts and materializes ONLY
-    // qualifying set pairs (instead of S^2/3 length-passing rows of wide
-    // mask+doc-list tuples). Doc lists re-attach by set id afterwards.
+    // The FULL Jaccard predicate lives in the join condition, so the NLJ
+    // streams S^2 codegen'd popcounts and materializes ONLY qualifying set
+    // pairs (instead of S^2/3 length-passing rows of wide mask+doc-list
+    // tuples). Doc lists re-attach by set id afterwards.
+    // DISTINCT SETS don't always collapse — an adversarial corpus keeps
+    // S ≈ n docs — so the build side is broadcast only below a threshold
+    // (the count forces the persisted sets frame once; every later consumer
+    // reads the cache). Above it, the un-hinted non-equi join plans as a
+    // block-partitioned cartesian: the same S^2 predicate stream, but
+    // distributed across executors instead of S rows in driver memory.
+    val bcThreshold = tok.sparkSession.conf
+      .getOption("graft.jaccard.broadcastThreshold").map(_.toLong).getOrElse(100000L)
+    val bs: DataFrame => DataFrame =
+      if (sets.count() <= bcThreshold) broadcast else identity
     def isect(l: Column, r: Column) = call_function("graft_mask_isect", l, r)
     val a = sets.select(col("mask").as("maska"), col("n").as("na"), col("sid").as("sa"))
     val b = sets.select(col("mask").as("maskb"), col("n").as("nb"), col("sid").as("sb"))
-    val pairs = a.join(broadcast(b),
+    val pairs = a.join(bs(b),
         col("sa") <= col("sb") &&
           least(col("na"), col("nb")).cast("double") >=
             greatest(col("na"), col("nb")) * t &&

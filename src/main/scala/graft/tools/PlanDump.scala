@@ -33,9 +33,13 @@ object PlanDump {
       |  qualifying pairs materialize.
       |- x3_knn_brute: BroadcastNestedLoopJoin over the broadcast query set with
       |  codegen'd graft_dot in the projection.
-      |- x3_knn_ivf: the exact pruned IVF search — broadcast probe/survivor cell
-      |  lists joined against the persisted cell assignment (InMemoryTableScan),
-      |  per-query windows only over scanned candidates.
+      |- x3_knn_ivf: the exact IVF search over the PARQUET-BACKED index
+      |  (FileScan of the graft-ivf cache, never the k-means build). At this
+      |  cell count the statistics gate picks the single-phase exact scan;
+      |  above `graft.ivf.minCellsForPruning` cells the two-phase
+      |  triangle-pruning plan appears (probe window -> bound -> survivor
+      |  scan), with query-side joins broadcast only below
+      |  `graft.ivf.broadcastThreshold`.
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {

@@ -167,6 +167,38 @@ class NativeKernelsSpec extends AnyFunSuite {
     assert(got == naive, s"missing=${naive -- got} extra=${got -- naive}")
   }
 
+  test("bitset set-pair join above the broadcast threshold distributes, same answer") {
+    val docs = (1L to 60L).map { i =>
+      val words = (0 until 20).map(k => s"w${(i * 7 + k * 3) % 120}").distinct
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val tok = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("w"))
+    val baseline = graft.queries.Llm.jaccardPairsForTest(spark, tok, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.Caches.drain(spark)
+    // above the graft threshold the join carries no broadcast hint — the
+    // planner's own statistics take over. Emulate a too-big-to-broadcast
+    // side by disabling auto-broadcast: the plan must degrade to a
+    // block-partitioned cartesian, not die or change the answer.
+    spark.conf.set("graft.jaccard.broadcastThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.queries.Llm.jaccardPairsForTest(spark, tok, 0.5)
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == baseline, "gated plan changed the answer")
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"set-pair join must not broadcast above the threshold; plan=\n$p")
+      assert(p.contains("CartesianProduct"),
+        s"expected the distributed block-partitioned cartesian; plan=\n$p")
+    } finally {
+      spark.conf.unset("graft.jaccard.broadcastThreshold")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      graft.Caches.drain(spark)
+    }
+  }
+
   test("prefix-path Jaccard (open-vocabulary branch) agrees with naive") {
     val rng = new Random(23)
     // open-ish vocabulary with planted near-dup pairs; call the prefix path
