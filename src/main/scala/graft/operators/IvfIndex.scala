@@ -231,6 +231,41 @@ object IvfIndex {
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("s"))
   }
 
+  /** APPROXIMATE top-k: scan only the `nprobe` nearest cells per query —
+    * the classic IVF ANN operating point (Jégou et al., TPAMI'11), where
+    * recall is traded for a hard bound on scanned fraction (~nprobe/k of
+    * the corpus, k ≈ √n cells). Use this when the corpus is too large for
+    * the exact two-phase search's worst case (isotropic data degrades
+    * exact search to a full scan; this never scans more than nprobe
+    * cells). Recall on clustered corpora is pinned ≥0.9 in OperatorsSpec;
+    * `knnExact` (recall 1.0) remains the default engine path.
+    */
+  def knnApprox(idx: Index, queries: DataFrame, k: Int, nprobe: Int = 8): DataFrame = {
+    val spark = queries.sparkSession
+    NativeExpressions.register(spark)
+    val threshold = spark.conf.getOption("graft.ivf.broadcastThreshold")
+      .map(_.toLong).getOrElse(100000L)
+    val bq: DataFrame => DataFrame =
+      if (queries.count() <= threshold) broadcast else identity
+    val qn = queries.withColumn("qnrm", VF.l2Norm(col("qv")))
+    val qc = qn.join(broadcast(idx.cells.select(col("cell"), col("cv"), col("cnrm"))),
+        lit(true))
+      .withColumn("qcos", VF.dotNative(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
+    val wp = Window.partitionBy("query_id").orderBy(desc("qcos"), asc("cell"))
+    val probed = qc.withColumn("prk", row_number().over(wp)).filter(col("prk") <= nprobe)
+      .select(col("query_id"), col("cell"))
+    val members = idx.assigned.select(col("vec_id").as("neighbor_id"), col("cell"),
+      col("v").as("nv"), col("nrm").as("nn"))
+    val wk = Window.partitionBy("query_id").orderBy(desc("s"), asc("neighbor_id"))
+    members.join(bq(probed), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .join(bq(qn), "query_id")
+      .withColumn("s", VF.dotNative(col("qv"), col("nv")) / (col("qnrm") * col("nn")))
+      .withColumn("rk", row_number().over(wk).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("s"))
+  }
+
   /** Ordered cell pairs (both directions, plus the diagonal) whose triangle
     * bound admits a member pair with cosine ≥ t. Exposed for the pruning-
     * effectiveness assertions in OperatorsSpec.

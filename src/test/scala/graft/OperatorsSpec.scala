@@ -279,6 +279,32 @@ class OperatorsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(got == expected)
   }
 
+  test("IvfIndex.knnApprox: recall >= 0.9 on clustered data at nprobe=4") {
+    val rng = new scala.util.Random(17)
+    val centers = Seq.fill(8)(Array.fill(6)(rng.nextGaussian()))
+    val vecs = (0L until 240L).map { i =>
+      val ctr = centers((i % 8).toInt)
+      (i, ctr.map(x => x + rng.nextGaussian() * 0.05).toSeq)
+    }
+    val e = vecs.toDF("vec_id", "v")
+    val idx = graft.operators.IvfIndex.build(e)
+    val q = idx.assigned.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val exact = withPruningPath {
+      graft.operators.IvfIndex.knnExact(idx, q, k = 5, nprobe = 2)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    }
+    val approx = graft.operators.IvfIndex.knnApprox(idx, q, k = 5, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall")
+    // and the approximate path returns at most k rows per query
+    val perQuery = graft.operators.IvfIndex.knnApprox(idx, q, k = 5, nprobe = 4)
+      .groupBy("query_id").count().select("count").as[Long].collect()
+    assert(perQuery.forall(_ <= 5))
+  }
+
   test("IvfIndex.knnExact above the broadcast threshold shuffles the query side") {
     val rng = new scala.util.Random(11)
     val vecs = (0L until 100L).map(i => (i, Seq.fill(4)(rng.nextGaussian())))
