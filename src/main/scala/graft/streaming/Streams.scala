@@ -236,7 +236,14 @@ object Streams {
     * Index build is batch (`corpusIndex`), reusing the exact kernels of
     * x2_minhash_lsh, so screen decisions match the batch dedup pass.
     */
-  final case class CorpusIndex(bands: DataFrame, shingles: DataFrame)
+  final case class CorpusIndex(bands: DataFrame, shingles: DataFrame) {
+    /** Release the persisted shingle table. The index intentionally outlives
+      * any one micro-batch (it is shared by every batch of the screen), so
+      * its cache is NOT in the per-query `graft.Caches` registry; the owner
+      * that built it calls this when the streaming job is done.
+      */
+    def release(): Unit = shingles.unpersist(blocking = false)
+  }
 
   def corpusIndex(corpus: DataFrame, numHashes: Int = 32, bands: Int = 16)
       : CorpusIndex = {

@@ -257,6 +257,7 @@ class StreamingSpec extends AnyFunSuite {
       // novel document
       (2L, "completely unrelated text about cooking pasta with garlic and olive oil"))
     q.processAllAvailable(); q.stop()
+    index.release()
     val flagged = spark.read.parquet(s"$dir/out/batch_id=0")
       .select("doc_id", "dup_of").as[(Long, Long)].collect().toSet
     assert(flagged == Set((1L, 100L)),
