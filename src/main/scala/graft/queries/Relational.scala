@@ -77,7 +77,10 @@ object Relational {
         val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
         val ord = t(s, dir, "orders")
         val li = t(s, dir, "lineitem")
-        ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        // customer is SF-proportional (not a bounded dim like nation/region):
+        // no broadcast hint — AQE broadcasts it while it fits and switches
+        // to a shuffle join at scale, which a forced hint would prevent
+        ord.join(cust, col("o_custkey") === col("c_custkey"))
           .join(li, col("l_orderkey") === col("o_orderkey"))
           .groupBy("o_orderkey")
           .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
@@ -98,8 +101,10 @@ object Relational {
         val cust = t(s, dir, "customer")
         val nat = t(s, dir, "nation")
         val reg = t(s, dir, "region")
+        // nation/region are BOUNDED dims (25/5 rows at any SF) — hint them;
+        // customer grows with SF, so its join is left to planner statistics
         li.join(ord, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
           .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
           .groupBy("r_name", "n_name")
@@ -496,7 +501,9 @@ object Relational {
         val li = t(s, dir, "lineitem")
         val sup = t(s, dir, "supplier")
         val nat = t(s, dir, "nation")
-        li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        // supplier is SF-proportional — un-hinted (AQE decides); nation is a
+        // bounded dim
+        li.join(sup, col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
           .groupBy("s_name", "n_name")
           .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
