@@ -285,6 +285,45 @@ object Streams {
         round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Streaming EMBEDDING near-dup screen: incoming `(doc_id, embedding)`
+    * rows are checked against a static corpus' IVF index
+    * ([[graft.operators.IvfIndex.loadOrBuild]]) — the vector-modality twin
+    * of [[nearDupScreen]]. EXACT (the triangle bound `sim(q,x) ≤
+    * cos(max(0, θ(q,c) − r_c))` prunes cells, never answers), and — unlike
+    * the MinHash screen — expressible as pure stream-static equi/broadcast
+    * joins + filters with no ranking window, so it runs as a genuine
+    * append-mode streaming query: no foreachBatch, no state store, no
+    * watermark. Per incoming vector the work is one pass over the k ≈ √n
+    * broadcast cells plus only the members of cells whose bound clears `t`.
+    *
+    * Returns (doc_id, dup_of, sim) — one row per flagged (incoming, corpus)
+    * pair with cosine ≥ t.
+    */
+  def embeddingScreen(incoming: DataFrame,
+      idx: graft.operators.IvfIndex.Index, t: Double): DataFrame = {
+    graft.functions.NativeExpressions.register(incoming.sparkSession)
+    val VF = graft.functions.VectorFunctions
+    val qn = incoming.select(col("doc_id"),
+        VF.toDouble(col("embedding")).as("qv"))
+      .withColumn("qnrm", VF.l2Norm(col("qv")))
+    // cells whose triangle bound admits a member with sim >= t
+    val qc = qn.join(broadcast(idx.cells.select(col("cell"), col("cv"), col("cnrm"), col("r"))),
+        lit(true))
+      .withColumn("qtheta", acos(least(greatest(
+        VF.dotNative(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")),
+        lit(-1.0)), lit(1.0))))
+      .filter(cos(greatest(col("qtheta") - col("r"), lit(0.0))) >= lit(t) - lit(1e-9))
+      .select(col("doc_id"), col("qv"), col("qnrm"), col("cell"))
+    // the corpus assignment is NOT broadcast — it is linear in the corpus;
+    // a stream-static equi join on `cell` lets Spark plan it by statistics
+    qc.join(idx.assigned.select(col("vec_id"), col("cell"),
+        col("v").as("nv"), col("nrm").as("nn")), Seq("cell"))
+      .withColumn("sim", VF.dotNative(col("qv"), col("nv")) / (col("qnrm") * col("nn")))
+      .filter(col("sim") >= t)
+      .select(col("doc_id"), col("vec_id").as("dup_of"),
+        round(col("sim"), 4).as("sim"))
+  }
+
   /** Streaming wrapper: screen each micro-batch against the static index,
     * write flagged pairs to `path/batch_id=N`. Batch semantics inside
     * foreachBatch make the band-hit dedup a plain batch dropDuplicates —

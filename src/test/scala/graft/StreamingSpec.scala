@@ -264,6 +264,41 @@ class StreamingSpec extends AnyFunSuite {
       s"expected only the planted near-dup flagged, got $flagged")
   }
 
+  test("streaming embedding screen flags vector near-dups in pure append mode") {
+    import graft.streaming.Streams
+    val rng = new scala.util.Random(41)
+    // clustered corpus: 4 tight clusters in 5-d
+    val centers = Seq.fill(4)(Array.fill(5)(rng.nextGaussian()))
+    val corpusVecs = (0L until 80L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(x => (x + rng.nextGaussian() * 0.01).toFloat).toSeq)
+    }
+    val corpus = corpusVecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+      .select("vec_id", "v")
+    val idx = graft.operators.IvfIndex.build(corpus)
+    // stream: a near-identical twin of corpus vec 0, and an orthogonal-ish
+    // novel vector far from every cluster
+    val twin = corpusVecs.head._2.map(x => x + 1e-4f)
+    val novel = Seq.fill(5)(10f * rng.nextGaussian().toFloat)
+    val in = MemoryStream[(Long, Seq[Float])](spark)
+    val screened = Streams.embeddingScreen(
+      in.toDF().toDF("doc_id", "embedding"), idx, t = 0.95)
+    assert(screened.isStreaming, "screen must stay a streaming plan")
+    val q = screened.writeStream.format("memory")
+      .queryName("emb_screen").outputMode("append").start()
+    in.addData((1L, twin), (2L, novel))
+    q.processAllAvailable(); q.stop()
+    val flagged = spark.table("emb_screen")
+      .select("doc_id", "dup_of").as[(Long, Long)].collect().toSet
+    // the twin is flagged against its cluster (certainly vec 0); the novel
+    // vector is admitted
+    assert(flagged.contains((1L, 0L)), s"twin not flagged: $flagged")
+    assert(!flagged.exists(_._1 == 2L), s"novel doc wrongly flagged: $flagged")
+    graft.Caches.drain(spark)
+  }
+
   test("S1 generatorRateStream is a streaming Dataset[Reading] (rate-source driver)") {
     val ds = graft.streaming.Streams.generatorRateStream(spark, nDevices = 3,
       rowsPerSecond = 50)
