@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BitmaskIntersectCount, DotProduct, MaskFromIndices, MinHashSignature64, SortedIntersectCount}
+import graft.functions.{BandKeys64, BigramSet, BitmaskIntersectCount, DotProduct, MaskFromIndices, MinHashSignature64, ShingleHashes, SimHash64, SortedIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -39,5 +39,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_minhash", classOf[MinHashSignature64]),
       (args: Seq[Expression]) =>
         MinHashSignature64(args(0), args(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", classOf[SimHash64]),
+      (args: Seq[Expression]) => SimHash64(args(0))))
+    ext.injectFunction((FunctionIdentifier("graft_bigrams"),
+      info("graft_bigrams", classOf[BigramSet]),
+      (args: Seq[Expression]) => BigramSet(args(0))))
+    ext.injectFunction((FunctionIdentifier("graft_shingles"),
+      info("graft_shingles", classOf[ShingleHashes]),
+      (args: Seq[Expression]) =>
+        ShingleHashes(args(0), args(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("graft_bands"),
+      info("graft_bands", classOf[BandKeys64]),
+      (args: Seq[Expression]) =>
+        BandKeys64(args(0), args(1).eval().asInstanceOf[Int])))
   }
 }

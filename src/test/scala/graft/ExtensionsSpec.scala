@@ -28,5 +28,20 @@ class ExtensionsSpec extends AnyFunSuite {
     val sig = fresh.sql("SELECT size(graft_minhash(array(42L, 7L), 16))")
       .collect().head.getInt(0)
     assert(sig == 16)
+    val bigrams = fresh.sql(
+      "SELECT graft_bigrams(array('a', 'b', 'a', 'b'))")
+      .collect().head.getSeq[String](0)
+    assert(bigrams == Seq("a b", "b a"))
+    val nShingles = fresh.sql(
+      "SELECT size(graft_shingles(array('a', 'b', 'c', 'd'), 3))")
+      .collect().head.getInt(0)
+    assert(nShingles == 2)
+    val bands = fresh.sql(
+      "SELECT size(graft_bands(graft_minhash(array(42L, 7L), 16), 8))")
+      .collect().head.getInt(0)
+    assert(bands == 8)
+    val sh = fresh.sql("SELECT graft_simhash(array(5L))")
+      .collect().head.getLong(0)
+    assert(sh == 5L, "simhash of a single hash is that hash's bits")
   }
 }
