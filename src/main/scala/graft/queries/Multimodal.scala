@@ -106,6 +106,103 @@ object Multimodal {
       .mapPartitions(rows => rows.map { case (id, bytes) => parsePpm(id, bytes) })
   }
 
+  /** A REAL audio payload: each document's utf-8 bytes become PCM16 mono
+    * samples (byte b → sample (b-128)*256, a linear 8-bit→16-bit mapping)
+    * inside a genuine RIFF/WAVE container (RIFF header, fmt chunk, data
+    * chunk, little-endian) — any standard WAV reader plays these.
+    */
+  def wavBytes(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2)            // block align
+      .putShort(16)           // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  def withWavPayload(docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import docs.sparkSession.implicits._
+    docs.select("doc_id", "text").as[(Long, String)].mapPartitions { rows =>
+      rows.map { case (id, text) =>
+        val samples = text.getBytes("UTF-8")
+          .map(b => (((b & 0xff) - 128) * 256).toShort)
+        (id, wavBytes(samples, sampleRate = 8000))
+      }
+    }
+  }
+
+  final case class WavFeatures(
+      doc_id: Long, sample_rate: Int, n_channels: Int, bits_per_sample: Int,
+      n_samples: Long, duration_ms: Long, rms: Double, peak: Int)
+
+  /** REAL pure-JVM WAV decoder: a RIFF chunk walker (not a fixed-offset
+    * peek) — validates the RIFF/WAVE magic, iterates chunks honoring the
+    * spec's even-byte padding, reads the fmt chunk wherever it appears, and
+    * extracts PCM16 samples from the data chunk; features are RMS amplitude
+    * and peak. MultimodalSpec pins it against hand-crafted golden bytes,
+    * including a chunk order the writer never emits.
+    */
+  private[graft] def parseWav(id: Long, b: Array[Byte]): WavFeatures = {
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII")
+    }
+    require(b.length >= 12 && fourcc() == "RIFF", s"doc $id: no RIFF magic")
+    bb.getInt // riff size (trusting actual length below)
+    require(fourcc() == "WAVE", s"doc $id: not a WAVE file")
+    var sampleRate = -1; var channels = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    while (bb.remaining() >= 8) {
+      val cid = fourcc()
+      val len = bb.getInt
+      require(len >= 0 && bb.remaining() >= len, s"doc $id: truncated chunk $cid")
+      if (cid == "fmt ") {
+        val p = bb.position()
+        require(bb.getShort() == 1, s"doc $id: not PCM")
+        channels = bb.getShort()
+        sampleRate = bb.getInt
+        bb.getInt; bb.getShort // byte rate, block align
+        bits = bb.getShort()
+        bb.position(p)
+      } else if (cid == "data") {
+        dataOff = bb.position(); dataLen = len
+      }
+      // chunks are word-aligned: odd sizes carry one pad byte
+      bb.position(bb.position() + len + (len & 1))
+    }
+    require(sampleRate > 0 && dataOff >= 0, s"doc $id: missing fmt or data chunk")
+    require(bits == 16 && channels == 1, s"doc $id: expected PCM16 mono")
+    val n = dataLen / 2
+    var sumSq = 0.0
+    var peak = 0
+    var i = 0
+    while (i < n) {
+      val s = bb.getShort(dataOff + 2 * i).toInt
+      sumSq += s.toDouble * s
+      if (math.abs(s) > peak) peak = math.abs(s)
+      i += 1
+    }
+    val rms = if (n == 0) 0.0
+      else math.round(math.sqrt(sumSq / n) * 10000).toDouble / 10000
+    WavFeatures(id, sampleRate, channels, bits, n.toLong,
+      n.toLong * 1000 / sampleRate, rms, peak)
+  }
+
+  /** Distributed decode — same batch shape as the PPM and stub paths. */
+  def decodeWav(payloads: Dataset[(Long, Array[Byte])]): Dataset[WavFeatures] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions(rows => rows.map { case (id, bytes) => parseWav(id, bytes) })
+  }
+
   final case class ImageFeatures(
       doc_id: Long, n_bytes: Long, magic_ok: Boolean,
       width: Int, height: Int, mean_byte: Double)
@@ -184,6 +281,19 @@ object Multimodal {
              |         encode(text)) AS payload
              |      FROM documents)
              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- REAL audio decode: documents → genuine RIFF/WAVE (PCM16 mono)
+    // payloads → pure-JVM chunk-walking parser → per-doc RMS/peak features.
+    // Rows-only (sample-level math isn't SQL-expressible); MultimodalSpec
+    // pins the parser against golden bytes incl. reordered chunks.
+    Q("x5_audio_features",
+      (s, dir) => {
+        val feats = decodeWav(withWavPayload(Tables.load(s, dir, "documents")))
+        feats.toDF()
+          .select("doc_id", "sample_rate", "n_samples", "duration_ms", "rms", "peak")
+          .orderBy("doc_id")
+      },
+      None),
 
     // ---- REAL decode: documents → genuine PPM (P6) images → pure-JVM
     // parser → feature aggregation. Rows-only for the driver (the byte-level

@@ -66,6 +66,43 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("WAV parser decodes golden bytes exactly, including reordered chunks") {
+    // writer round-trip: known samples -> known RMS/peak
+    val samples = Array[Short](0, 100, -200, 300)
+    val f = Multimodal.parseWav(3L, Multimodal.wavBytes(samples, 8000))
+    assert(f.sample_rate == 8000 && f.n_channels == 1 && f.bits_per_sample == 16)
+    assert(f.n_samples == 4 && f.peak == 300)
+    val expectedRms = math.round(math.sqrt((0.0 + 100 * 100 + 200 * 200 + 300 * 300) / 4)
+      * 10000).toDouble / 10000
+    assert(f.rms == expectedRms)
+    // a conforming-but-unusual file: data chunk BEFORE fmt, plus an unknown
+    // odd-length chunk with its pad byte — a fixed-offset peek would fail
+    val bb = java.nio.ByteBuffer.allocate(100)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(92).put("WAVE".getBytes("US-ASCII"))
+    bb.put("junk".getBytes("US-ASCII")).putInt(3).put(Array[Byte](1, 2, 3)).put(0.toByte)
+    bb.put("data".getBytes("US-ASCII")).putInt(4).putShort(1000).putShort(-1000)
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(16000).putInt(32000).putShort(2).putShort(16)
+    val g = Multimodal.parseWav(4L, java.util.Arrays.copyOf(bb.array(), bb.position()))
+    assert(g.sample_rate == 16000 && g.n_samples == 2 && g.peak == 1000)
+    assert(g.rms == 1000.0)
+  }
+
+  test("WAV writer emits valid RIFF that the decoder round-trips over documents") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val feats = Multimodal.decodeWav(
+      Multimodal.withWavPayload(docs).repartition(4)).collect()
+    assert(feats.length == 500)
+    val byId = docs.select(col("doc_id"), length(encode(col("text"), "UTF-8")).as("nb"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    feats.foreach { f =>
+      assert(f.sample_rate == 8000 && f.n_channels == 1 && f.bits_per_sample == 16)
+      assert(f.n_samples == byId(f.doc_id).toLong, s"doc ${f.doc_id} samples")
+      assert(f.peak <= 32768 && f.rms >= 0.0)
+    }
+  }
+
   test("resize stub keeps the header and decimates the body by the factor") {
     val df = Multimodal.resizeStub(payloads.limit(20), factor = 4)
       .select("doc_id", "payload", "payload_small").collect()
