@@ -30,6 +30,7 @@ object ProfileMain {
     names.foreach {
       case "@bigram" => bigramPieces(spark, sfDir)
       case "@knn" => knnPieces(spark, sfDir)
+      case "@clusters" => clusterPieces(spark, sfDir)
       case name =>
         (1 to 3).foreach { i =>
           time(s"$name run$i") { SparkEntry.queries(name)(spark, sfDir).count() }
@@ -44,6 +45,31 @@ object ProfileMain {
     val r = f
     println(f"[profile] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
     r
+  }
+
+  private def clusterPieces(spark: SparkSession, dir: String): Unit = {
+    graft.functions.NativeExpressions.register(spark)
+    (1 to 2).foreach { round =>
+      println(s"[profile] --- clusters round $round ---")
+      val tok = graft.Caches.persist(graft.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokenSet(col("text"))).as("w")))
+      val vocab = time("tok + vocab count") { tok.select("w").distinct().count() }
+      val (sets, pairs) = graft.queries.Llm.bitsetSetsAndPairs(tok, 0.9, vocab.toInt)
+      val nSets = time("sets") { sets.count() }
+      val nPairs = time("pairs") { pairs.filter(col("sa") =!= col("sb")).count() }
+      println(s"[profile] vocab=$vocab sets=$nSets cross-set pairs=$nPairs")
+      time("CC") {
+        graft.operators.ConnectedComponents(
+          sets.select(col("sid").as("id")),
+          pairs.filter(col("sa") =!= col("sb"))
+            .select(col("sa").as("src"), col("sb").as("dst"))).count()
+      }
+      time("full query e2e") {
+        graft.SparkEntry.queries("x1_dedup_clusters")(spark, dir).count()
+      }
+      graft.Caches.drain(spark)
+    }
   }
 
   private def knnPieces(spark: SparkSession, dir: String): Unit = {
