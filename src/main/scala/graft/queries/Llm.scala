@@ -863,6 +863,151 @@ object Llm {
              |  FROM documents)
              |WHERE rk <= 20 ORDER BY doc_id""".stripMargin)),
 
+    // ---- X4 curation: within-document repetition filter (the Gopher
+    // repetition family): fraction of duplicate trigrams per doc. A doc
+    // whose trigram stream repeats itself is template spam / generation
+    // loops; pretraining pipelines drop above a few percent. Pure per-row
+    // expressions — embarrassingly parallel, no shuffle before the sort.
+    // Ratio in exact e4 units (integer floor-div; both sides non-negative,
+    // so Spark `div` truncation == DuckDB `//` floor).
+    Q("x4_repetition",
+      (s, dir) => {
+        val toks = TF.tokens(col("text"))
+        val tris = transform(sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+          i => concat_ws(" ", slice(toks, i, lit(3))))
+        docs(s, dir).select(
+          col("doc_id"),
+          size(tris).cast("long").as("n_trigrams"),
+          size(array_distinct(tris)).cast("long").as("n_distinct_trigrams"))
+          .withColumn("dup_ratio_e4",
+            expr("(n_trigrams - n_distinct_trigrams) * 10000 div n_trigrams"))
+          .withColumn("passes_repetition", col("dup_ratio_e4") <= 200)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+             |tri AS (SELECT doc_id, array_to_string(toks[o:o+2],' ') AS g
+             |  FROM (SELECT doc_id, toks,
+             |          UNNEST(range(1, greatest(len(toks)-2,1)+1)) AS o FROM t))
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+             |  CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct_trigrams,
+             |  CAST((COUNT(*) - COUNT(DISTINCT g)) * 10000 // COUNT(*) AS BIGINT)
+             |    AS dup_ratio_e4,
+             |  (COUNT(*) - COUNT(DISTINCT g)) * 10000 // COUNT(*) <= 200
+             |    AS passes_repetition
+             |FROM tri GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- X4 curation: cross-document boilerplate detection (the line-dedup
+    // leg of RefinedWeb/CCNet, adapted to space-tokenized docs): a trigram
+    // occurring in >= 5 DISTINCT documents is boilerplate; score each doc by
+    // the share of its distinct trigrams that are boilerplate. Plan shape:
+    // explode distinct trigrams -> document-frequency aggregation (map-side
+    // partial) -> join back on the trigram -> per-doc aggregation. All
+    // equi-key shuffles; at 100 TB the join key would be graft_shingles'
+    // 64-bit hash instead of the raw string (same plan, narrower shuffle) —
+    // strings here keep the DuckDB oracle exact.
+    Q("x4_boilerplate",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val tri = d.select(col("doc_id"),
+          explode(TF.shingles(col("text"), 3)).as("g"))
+        val df_ = tri.groupBy("g").agg(count(lit(1)).as("df"))
+        tri.join(df_, "g")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("df") >= 5, 1L).otherwise(0L)).as("n_boilerplate"))
+          .withColumn("boilerplate_ratio_e4",
+            expr("n_boilerplate * 10000 div n_shingles"))
+          .withColumn("boilerplate_heavy", col("boilerplate_ratio_e4") >= 3000)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+             |tri AS (SELECT DISTINCT doc_id, array_to_string(toks[o:o+2],' ') AS g
+             |  FROM (SELECT doc_id, toks,
+             |          UNNEST(range(1, greatest(len(toks)-2,1)+1)) AS o FROM t)),
+             |df AS (SELECT g, COUNT(*) AS df FROM tri GROUP BY g)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             |  CAST(SUM(CASE WHEN df >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_boilerplate,
+             |  CAST(SUM(CASE WHEN df >= 5 THEN 1 ELSE 0 END) * 10000 // COUNT(*)
+             |    AS BIGINT) AS boilerplate_ratio_e4,
+             |  SUM(CASE WHEN df >= 5 THEN 1 ELSE 0 END) * 10000 // COUNT(*) >= 3000
+             |    AS boilerplate_heavy
+             |FROM tri JOIN df USING (g) GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- X4 curation: benchmark decontamination (the GPT-3/PaLM eval-leak
+    // scan): flag every TRAIN document sharing any 8-gram with any TEST
+    // document, splits taken from x4_split's portable hash — so the whole
+    // check is reproducible cross-engine. Test-side distinct 8-grams form
+    // the probe set; the join is an equi-key shuffle on the shingle (the
+    // probe side is |test| ~ 10% of the corpus; at 100 TB it would be
+    // broadcast in hashed form if under the executor budget, else remain a
+    // shuffle join — both sides scale linearly, nothing is quadratic).
+    Q("x4_decontam",
+      (s, dir) => {
+        val h = ((col("doc_id") % 8000000000L) * 1103515245L + 12345L) % 1000000L
+        val d = docs(s, dir).withColumn("split",
+          when(h < 800000L, "train").when(h < 900000L, "val").otherwise("test"))
+        val sh = d.select(col("doc_id"), col("split"),
+          explode(TF.shingles(col("text"), 8)).as("g"))
+        val testGrams = sh.filter(col("split") === "test").select("g").distinct()
+        val hits = sh.filter(col("split") === "train")
+          .join(testGrams, "g")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        d.filter(col("split") === "train").select("doc_id")
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_shared"), lit(0L)).as("n_shared_8grams"),
+            (coalesce(col("n_shared"), lit(0L)) >= 1).as("contaminated"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH s AS (SELECT doc_id, string_split(text,' ') AS toks,
+             |    CASE WHEN ((doc_id % 8000000000) * 1103515245 + 12345) % 1000000 < 800000
+             |         THEN 'train'
+             |         WHEN ((doc_id % 8000000000) * 1103515245 + 12345) % 1000000 < 900000
+             |         THEN 'val' ELSE 'test' END AS split FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, split,
+             |    array_to_string(toks[o:o+7],' ') AS g
+             |  FROM (SELECT doc_id, split, toks,
+             |          UNNEST(range(1, greatest(len(toks)-7,1)+1)) AS o FROM s)),
+             |hits AS (SELECT sh.doc_id, COUNT(*) AS n_shared
+             |  FROM sh JOIN (SELECT DISTINCT g FROM sh WHERE split='test') tg USING (g)
+             |  WHERE sh.split='train' GROUP BY sh.doc_id)
+             |SELECT s.doc_id,
+             |  CAST(COALESCE(hits.n_shared, 0) AS BIGINT) AS n_shared_8grams,
+             |  COALESCE(hits.n_shared, 0) >= 1 AS contaminated
+             |FROM s LEFT JOIN hits ON s.doc_id = hits.doc_id
+             |WHERE s.split='train' ORDER BY s.doc_id""".stripMargin)),
+
+    // ---- X4 curation: sequence packing — assign every document a start
+    // offset in the concatenated token stream (doc_id order) and the
+    // training sequence (length 256) that offset lands in: the shard/
+    // sequence assignment step between a curated corpus and a trainer.
+    // The running total is [[graft.operators.PrefixSum]] — the two-pass
+    // range-partitioned scan, NOT `sum over (order by)`'s single-partition
+    // window, so the plan holds at 100 TB (see PrefixSum's scaladoc).
+    Q("x4_pack",
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"),
+          size(TF.tokens(col("text"))).cast("long").as("n_tokens"))
+        graft.operators.PrefixSum(d, col("n_tokens"), Seq(col("doc_id")), "start_tok")
+          .withColumn("seq_id", expr("start_tok div 256"))
+          .withColumn("seq_off", col("start_tok") % 256)
+          .withColumn("spans_boundary", col("seq_off") + col("n_tokens") > 256)
+          .select("doc_id", "n_tokens", "start_tok", "seq_id", "seq_off",
+            "spans_boundary")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, n_tokens, start_tok,
+             |  start_tok // 256 AS seq_id, start_tok % 256 AS seq_off,
+             |  start_tok % 256 + n_tokens > 256 AS spans_boundary
+             |FROM (SELECT doc_id,
+             |        CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+             |        CAST(COALESCE(SUM(len(string_split(text,' '))) OVER (ORDER BY doc_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             |          AS start_tok
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- F4/F5 array-function surface (scalar outputs only — array-valued
     // result columns would make the parquet/pandas compare ambiguous)
     Q("q_array_funcs",

@@ -31,6 +31,7 @@ object ProfileMain {
       case "@bigram" => bigramPieces(spark, sfDir)
       case "@knn" => knnPieces(spark, sfDir)
       case "@clusters" => clusterPieces(spark, sfDir)
+      case "@scale" => scaleSweep(spark, sfDir)
       case name =>
         (1 to 3).foreach { i =>
           time(s"$name run$i") { SparkEntry.queries(name)(spark, sfDir).count() }
@@ -69,6 +70,65 @@ object ProfileMain {
         graft.SparkEntry.queries("x1_dedup_clusters")(spark, dir).count()
       }
       graft.Caches.drain(spark)
+    }
+  }
+
+  /** Empirical scaling sweep for the similarity/dedup scale paths: derive
+    * k x sf0.1 corpora (k = 1,2,4,8) and time the operators whose plans
+    * SCALING.md claims are sub-quadratic. Replicas are PERTURBED so no
+    * cross-replica duplicates are manufactured (which would grow pair
+    * outputs k^2 and measure output materialization, not the operator):
+    * replica r>0 suffixes every token with `_r` (token sets disjoint from
+    * every other replica; within-replica dup structure preserved exactly)
+    * and circularly shifts every embedding by r components (cosine to the
+    * unshifted original ~0 on these near-isotropic vectors). Results land
+    * in SCALING.md's measured-scaling table. Dev-only tool.
+    */
+  private def scaleSweep(spark: SparkSession, baseDir: String): Unit = {
+    import org.apache.spark.sql.DataFrame
+    val root = "/tmp/graft-scale"
+    val sweepQueries = Seq("x1_dedup_clusters", "x2_jaccard_exact",
+      "x2_minhash_lsh", "x3_knn_ivf", "x5_neardup_ivf", "x4_tfidf",
+      "x4_decontam", "x4_pack")
+    def buildDir(k: Int): String = {
+      val dir = s"$root/x$k"
+      def replicate(name: String, remap: (DataFrame, Int) => DataFrame): Unit = {
+        val path = s"$dir/$name.parquet"
+        if (!new java.io.File(s"$path/_SUCCESS").isFile) {
+          val base = graft.Tables.load(spark, baseDir, name)
+          val shifted = (0 until k).map(r => remap(base, r))
+          shifted.reduce(_.unionAll(_)).write.mode("overwrite").parquet(path)
+        }
+      }
+      replicate("documents", (d, r) =>
+        if (r == 0) d
+        else d.select(
+          (col("doc_id") + lit(r * 100000000L)).as("doc_id"),
+          concat_ws(" ", transform(split(col("text"), " "),
+            x => concat(x, lit(s"_$r")))).as("text"),
+          col("lang"), col("source"), col("n_chars")))
+      replicate("embeddings", (e, r) =>
+        if (r == 0) e
+        else e.select(
+          (col("vec_id") + lit(r * 100000000L)).as("vec_id"),
+          concat(slice(col("embedding"), r + 1, 64 - r),
+            slice(col("embedding"), 1, r)).as("embedding"),
+          col("label")))
+      dir
+    }
+    Seq(1, 2, 4, 8).foreach { k =>
+      val dir = time(s"x$k corpus build") { buildDir(k) }
+      sweepQueries.foreach { q =>
+        // two runs: run1 pays any index build; run2 is the steady state
+        val t = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val n = SparkEntry.queries(q)(spark, dir).count()
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        graft.Caches.drain(spark)
+        println(f"[scale] x$k $q%-22s run1=${t(0)._1}%7.2f s  " +
+          f"run2=${t(1)._1}%7.2f s  rows=${t(1)._2}%d")
+      }
     }
   }
 

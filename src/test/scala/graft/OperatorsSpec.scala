@@ -162,6 +162,39 @@ class OperatorsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "RangedNtile must not plan a single-partition exchange over unaggregated rows")
   }
 
+  test("PrefixSum equals sum().over(global window) without a single-partition stage") {
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(47)
+    val df = (1 to 997).map(i => (i.toLong, rng.nextInt(100).toLong)).toDF("id", "v")
+      .repartition(7)
+    val expected = df.withColumn("ps",
+        coalesce(sum("v").over(Window.orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("id", "ps").as[(Long, Long)].collect().toMap
+    val scanned = graft.operators.PrefixSum(df, col("v"), Seq(col("id")))
+    val got = scanned.select("id", "prefix_sum").as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    // scale shape: same contract as RangedNtile — the only single-partition
+    // exchange is the one over the P-row per-partition-sums aggregate
+    val badSingleParts = collectWithSubqueries(scanned.queryExecution.executedPlan) {
+      case e: ShuffleExchangeLike if e.outputPartitioning.numPartitions == 1 &&
+        e.child.collectFirst {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+        }.isEmpty => e
+    }
+    assert(badSingleParts.isEmpty,
+      "PrefixSum must not plan a single-partition exchange over unaggregated rows")
+  }
+
+  test("PrefixSum edges: single row, ties broken by order cols, empty frame") {
+    val one = Seq((1L, 5L)).toDF("id", "v")
+    assert(graft.operators.PrefixSum(one, col("v"), Seq(col("id")))
+      .select("prefix_sum").as[Long].collect().toSeq == Seq(0L))
+    val empty = Seq.empty[(Long, Long)].toDF("id", "v")
+    assert(graft.operators.PrefixSum(empty, col("v"), Seq(col("id")))
+      .count() == 0L)
+  }
+
   test("RangedNtile edge: fewer rows than tiles gives each row its own bucket") {
     import org.apache.spark.sql.expressions.Window
     val df = Seq((1L, 30), (2L, 20), (3L, 10)).toDF("id", "v")
