@@ -11,7 +11,7 @@ object PlanDump {
   private val headliners = Seq(
     "q1_pricing_summary", "q5_region_revenue", "q_topk_per_group",
     "q_events_range_join", "q_ntile", "x2_jaccard_exact", "x3_knn_brute",
-    "x3_knn_ivf")
+    "x3_knn_ivf", "x4_pack", "x4_decontam")
 
   private val preamble =
     """# PLANS — executed (AQE-final) physical plans of headline queries
@@ -40,6 +40,12 @@ object PlanDump {
       |  triangle-pruning plan appears (probe window -> bound -> survivor
       |  scan), with query-side joins broadcast only below
       |  `graft.ivf.broadcastThreshold`.
+      |- x4_pack: PrefixSum's two-pass scan — range exchange, pid-keyed local
+      |  windows, P-row offset aggregate broadcast back; no unaggregated
+      |  single-partition exchange.
+      |- x4_decontam: distinct-aggregated test-side probe set joined on the
+      |  shingle (equi-key hash join), then a left join back to train docs —
+      |  nothing quadratic, nothing collected.
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
