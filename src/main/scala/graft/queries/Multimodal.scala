@@ -62,7 +62,10 @@ object Multimodal {
     * below remains only for formats whose codecs genuinely aren't in the
     * container.
     */
-  private[graft] def parsePpm(id: Long, b: Array[Byte]): PpmFeatures = {
+  /** Header parse shared by the feature extractor and the resizer:
+    * (width, height, maxval, raster offset).
+    */
+  private[graft] def parsePpmHeader(id: Long, b: Array[Byte]): (Int, Int, Int, Int) = {
     var i = 0
     def skipWs(): Unit = {
       var go = true
@@ -84,6 +87,11 @@ object Multimodal {
     i = 2
     val w = readInt(); val h = readInt(); val maxval = readInt()
     i += 1 // the single whitespace byte separating header from raster
+    (w, h, maxval, i)
+  }
+
+  private[graft] def parsePpm(id: Long, b: Array[Byte]): PpmFeatures = {
+    val (w, h, maxval, i) = parsePpmHeader(id, b)
     val n = w.toLong * h
     require(b.length - i >= n * 3, s"doc $id: truncated raster")
     var sr = 0L; var sg = 0L; var sb = 0L
@@ -104,6 +112,44 @@ object Multimodal {
     import withPpmDf.sparkSession.implicits._
     withPpmDf.select("doc_id", "ppm").as[(Long, Array[Byte])]
       .mapPartitions(rows => rows.map { case (id, bytes) => parsePpm(id, bytes) })
+  }
+
+  /** REAL nearest-neighbor resize for P6: decode the raster, keep the pixel
+    * at (x·factor, y·factor) for each output position (ceil-divided output
+    * dims, so every input image yields at least one pixel), and re-encode a
+    * genuine P6 — output payloads decode with any PPM reader, including
+    * [[parsePpm]]. This replaces the r03 byte-decimation stub: the kernel is
+    * a real image operation over real pixels, not a placeholder.
+    */
+  private[graft] def resizePpm(id: Long, b: Array[Byte], factor: Int): Array[Byte] = {
+    require(factor >= 1, "factor must be >= 1")
+    val (w, h, maxval, off) = parsePpmHeader(id, b)
+    require(b.length - off >= w.toLong * h * 3, s"doc $id: truncated raster")
+    val w2 = (w + factor - 1) / factor
+    val h2 = (h + factor - 1) / factor
+    val header = s"P6\n$w2 $h2\n$maxval\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w2 * h2 * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var y = 0; var o = header.length
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        val src = off + ((y * factor).toLong * w + x * factor).toInt * 3
+        out(o) = b(src); out(o + 1) = b(src + 1); out(o + 2) = b(src + 2)
+        o += 3; x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Distributed resize — same batch shape as the decoders. */
+  def resizePpmDs(withPpmDf: DataFrame, factor: Int): Dataset[(Long, Array[Byte])] = {
+    import withPpmDf.sparkSession.implicits._
+    withPpmDf.select("doc_id", "ppm").as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (id, bytes) =>
+        (id, resizePpm(id, bytes, factor))
+      })
   }
 
   /** A REAL audio payload: each document's utf-8 bytes become PCM16 mono
@@ -151,7 +197,12 @@ object Multimodal {
     * and peak. MultimodalSpec pins it against hand-crafted golden bytes,
     * including a chunk order the writer never emits.
     */
-  private[graft] def parseWav(id: Long, b: Array[Byte]): WavFeatures = {
+  /** The RIFF chunk walk shared by the feature extractor and the frame
+    * sampler: (little-endian buffer, sampleRate, channels, bits, dataOff,
+    * dataLen), validated down to PCM16 mono.
+    */
+  private[graft] def wavChunks(id: Long, b: Array[Byte])
+      : (java.nio.ByteBuffer, Int, Int, Int, Int, Int) = {
     val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def fourcc(): String = {
       val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII")
@@ -181,6 +232,11 @@ object Multimodal {
     }
     require(sampleRate > 0 && dataOff >= 0, s"doc $id: missing fmt or data chunk")
     require(bits == 16 && channels == 1, s"doc $id: expected PCM16 mono")
+    (bb, sampleRate, channels, bits, dataOff, dataLen)
+  }
+
+  private[graft] def parseWav(id: Long, b: Array[Byte]): WavFeatures = {
+    val (bb, sampleRate, channels, bits, dataOff, dataLen) = wavChunks(id, b)
     val n = dataLen / 2
     var sumSq = 0.0
     var peak = 0
@@ -201,6 +257,40 @@ object Multimodal {
   def decodeWav(payloads: Dataset[(Long, Array[Byte])]): Dataset[WavFeatures] = {
     import payloads.sparkSession.implicits._
     payloads.mapPartitions(rows => rows.map { case (id, bytes) => parseWav(id, bytes) })
+  }
+
+  final case class AudioFrame(
+      doc_id: Long, frame_no: Int, n_samples: Int, rms: Double, peak: Int)
+
+  /** REAL frame sampling over decoded PCM: fixed-length sample windows at a
+    * hop interval (frameLen=hop → contiguous framing; hop>frameLen → strided
+    * sampling, the video-keyframe analog), each reduced to RMS/peak. The
+    * short tail window is kept (n_samples < frameLen) — dropping it would
+    * silently lose signal. Replaces the byte-slicing stub with actual DSP
+    * over actual samples.
+    */
+  def frameWav(payloads: Dataset[(Long, Array[Byte])], frameLen: Int,
+      hop: Int): Dataset[AudioFrame] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions(rows => rows.flatMap { case (id, b) =>
+      val (bb, _, _, _, dataOff, dataLen) = wavChunks(id, b)
+      val n = dataLen / 2
+      val starts = 0 until math.max(n, 1) by hop
+      starts.iterator.zipWithIndex.map { case (s0, fno) =>
+        val end = math.min(s0 + frameLen, n)
+        var sumSq = 0.0; var peak = 0; var i = s0
+        while (i < end) {
+          val s = bb.getShort(dataOff + 2 * i).toInt
+          sumSq += s.toDouble * s
+          if (math.abs(s) > peak) peak = math.abs(s)
+          i += 1
+        }
+        val cnt = end - s0
+        val rms = if (cnt == 0) 0.0
+          else math.round(math.sqrt(sumSq / cnt) * 10000).toDouble / 10000
+        AudioFrame(id, fno, cnt, rms, peak)
+      }
+    })
   }
 
   final case class ImageFeatures(
@@ -291,6 +381,38 @@ object Multimodal {
         val feats = decodeWav(withWavPayload(Tables.load(s, dir, "documents")))
         feats.toDF()
           .select("doc_id", "sample_rate", "n_samples", "duration_ms", "rms", "peak")
+          .orderBy("doc_id")
+      },
+      None),
+
+    // ---- REAL frame sampling: WAV payloads → 160-sample (20 ms at 8 kHz)
+    // windows at a 320-sample hop (every other frame — strided sampling) →
+    // per-frame RMS/peak. Rows-only; MultimodalSpec pins frame edges and
+    // energies against golden bytes.
+    Q("x5_audio_frames",
+      (s, dir) => {
+        frameWav(withWavPayload(Tables.load(s, dir, "documents")),
+          frameLen = 160, hop = 320)
+          .toDF()
+          .select("doc_id", "frame_no", "n_samples", "rms", "peak")
+          .orderBy("doc_id", "frame_no")
+      },
+      None),
+
+    // ---- REAL resize: PPM payloads → nearest-neighbor 2x downsample →
+    // re-decode the RESIZED bytes with the same parser → per-doc dims +
+    // mean luminance. The round-trip through genuine P6 bytes is the point:
+    // the resized output is itself a valid image. Rows-only; MultimodalSpec
+    // pins the kernel on a golden raster.
+    Q("x5_image_resize",
+      (s, dir) => {
+        val resized = resizePpmDs(
+          withPpmPayload(Tables.load(s, dir, "documents")), factor = 2)
+        import s.implicits._
+        resized.mapPartitions(rows => rows.map { case (id, bytes) =>
+          parsePpm(id, bytes)
+        }).toDF()
+          .select("doc_id", "width", "height", "n_pixels", "mean_gray")
           .orderBy("doc_id")
       },
       None),

@@ -128,4 +128,50 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(longDocs.subsetOf(docsWithFrames))
   }
+
+  test("PPM resize: nearest-neighbor on a golden raster, output is valid P6") {
+    // 4x2, each pixel r=10*idx so positions are distinguishable
+    val header = "P6\n4 2\n255\n".getBytes("US-ASCII")
+    val raster = (0 until 8).flatMap(i =>
+      Seq((10 * i).toByte, 1.toByte, 2.toByte)).toArray
+    val small = Multimodal.resizePpm(1L, header ++ raster, factor = 2)
+    // 4x2 / 2 -> 2x1: kept pixels are (0,0) and (2,0) -> r values 0 and 20
+    val f = Multimodal.parsePpm(1L, small)
+    assert(f.width == 2 && f.height == 1 && f.n_pixels == 2)
+    assert(f.mean_r == (0 + 20) / 2.0)
+    // ceil-divided dims: 3x3 / 2 -> 2x2, kept (0,0),(2,0),(0,2),(2,2)
+    val h3 = "P6\n3 3\n255\n".getBytes("US-ASCII")
+    val r3 = (0 until 9).flatMap(i => Seq(i.toByte, 0.toByte, 0.toByte)).toArray
+    val f3 = Multimodal.parsePpm(2L, Multimodal.resizePpm(2L, h3 ++ r3, 2))
+    assert(f3.width == 2 && f3.height == 2)
+    assert(f3.mean_r == (0 + 2 + 6 + 8) / 4.0)
+    // factor 1 is identity
+    val id1 = Multimodal.resizePpm(3L, header ++ raster, 1)
+    assert(Multimodal.parsePpm(3L, id1) == Multimodal.parsePpm(3L, header ++ raster))
+  }
+
+  test("WAV frame sampler: frame edges and energies on golden samples") {
+    import spark.implicits._
+    // 5 samples, frameLen=2, hop=2 -> frames [0,1],[2,3],[4] (tail kept)
+    val samples = Array[Short](100, -100, 200, -200, 300)
+    val wav = Multimodal.wavBytes(samples, sampleRate = 8000)
+    val frames = Multimodal.frameWav(Seq((9L, wav)).toDS(), frameLen = 2, hop = 2)
+      .collect().sortBy(_.frame_no)
+    assert(frames.length == 3)
+    assert(frames.map(_.n_samples).toSeq == Seq(2, 2, 1))
+    assert(frames(0).rms == 100.0 && frames(0).peak == 100)
+    assert(frames(1).rms == 200.0 && frames(1).peak == 200)
+    assert(frames(2).rms == 300.0 && frames(2).peak == 300)
+    // strided hop skips samples: hop=4 -> frames start at 0 and 4
+    val strided = Multimodal.frameWav(Seq((9L, wav)).toDS(), frameLen = 2, hop = 4)
+      .collect().sortBy(_.frame_no)
+    assert(strided.map(_.n_samples).toSeq == Seq(2, 1))
+    assert(strided(1).peak == 300)
+    // empty data chunk -> no frames... a zero-sample wav still yields one
+    // zero-length frame record (the `max(n,1)` guard), rms 0
+    val empty = Multimodal.frameWav(
+      Seq((10L, Multimodal.wavBytes(Array.empty[Short], 8000))).toDS(), 2, 2)
+      .collect()
+    assert(empty.length == 1 && empty(0).n_samples == 0 && empty(0).rms == 0.0)
+  }
 }
