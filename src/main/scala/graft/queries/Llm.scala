@@ -1008,6 +1008,38 @@ object Llm {
              |      FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- X4 curation: weighted mixture sampling — the source-mixing knob
+    // of a pretraining corpus (each source kept at its own rate, e.g.
+    // curated text oversampled vs raw crawl). The keep decision is the
+    // portable-hash gate (distinct LCG constants from x4_split, so the
+    // sample is independent of the split): keep iff hash(doc_id) < rate.
+    // Per-source rates derive from the source's numeric suffix here; in
+    // production they'd come from a broadcast weights dim — same plan.
+    // Embarrassingly parallel (scan + filter, no shuffle before the sort),
+    // reproducible cross-engine and across re-runs/partitionings.
+    Q("x4_mixture",
+      (s, dir) => {
+        val h = ((col("doc_id") % 4000000000L) * 1664525L + 1013904223L) % 1000000L
+        val suffix = substring(col("source"), 4, 10).cast("int")
+        val rate = when(suffix % 4 === 0, 1000000L)
+          .when(suffix % 4 === 1, 500000L)
+          .when(suffix % 4 === 2, 250000L)
+          .otherwise(100000L)
+        docs(s, dir).select(col("doc_id"), col("source"),
+            rate.as("rate_e6"), h.as("sample_hash"))
+          .filter(col("sample_hash") < col("rate_e6"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source, rate_e6, sample_hash FROM (
+             |  SELECT doc_id, source,
+             |    CASE CAST(substring(source, 4) AS INT) % 4
+             |      WHEN 0 THEN 1000000 WHEN 1 THEN 500000
+             |      WHEN 2 THEN 250000 ELSE 100000 END AS rate_e6,
+             |    ((doc_id % 4000000000) * 1664525 + 1013904223) % 1000000
+             |      AS sample_hash
+             |  FROM documents)
+             |WHERE sample_hash < rate_e6 ORDER BY doc_id""".stripMargin)),
+
     // ---- F4/F5 array-function surface (scalar outputs only — array-valued
     // result columns would make the parquet/pandas compare ambiguous)
     Q("q_array_funcs",
