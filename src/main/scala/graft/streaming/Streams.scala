@@ -324,6 +324,36 @@ object Streams {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** Streaming QUALITY screen — the third ingest gate beside the MinHash
+    * and embedding near-dup screens: score each incoming document with the
+    * same pure expressions as the batch `x4_quality`/`x4_repetition`
+    * operators (stopword ratio, length floor, duplicate-trigram ratio) and
+    * emit every document tagged with its gate decision and the first
+    * failing reason. Stateless per-row projection — append mode, no
+    * watermark, no state store; at 100 TB/day this is a map-only stage
+    * that scales with input partitions.
+    */
+  def qualityScreen(incoming: DataFrame, minTokens: Int = 5,
+      maxDupTrigramE4: Long = 200): DataFrame = {
+    val toks = split(col("text"), " ")
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    val nStop = size(filter(toks, x => x.isin(stop: _*)))
+    val tris = transform(sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(3))))
+    val dupE4 = (size(tris) - size(array_distinct(tris))).cast("long") * 10000 /
+      size(tris).cast("long")
+    incoming.select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        nStop.cast("long").as("n_stopwords"),
+        dupE4.cast("long").as("dup_trigram_e4"))
+      .withColumn("reason",
+        when(col("n_tokens") < minTokens, "too_short")
+          .when(col("n_stopwords") < 1, "no_stopwords")
+          .when(col("dup_trigram_e4") > maxDupTrigramE4, "repetitive")
+          .otherwise(lit(null).cast("string")))
+      .withColumn("admitted", col("reason").isNull)
+  }
+
   /** Streaming wrapper: screen each micro-batch against the static index,
     * write flagged pairs to `path/batch_id=N`. Batch semantics inside
     * foreachBatch make the band-hit dedup a plain batch dropDuplicates —

@@ -299,6 +299,28 @@ class StreamingSpec extends AnyFunSuite {
     graft.Caches.drain(spark)
   }
 
+  test("streaming quality screen gates on length, stopwords, and repetition") {
+    val in = MemoryStream[(Long, String)](spark)
+    val screened = Streams.qualityScreen(in.toDF().toDF("doc_id", "text"))
+    assert(screened.isStreaming, "screen must stay a streaming plan")
+    val q = screened.writeStream.format("memory")
+      .queryName("quality_screen").outputMode("append").start()
+    in.addData(
+      (1L, "the quick brown fox jumps over a lazy dog"), // clean -> admitted
+      (2L, "too short"),                                 // < 5 tokens
+      (3L, "quick brown fox jumps dog cat fish bird"),   // no stopwords
+      (4L, "the spam x y " + Array.fill(40)("spam x y").mkString(" ")))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("quality_screen")
+      .select("doc_id", "admitted", "reason")
+      .as[(Long, Boolean, Option[String])].collect()
+      .map { case (k, v, r) => k -> ((v, r)) }.toMap
+    assert(rows(1L) == ((true, None)))
+    assert(rows(2L) == ((false, Some("too_short"))))
+    assert(rows(3L) == ((false, Some("no_stopwords"))))
+    assert(rows(4L) == ((false, Some("repetitive"))), s"got ${rows(4L)}")
+  }
+
   test("S1 generatorRateStream is a streaming Dataset[Reading] (rate-source driver)") {
     val ds = graft.streaming.Streams.generatorRateStream(spark, nDevices = 3,
       rowsPerSecond = 50)
