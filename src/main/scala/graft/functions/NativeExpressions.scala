@@ -205,6 +205,47 @@ case class BigramSet(child: Expression)
     copy(child = newChild)
 }
 
+/** Distinct k-word shingle STRINGS of a token array, first-occurrence
+  * order — the one-pass replacement for the interpreted
+  * transform(sequence)+concat_ws+array_distinct chain wherever the shingle
+  * STRING itself is the join/aggregation key (boilerplate detection,
+  * decontamination — their DuckDB oracles group by the same strings, so a
+  * hashed shingle identity is not an option there). A doc with fewer than
+  * k tokens yields its whole token list as one shingle (TextFunctions
+  * .shingles fallback; NativeKernelsSpec pins bit-equality with the HOF
+  * formulation).
+  */
+case class ShingleStrings(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val nShingles = math.max(n - (k - 1), 1)
+    val seen = new java.util.LinkedHashSet[UTF8String](2 * nShingles)
+    val space = UTF8String.fromString(" ")
+    var i = 0
+    while (i < nShingles) {
+      val end = math.min(i + k, n)
+      var s = arr.getUTF8String(i)
+      var j = i + 1
+      while (j < end) { s = UTF8String.concat(s, space, arr.getUTF8String(j)); j += 1 }
+      seen.add(s)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleStrings =
+    copy(child = newChild)
+}
+
 /** Hashed k-word shingles of a token array: each adjacent k-window is
   * hashed (per-token FNV-1a 64 folded with a golden-ratio multiply, then a
   * splitmix64 finalizer), deduplicated, and returned SORTED — the exact
@@ -417,6 +458,10 @@ object NativeExpressions {
     registry.createOrReplaceTempFunction(
       "graft_shingles",
       (args: Seq[Expression]) => ShingleHashes(args(0),
+        args(1).eval().asInstanceOf[Int]), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_shingle_strings",
+      (args: Seq[Expression]) => ShingleStrings(args(0),
         args(1).eval().asInstanceOf[Int]), "built-in")
     registry.createOrReplaceTempFunction(
       "graft_bands",

@@ -25,6 +25,14 @@ object TextFunctions {
     array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i, lit(k)))))
   }
 
+  /** Distinct k-shingle STRINGS in one native pass (graft_shingle_strings)
+    * — same output as [[shingles]] (NativeKernelsSpec pins it), one array
+    * traversal instead of three interpreted HOF passes. Caller must have
+    * run NativeExpressions.register.
+    */
+  def shingleStrings(text: Column, k: Int): Column =
+    call_function("graft_shingle_strings", tokens(text), lit(k))
+
   /** Sorted distinct hashed k-shingles in one native pass (graft_shingles)
     * — the fast input shape for `graft_minhash` / `graft_isect`. Caller
     * must have run NativeExpressions.register.

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BandKeys64, BigramSet, BitmaskIntersectCount, DotProduct, MaskFromIndices, MinHashSignature64, ShingleHashes, SimHash64, SortedIntersectCount}
+import graft.functions.{BandKeys64, BigramSet, BitmaskIntersectCount, DotProduct, MaskFromIndices, MinHashSignature64, ShingleHashes, ShingleStrings, SimHash64, SortedIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -49,6 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_shingles", classOf[ShingleHashes]),
       (args: Seq[Expression]) =>
         ShingleHashes(args(0), args(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("graft_shingle_strings"),
+      info("graft_shingle_strings", classOf[ShingleStrings]),
+      (args: Seq[Expression]) =>
+        ShingleStrings(args(0), args(1).eval().asInstanceOf[Int])))
     ext.injectFunction((FunctionIdentifier("graft_bands"),
       info("graft_bands", classOf[BandKeys64]),
       (args: Seq[Expression]) =>

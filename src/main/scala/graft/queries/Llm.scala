@@ -908,8 +908,15 @@ object Llm {
     Q("x4_boilerplate",
       (s, dir) => {
         val d = docs(s, dir)
-        val tri = d.select(col("doc_id"),
-          explode(TF.shingles(col("text"), 3)).as("g"))
+        // persisted: the shingle explode feeds BOTH the document-frequency
+        // aggregation and the join back — unpersisted it re-runs per
+        // consumer; registered, so the harness drains it after the query.
+        // Native one-pass shingle strings (graft_shingle_strings) — the
+        // interpreted transform+concat_ws+array_distinct chain was 60% of
+        // this query's time at sf0.1
+        graft.functions.NativeExpressions.register(s)
+        val tri = graft.Caches.persist(d.select(col("doc_id"),
+          explode(TF.shingleStrings(col("text"), 3)).as("g")))
         val df_ = tri.groupBy("g").agg(count(lit(1)).as("df"))
         tri.join(df_, "g")
           .groupBy("doc_id")
@@ -944,11 +951,12 @@ object Llm {
     // shuffle join — both sides scale linearly, nothing is quadratic).
     Q("x4_decontam",
       (s, dir) => {
+        graft.functions.NativeExpressions.register(s)
         val h = ((col("doc_id") % 8000000000L) * 1103515245L + 12345L) % 1000000L
         val d = docs(s, dir).withColumn("split",
           when(h < 800000L, "train").when(h < 900000L, "val").otherwise("test"))
         val sh = d.select(col("doc_id"), col("split"),
-          explode(TF.shingles(col("text"), 8)).as("g"))
+          explode(TF.shingleStrings(col("text"), 8)).as("g"))
         val testGrams = sh.filter(col("split") === "test").select("g").distinct()
         val hits = sh.filter(col("split") === "train")
           .join(testGrams, "g")

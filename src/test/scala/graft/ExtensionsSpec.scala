@@ -43,5 +43,9 @@ class ExtensionsSpec extends AnyFunSuite {
     val sh = fresh.sql("SELECT graft_simhash(array(5L))")
       .collect().head.getLong(0)
     assert(sh == 5L, "simhash of a single hash is that hash's bits")
+    val shs = fresh.sql(
+      "SELECT graft_shingle_strings(array('a', 'b', 'a', 'b'), 2)")
+      .collect().head.getSeq[String](0)
+    assert(shs == Seq("a b", "b a"))
   }
 }

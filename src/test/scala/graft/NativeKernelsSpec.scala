@@ -147,6 +147,24 @@ class NativeKernelsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("graft_shingle_strings equals TextFunctions.shingles for several k") {
+    val rng = new Random(29)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "ff", "g", "hh")
+    val docs = Seq.tabulate(60)(i =>
+      // lengths 0..9 cover the <k fallback (whole doc as one shingle)
+      (i.toLong, Seq.fill(rng.nextInt(10))(vocab(rng.nextInt(vocab.length))).mkString(" ")))
+    val df = docs.toDF("doc_id", "text").filter(length(col("text")) > 0)
+    Seq(2, 3, 8).foreach { k =>
+      val got = df.select(col("doc_id"),
+          graft.functions.TextFunctions.shingleStrings(col("text"), k).as("sh"))
+        .as[(Long, Seq[String])].collect().toMap
+      val expected = df.select(col("doc_id"),
+          graft.functions.TextFunctions.shingles(col("text"), k).as("sh"))
+        .as[(Long, Seq[String])].collect().toMap
+      assert(got == expected, s"k=$k")
+    }
+  }
+
   test("bitset and naive all-pairs Jaccard agree on a ~120-word vocabulary") {
     val docs = (1L to 60L).map { i =>
       val words = (0 until 20).map(k => s"w${(i * 7 + k * 3) % 120}").distinct
