@@ -88,4 +88,21 @@ object TextFunctions {
     */
   def docFingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, tok) => xxhash64(acc, tok))
+
+  /** PORTABLE rolling fingerprint: the same order-sensitive identity, but
+    * built from pure integer arithmetic any engine can reproduce — per
+    * token a char-level polynomial mod 1e9+7, then a token-level polynomial
+    * mod 2^31-1. A fingerprint written to a dataset catalog must be
+    * recomputable by whatever engine reads the catalog later (the same
+    * portability argument as the x4_split hash); this is the published
+    * form, while [[docFingerprint]] (xxhash64) stays the cheaper
+    * engine-internal variant. Every intermediate stays far below 2^63
+    * (max acc·31 + 127 < 3.3e10; acc·1000003 < 2.2e15), so ANSI mode never
+    * throws and the DuckDB twin computes bit-identical values.
+    */
+  def docFingerprintPortable(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, tok) => (acc * 1000003L +
+        aggregate(split(tok, ""), lit(0L),
+          (a, c) => (a * 31L + ascii(c)) % 1000000007L)) % 2147483647L)
 }

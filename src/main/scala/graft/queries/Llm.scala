@@ -654,13 +654,25 @@ object Llm {
              |    ELSE 'de' END AS lang_pred
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // ---- X4 document fingerprint (order-sensitive rolling hash; xxhash64 is
-    // Spark-specific -> rows-only check, invariants asserted in TextSpec)
+    // ---- X4 document fingerprint: order-sensitive rolling hash in PORTABLE
+    // integer arithmetic (char-polynomial mod 1e9+7 per token, token-
+    // polynomial mod 2^31-1 per doc) — recomputable by any engine reading a
+    // dataset catalog, and therefore oracle-checkable. The xxhash64 variant
+    // (TF.docFingerprint) remains the cheaper engine-internal form.
     Q("x4_fingerprint",
       (s, dir) =>
-        docs(s, dir).select(col("doc_id"), TF.docFingerprint(col("text")).as("fp"))
+        docs(s, dir).select(col("doc_id"),
+            TF.docFingerprintPortable(col("text")).as("fp"))
           .orderBy("doc_id"),
-      None),
+      Some("""SELECT doc_id,
+             |  list_reduce(
+             |    [CAST(0 AS BIGINT)] ||
+             |    [list_reduce([CAST(0 AS BIGINT)] ||
+             |        [CAST(unicode(c) AS BIGINT) FOR c IN string_split(w,'')],
+             |        (a, b) -> (a * 31 + b) % 1000000007)
+             |     FOR w IN string_split(text,' ')],
+             |    (acc, th) -> (acc * 1000003 + th) % 2147483647) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ---- X4 quality scoring: stopword ratio, punctuation density, mean word
     // length, all-caps share — the classic pretraining-corpus quality filters
