@@ -170,6 +170,37 @@ object Relational {
              |                  WHERE o_custkey=c_custkey AND o_orderstatus='P')
              |ORDER BY c_custkey""".stripMargin)),
 
+    // ---- J3b full outer: per-user event activity vs a customer subrange,
+    // unmatched rows surviving from BOTH sides (users below 100 have events
+    // but no customer row in the filtered dim; custkeys past the event
+    // range have no activity). Same scale shape as any fact-fact equi join:
+    // one hash shuffle per side; full-outer only changes null handling.
+    Q("q_full_outer_join",
+      (s, dir) => {
+        val e = t(s, dir, "events").groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"))
+        val c = t(s, dir, "customer").filter(col("c_custkey") >= 100)
+          .select(col("c_custkey"), col("c_acctbal"))
+        e.join(c, col("user_id") === col("c_custkey"), "full_outer")
+          .select(
+            coalesce(col("user_id"), col("c_custkey")).as("k"),
+            col("n_events"), col("c_acctbal"),
+            when(col("user_id").isNull, "customer_only")
+              .when(col("c_custkey").isNull, "events_only")
+              .otherwise("both").as("presence"))
+          .orderBy("k")
+      },
+      Some("""SELECT COALESCE(e.user_id, c.c_custkey) AS k, e.n_events,
+             |  c.c_acctbal,
+             |  CASE WHEN e.user_id IS NULL THEN 'customer_only'
+             |       WHEN c.c_custkey IS NULL THEN 'events_only'
+             |       ELSE 'both' END AS presence
+             |FROM (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id) e
+             |FULL OUTER JOIN (SELECT c_custkey, c_acctbal FROM customer
+             |                 WHERE c_custkey >= 100) c
+             |  ON e.user_id = c.c_custkey
+             |ORDER BY k""".stripMargin)),
+
     // ---- J6 theta / nested-loop join on a tiny dim (BroadcastNestedLoopJoin)
     Q("q_theta_join",
       (s, dir) => {
