@@ -532,6 +532,59 @@ object Llm {
       },
       None),
 
+    // ---- X3 int8-quantized exact search: per-vector symmetric scalar
+    // quantization (q_j = floor(v_j·127/max|v| + 0.5) — floor(x+0.5), not
+    // round(), because floor on an identical IEEE double is identical in
+    // every engine while round-half semantics differ). The per-vector
+    // scales CANCEL in cosine, so int8 similarity is just the cosine of
+    // the integer vectors — and integer dot products (≤ 64·127² ≈ 1e6) are
+    // EXACT in doubles regardless of summation order, making this oracle
+    // stronger than the float one. This is the memory-bandwidth scale
+    // path: 4x smaller vectors per scan, the standard first compression
+    // step of a production ANN deployment (recall-vs-exact pinned in
+    // LlmSpec).
+    Q("x3_knn_int8",
+      (s, dir) => {
+        graft.functions.NativeExpressions.register(s)
+        val maxabs = array_max(transform(col("v"), x => abs(x)))
+        val e = graft.Caches.persist(
+          embs(s, dir).select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
+            .withColumn("ma", when(maxabs === 0.0, 1.0).otherwise(maxabs))
+            .withColumn("q8", transform(col("v"),
+              x => floor(x * lit(127.0) / col("ma") + lit(0.5)).cast("double")))
+            .withColumn("n8", VF.l2Norm(col("q8")))
+            .select("vec_id", "q8", "n8"))
+        val q = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"), col("q8").as("qv"), col("n8").as("qn"))
+        val w = Window.partitionBy("query_id").orderBy(desc("s"), asc("neighbor_id"))
+        e.select(col("vec_id").as("neighbor_id"), col("q8").as("nv"), col("n8").as("nn"))
+          .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+          .withColumn("s", VF.dotNative(col("qv"), col("nv")) / (col("qn") * col("nn")))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 10)
+          .select(col("query_id"), col("rk"), col("neighbor_id"),
+            round(col("s"), 4).as("sim"))
+          .orderBy("query_id", "rk")
+      },
+      Some("""WITH qe AS (
+             |  SELECT vec_id,
+             |    list_transform(CAST(embedding AS DOUBLE[]),
+             |      x -> floor(x * 127.0 /
+             |             (CASE WHEN m = 0 THEN 1 ELSE m END) + 0.5)) AS q8
+             |  FROM (SELECT vec_id, embedding,
+             |          list_max(list_transform(CAST(embedding AS DOUBLE[]),
+             |            x -> abs(x))) AS m
+             |        FROM embeddings))
+             |SELECT query_id, rk, neighbor_id, ROUND(s, 4) AS sim FROM (
+             |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             |    list_cosine_similarity(q.q8, n.q8) AS s,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             |      ORDER BY list_cosine_similarity(q.q8, n.q8) DESC,
+             |               n.vec_id) AS BIGINT) AS rk
+             |  FROM qe q JOIN qe n ON n.vec_id != q.vec_id
+             |  WHERE q.vec_id % 50 = 0)
+             |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+
     // ---- A7: per-label centroid, flattened to (label, pos, value) rows so the
     // aggregation is fully distributed and the oracle is engine-neutral
     Q("q_label_centroids",

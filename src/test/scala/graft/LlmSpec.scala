@@ -100,6 +100,22 @@ class LlmSpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("x3_knn_int8 recalls >= 0.9 of the exact float top-10") {
+    // int8 quantization perturbs each cosine by O(1/127) — on 64-dim
+    // vectors the true top-10 should survive almost entirely. Also check
+    // the quantized sims track the float sims closely where pairs overlap.
+    val brute = q("x3_knn_brute").collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val int8 = q("x3_knn_int8").collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(brute.nonEmpty)
+    val recall = brute.keySet.intersect(int8.keySet).size.toDouble / brute.size
+    assert(recall >= 0.9, s"int8 recall $recall")
+    val overlap = brute.keySet.intersect(int8.keySet)
+    val maxErr = overlap.map(k => math.abs(brute(k) - int8(k))).max
+    assert(maxErr <= 0.02, s"max |cos_float - cos_int8| = $maxErr")
+  }
+
   test("x5_neardup_ivf is EXACT: identical to the x5_embedding_neardup twin") {
     val exact = q("x5_embedding_neardup").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
