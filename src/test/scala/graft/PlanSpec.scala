@@ -108,4 +108,30 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       "cell lists and query vectors must broadcast against the corpus")
   }
+
+  test("x4_decontam: probe set joins on the shingle key, never a cartesian") {
+    val df = SparkEntry.queries("x4_decontam")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "train x test shingle match must be an equi-key join")
+  }
+
+  test("x3_knn_int8: quantized corpus broadcast-joins the query set") {
+    val df = SparkEntry.queries("x3_knn_int8")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the n/50 query side must broadcast against the quantized corpus")
+  }
+
+  test("x4_mixture: hash gate is a scan-side filter, no shuffle before sort") {
+    val df = SparkEntry.queries("x4_mixture")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // one range exchange for the output sort; no hash-partition exchange
+    assert(!p.contains("hashpartitioning"),
+      "the keep-decision is per-row; nothing should shuffle on a hash key")
+  }
 }
