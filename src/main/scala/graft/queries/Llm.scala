@@ -223,6 +223,62 @@ object Llm {
              |WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= 0.9
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // ---- X2 exact CONTAINMENT near-dup: C(a,b) = |A∩B| / min(|A|,|B|) —
+    // the asymmetric criterion that catches a snippet EMBEDDED in a larger
+    // document, which symmetric Jaccard misses (a 50-word quote inside a
+    // 500-word page has J ≈ 0.1 but C = 1.0). Same bitset machinery as the
+    // Jaccard path (codegen'd popcount in the join condition), but no
+    // length prefilter — containment pairs any size ratio by design. The
+    // threshold is EXACT integer arithmetic (10·i ≥ 9·min ⟺ C ≥ 0.9) and
+    // outputs are e4 integer ratios, so no quotient ever meets ROUND
+    // cross-engine. Scale path: the AllPairs prefix family extends to
+    // containment with per-pair prefix bounds (PPJoin+); at this bounded
+    // vocabulary the distributed bitset NLJ is the measured winner.
+    Q("x2_containment",
+      (s, dir) => {
+        graft.functions.NativeExpressions.register(s)
+        val tok = graft.Caches.persist(docs(s, dir)
+          .select(col("doc_id"), explode(TF.tokenSet(col("text"))).as("w")))
+        val vocab = tok.select("w").distinct().count().toInt
+        val words = (vocab + 63) / 64
+        val w = Window.orderBy("w")
+        val idx = tok.select("w").distinct()
+          .select(col("w"), (row_number().over(w) - 1).cast("long").as("i"))
+        val masks = graft.Caches.persist(tok.join(broadcast(idx), "w")
+          .groupBy("doc_id")
+          .agg(call_function("graft_mask", collect_list("i"), lit(words)).as("mask"),
+            count(lit(1)).as("n")))
+        val bcThreshold = s.conf.getOption("graft.jaccard.broadcastThreshold")
+          .map(_.toLong).getOrElse(100000L)
+        val bs: DataFrame => DataFrame =
+          if (masks.count() <= bcThreshold) broadcast else identity
+        def isect(l: Column, r: Column) = call_function("graft_mask_isect", l, r)
+        val a = masks.select(col("doc_id").as("doc_a"), col("mask").as("maska"),
+          col("n").as("na"))
+        val b = masks.select(col("doc_id").as("doc_b"), col("mask").as("maskb"),
+          col("n").as("nb"))
+        a.join(bs(b), col("doc_a") < col("doc_b") &&
+            isect(col("maska"), col("maskb")) * 10 >= least(col("na"), col("nb")) * 9)
+          .withColumn("i", isect(col("maska"), col("maskb")))
+          .select(col("doc_a"), col("doc_b"),
+            expr("i * 10000 div least(na, nb)").as("containment_e4"),
+            expr("i * 10000 div (na + nb - i)").as("jaccard_e4"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH tok AS (SELECT doc_id, UNNEST(list_distinct(string_split(text,' '))) AS w
+             |            FROM documents),
+             |cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+             |          FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2)
+             |SELECT doc_a, doc_b,
+             |  CAST(i * 10000 // least(ca.n, cb.n) AS BIGINT) AS containment_e4,
+             |  CAST(i * 10000 // (ca.n + cb.n - i) AS BIGINT) AS jaccard_e4
+             |FROM inter JOIN cnt ca ON ca.doc_id = doc_a
+             |           JOIN cnt cb ON cb.doc_id = doc_b
+             |WHERE i * 10 >= least(ca.n, cb.n) * 9
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // ---- X2 exact BIGRAM-set Jaccard (word-order-sensitive near-dup). The
     // bigram vocabulary is ~900 — the dispatcher picks the multi-word bitset
     // path (15 longs/doc). The oracle SQL carries the same length prefilter
