@@ -1169,6 +1169,58 @@ object Llm {
              |  FROM documents)
              |WHERE sample_hash < rate_e6 ORDER BY doc_id""".stripMargin)),
 
+    // ---- X4 curation report: the summary a curation run publishes — per
+    // (lang, split): document volume, token mass, quality-pass rate, and
+    // exact-duplicate share. Composes the portable split hash, the quality
+    // gate, and window-based exact-dup flagging in ONE plan: a window over
+    // the text hash partition (the dedup shuffle), then a partial-aggregated
+    // rollup — two shuffles total, both equi-key. Rates in exact e4 units.
+    Q("x4_curation_report",
+      (s, dir) => {
+        val h = ((col("doc_id") % 8000000000L) * 1103515245L + 12345L) % 1000000L
+        val toks = TF.tokens(col("text"))
+        val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+        val nStop = size(filter(toks, x => x.isin(stop: _*)))
+        val wDup = Window.partitionBy("text")
+        val d = docs(s, dir).select(
+            col("doc_id"), col("lang"), col("text"),
+            when(h < 800000L, "train").when(h < 900000L, "val")
+              .otherwise("test").as("split"),
+            size(toks).cast("long").as("n_tokens"),
+            (size(toks) >= 5 && nStop >= 1).as("passes"))
+          .withColumn("is_dup", min("doc_id").over(wDup) < col("doc_id"))
+        d.groupBy("lang", "split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("total_tokens"),
+            sum(when(col("passes"), 1L).otherwise(0L)).as("n_pass"),
+            sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+          .withColumn("pass_rate_e4", expr("n_pass * 10000 div n_docs"))
+          .withColumn("dup_rate_e4", expr("n_dup * 10000 div n_docs"))
+          .orderBy("lang", "split")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, lang, text,
+             |    CASE WHEN ((doc_id % 8000000000) * 1103515245 + 12345) % 1000000 < 800000
+             |         THEN 'train'
+             |         WHEN ((doc_id % 8000000000) * 1103515245 + 12345) % 1000000 < 900000
+             |         THEN 'val' ELSE 'test' END AS split,
+             |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+             |    len(string_split(text,' ')) >= 5 AND
+             |      len(list_filter(string_split(text,' '),
+             |        x -> x IN ('the','a','of','and','to','in','is','it'))) >= 1
+             |      AS passes,
+             |    MIN(doc_id) OVER (PARTITION BY text) < doc_id AS is_dup
+             |  FROM documents)
+             |SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             |  CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+             |  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+             |  CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) * 10000 // COUNT(*)
+             |    AS BIGINT) AS pass_rate_e4,
+             |  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) * 10000 // COUNT(*)
+             |    AS BIGINT) AS dup_rate_e4
+             |FROM d GROUP BY lang, split ORDER BY lang, split""".stripMargin)),
+
     // ---- F4/F5 array-function surface (scalar outputs only — array-valued
     // result columns would make the parquet/pandas compare ambiguous)
     Q("q_array_funcs",
