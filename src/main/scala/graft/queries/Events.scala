@@ -262,6 +262,62 @@ object Events {
              |WINDOW w AS (PARTITION BY user_id
              |             ORDER BY epoch(date_trunc('second', ts))
              |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // ---- cohort retention matrix: cohort = each user's first-seen date,
+    // cell (cohort, day_offset) = distinct users of that cohort active that
+    // many days later — the product-analytics staple the reference's
+    // dashboard gestures at with its time-series panels
+    // (iot_dashboard.py:153-191). Scale shape: one partial-aggregated
+    // first-seen pass, one shuffle join back on user_id (both sides
+    // key-partitioned the same way), one distinct-count agg — no window, no
+    // driver state; at 100 TB the first-seen frame is |users| rows and the
+    // join is equi-key.
+    Q("q_events_retention",
+      (s, dir) => {
+        val ev = t(s, dir).select(col("user_id"), to_date(col("ts")).as("d"))
+        val first = ev.groupBy("user_id").agg(min("d").as("cohort0"))
+        ev.join(first, "user_id")
+          .withColumn("day_offset", datediff(col("d"), col("cohort0")).cast("long"))
+          .groupBy("cohort0", "day_offset")
+          .agg(countDistinct("user_id").as("n_users"))
+          .select(date_format(col("cohort0"), "yyyy-MM-dd").as("cohort"),
+            col("day_offset"), col("n_users"))
+          .orderBy("cohort", "day_offset")
+      },
+      Some("""WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort0
+             |           FROM events GROUP BY user_id)
+             |SELECT strftime(f.cohort0, '%Y-%m-%d') AS cohort,
+             |  CAST(date_diff('day', f.cohort0, CAST(e.ts AS DATE)) AS BIGINT) AS day_offset,
+             |  COUNT(DISTINCT e.user_id) AS n_users
+             |FROM events e JOIN f USING (user_id)
+             |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin)),
+
+    // ---- z-score anomaly detection: flag events whose value sits >2
+    // sample standard deviations from its event_type's mean — the
+    // relational form of the reference generator's anomaly injection
+    // (iot-data-stream.py:185-193, which multiplies a reading far outside
+    // its usual range). Stats frame is |event_type| rows (broadcast); the
+    // fact side never shuffles — at 100 TB this is one partial-agg pass
+    // plus a map-side join, the cheapest possible two-scan shape.
+    Q("q_events_zscore",
+      (s, dir) => {
+        val ev = t(s, dir)
+        val stats = ev.groupBy("event_type")
+          .agg(avg("value").as("mu"), stddev_samp("value").as("sd"))
+        ev.join(broadcast(stats), "event_type")
+          .withColumn("z", (col("value") - col("mu")) / col("sd"))
+          .filter(abs(col("z")) > 2.0)
+          .select(col("event_id"), col("event_type"), round(col("value"), 2).as("value"),
+            round(col("z"), 2).as("z"))
+          .orderBy("event_id")
+      },
+      Some("""WITH st AS (SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+             |            FROM events GROUP BY event_type)
+             |SELECT e.event_id, e.event_type, ROUND(e.value, 2) AS value,
+             |  ROUND((e.value - st.mu) / st.sd, 2) AS z
+             |FROM events e JOIN st USING (event_type)
+             |WHERE ABS((e.value - st.mu) / st.sd) > 2.0
+             |ORDER BY e.event_id""".stripMargin))
   )
 }

@@ -200,6 +200,29 @@ object Llm {
       Some("""SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_unique_texts,
              |  COUNT(DISTINCT lang) AS n_langs FROM documents""".stripMargin)),
 
+    // ---- X1 normalized exact dedup: lowercase + collapse every
+    // non-alphanumeric run to one space before hashing — the near-exact
+    // normalization pass corpus curation runs before fuzzy dedup (C4,
+    // Raffel et al. 2020, dedups on normalized spans; here the whole doc).
+    // Catches the trivial variants exact equality misses (case, punctuation,
+    // whitespace). Same scale shape as exact dedup: one partial-aggregated
+    // groupBy on the normalized key.
+    Q("x1_dedup_normalized",
+      (s, dir) =>
+        docs(s, dir)
+          .withColumn("norm",
+            trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+          .groupBy("norm")
+          .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_dups"))
+          .select(col("keeper_id"), col("n_dups"), length(col("norm")).as("norm_len"))
+          .orderBy("keeper_id"),
+      Some("""SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups,
+             |  LENGTH(norm) AS norm_len
+             |FROM (SELECT doc_id,
+             |        TRIM(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+             |      FROM documents)
+             |GROUP BY norm ORDER BY keeper_id""".stripMargin)),
+
     // ---- X2 exact n-gram (unigram-set) Jaccard near-dup pairs, via AllPairs
     // prefix filtering (Bayardo et al., WWW'07): sort each doc's token set in a
     // adaptive exact algorithm — see jaccardPairs above (bitset path on the
