@@ -318,6 +318,27 @@ object Events {
              |  ROUND((e.value - st.mu) / st.sd, 2) AS z
              |FROM events e JOIN st USING (event_type)
              |WHERE ABS((e.value - st.mu) / st.sd) > 2.0
-             |ORDER BY e.event_id""".stripMargin))
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // ---- exact p50/p90/p99 per event_type — the latency-SLA percentile
+    // report. Spark's exact `percentile` and DuckDB's `quantile_cont` share
+    // the linear-interpolation definition; outputs in integer mills
+    // (q_stats_funcs pattern: interpolated midpoints of 2-decimal data can
+    // land exactly on a .005 rounding tie, ×1000 cannot). At scale the
+    // exact percentile is a per-group sort — acceptable per event_type;
+    // the approx_percentile twin (q_stats_funcs) is the sketch path.
+    Q("q_events_percentiles",
+      (s, dir) =>
+        t(s, dir).groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          round(expr("percentile(value, 0.5)") * 1000).cast("long").as("p50_mills"),
+          round(expr("percentile(value, 0.9)") * 1000).cast("long").as("p90_mills"),
+          round(expr("percentile(value, 0.99)") * 1000).cast("long").as("p99_mills"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(ROUND(quantile_cont(value, 0.5)*1000) AS BIGINT) AS p50_mills,
+             |  CAST(ROUND(quantile_cont(value, 0.9)*1000) AS BIGINT) AS p90_mills,
+             |  CAST(ROUND(quantile_cont(value, 0.99)*1000) AS BIGINT) AS p99_mills
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

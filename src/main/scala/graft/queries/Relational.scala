@@ -487,6 +487,51 @@ object Relational {
              |  CAST(ROUND(MEDIAN(o_totalprice)*1000) AS BIGINT) AS med_mills
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // ---- ANALYZE-style table profile: per-column min/max/exact-NDV/null
+    // count over lineitem's numeric measures, one scan, unpivoted to a row
+    // per column via stack(). The shape every engine's statistics collector
+    // runs before planning — here as a first-class query. The four exact
+    // COUNT(DISTINCT)s plan as one Expand (4× row multiplier) feeding a
+    // partial-aggregated hash agg — at 100 TB swap exact NDV for the HLL
+    // sketch (q_approx_distinct shows the path); min/max/null-count are
+    // plain one-pass partial aggs either way.
+    Q("q_table_profile",
+      (s, dir) => {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val l = t(s, dir, "lineitem")
+        val aggs = cols.flatMap(c => Seq(
+          round(min(col(c)), 2).as(s"min_$c"),
+          round(max(col(c)), 2).as(s"max_$c"),
+          countDistinct(col(c)).as(s"ndv_$c"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c")))
+        l.agg(aggs.head, aggs.tail: _*)
+          .selectExpr("stack(4, " +
+            cols.map(c => s"'$c', min_$c, max_$c, ndv_$c, null_$c").mkString(", ") +
+            ") as (col_name, min_v, max_v, ndv, n_nulls)")
+          .orderBy("col_name")
+      },
+      Some("""WITH a AS (SELECT
+             |  ROUND(MIN(l_quantity),2) min_1, ROUND(MAX(l_quantity),2) max_1,
+             |    COUNT(DISTINCT l_quantity) ndv_1,
+             |    CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) null_1,
+             |  ROUND(MIN(l_extendedprice),2) min_2, ROUND(MAX(l_extendedprice),2) max_2,
+             |    COUNT(DISTINCT l_extendedprice) ndv_2,
+             |    CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) null_2,
+             |  ROUND(MIN(l_discount),2) min_3, ROUND(MAX(l_discount),2) max_3,
+             |    COUNT(DISTINCT l_discount) ndv_3,
+             |    CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) null_3,
+             |  ROUND(MIN(l_tax),2) min_4, ROUND(MAX(l_tax),2) max_4,
+             |    COUNT(DISTINCT l_tax) ndv_4,
+             |    CAST(SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT) null_4
+             |  FROM lineitem)
+             |SELECT col_name, min_v, max_v, ndv, n_nulls FROM (
+             |  SELECT 'l_quantity' AS col_name, min_1 AS min_v, max_1 AS max_v,
+             |    ndv_1 AS ndv, null_1 AS n_nulls FROM a
+             |  UNION ALL SELECT 'l_extendedprice', min_2, max_2, ndv_2, null_2 FROM a
+             |  UNION ALL SELECT 'l_discount', min_3, max_3, ndv_3, null_3 FROM a
+             |  UNION ALL SELECT 'l_tax', min_4, max_4, ndv_4, null_4 FROM a)
+             |ORDER BY col_name""".stripMargin)),
+
     // ---- W1 extension: ntile quartiles over a total (tie-broken) order.
     // NOT ntile().over(Window.orderBy(...)) — that is a single-partition
     // window (all orders through one reducer); RangedNtile computes the
