@@ -269,10 +269,11 @@ object Events {
     // many days later — the product-analytics staple the reference's
     // dashboard gestures at with its time-series panels
     // (iot_dashboard.py:153-191). Scale shape: one partial-aggregated
-    // first-seen pass, one shuffle join back on user_id (both sides
-    // key-partitioned the same way), one distinct-count agg — no window, no
-    // driver state; at 100 TB the first-seen frame is |users| rows and the
-    // join is equi-key.
+    // first-seen pass, an equi-key join back on user_id (both sides
+    // key-partitioned the same way), then the exact distinct count's
+    // two-phase dedup-and-count exchanges — all partial-aggregated, no
+    // window, no driver state; at 100 TB the first-seen frame is |users|
+    // rows and every exchange is keyed.
     Q("q_events_retention",
       (s, dir) => {
         val ev = t(s, dir).select(col("user_id"), to_date(col("ts")).as("d"))

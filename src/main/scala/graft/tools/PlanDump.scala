@@ -11,7 +11,8 @@ object PlanDump {
   private val headliners = Seq(
     "q1_pricing_summary", "q5_region_revenue", "q_topk_per_group",
     "q_events_range_join", "q_ntile", "x2_jaccard_exact", "x3_knn_brute",
-    "x3_knn_ivf", "x4_pack", "x4_decontam")
+    "x3_knn_ivf", "x4_pack", "x4_decontam", "q_table_profile",
+    "q_events_retention")
 
   private val preamble =
     """# PLANS — executed (AQE-final) physical plans of headline queries
@@ -46,6 +47,13 @@ object PlanDump {
       |- x4_decontam: distinct-aggregated test-side probe set joined on the
       |  shingle (equi-key hash join), then a left join back to train docs —
       |  nothing quadratic, nothing collected.
+      |- q_table_profile: one FileScan feeding Expand (the 4 DISTINCT
+      |  aggregates) into partial+final HashAggregate — a single pass over
+      |  the table, never 4 scans.
+      |- q_events_retention: the first-seen aggregate and the join-back
+      |  share the user_id partitioning; the exact distinct count adds its
+      |  two-phase dedup exchanges — every exchange equi-keyed and
+      |  partial-aggregated, no window, nothing single-partition.
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
