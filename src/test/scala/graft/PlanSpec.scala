@@ -134,4 +134,37 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(!p.contains("hashpartitioning"),
       "the keep-decision is per-row; nothing should shuffle on a hash key")
   }
+
+  test("runtime bloom filter: selective dim predicate reaches the fact side") {
+    // The 100 TB shuffle-join scale path (SCALING.md): when a dim filter is
+    // selective, Spark's InjectRuntimeFilter builds a bloom filter over the
+    // surviving dim keys and applies it to the fact side BEFORE the join
+    // shuffle, cutting shuffled bytes by the dim selectivity. Thresholds are
+    // sized for clusters (application side > 10GB), so at test scale we
+    // lower them to prove the wiring; at 100 TB the defaults fire on their
+    // own. Broadcast is disabled to force the shuffle join this targets.
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      val li = Tables.load(spark, sfDir, "lineitem")
+      val ord = Tables.load(spark, sfDir, "orders")
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(org.apache.spark.sql.functions.sum("l_quantity"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"expected an injected bloom-filter probe on the fact side; plan=\n$p")
+    } finally restore.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
 }
