@@ -10,6 +10,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // stale IVF parquet caches from older fmtVersions accumulate across
+    // harness runs — prune once per run (current-version entries are kept)
+    graft.operators.IvfIndex.pruneStaleCache(spark)
     // Warm-up: initialize codegen/JIT, parquet reader, and shuffle machinery
     // once, outside any per-query timing (otherwise the first map entry —
     // arbitrary — absorbs ~4 s of session start-up cost).
@@ -31,20 +34,32 @@ object Bench {
     // would see.
     val names = SparkEntry.queries.toSeq
     val best = scala.collection.mutable.Map.empty[String, Double]
+    val failed = scala.collection.mutable.Set.empty[String]
     (1 to 3).foreach { _ =>
       names.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // a throwing query must NOT record its time-to-failure as a (fast)
+        // result — it would masquerade as a healthy sub-second query in the
+        // bench JSON; surface it in a "failed" list instead
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
-        best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+        if (ok) best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+        else failed += name
         graft.Caches.drain(spark)
       }
     }
-    val results = names.map { case (name, _) => name -> best(name) }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // a query only lands in `queries` if at least one round succeeded;
+    // all-round failures appear (only) under "failed" with a -1 sentinel
+    val results = names.flatMap { case (name, _) => best.get(name).map(name -> _) }.toMap
+    val qs = (results ++ failed.filterNot(results.contains).map(_ -> -1.0))
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fs = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     graft.queries.Dashboard.clearCache(spark)
     graft.queries.Llm.clearCache(spark)
     spark.catalog.clearCache()

@@ -15,6 +15,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // stale IVF parquet caches from older fmtVersions accumulate across
+    // harness runs — prune once per run (current-version entries are kept)
+    graft.operators.IvfIndex.pruneStaleCache(spark)
     // the q_iot_* oracles read the deterministic generated frame from a
     // fixed scratch path — materialize it before the driver's DuckDB pass
     try graft.queries.Dashboard.materializeOracleInput(spark)

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{NativeExpressions, VectorFunctions => VF}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -78,9 +78,7 @@ object IvfIndex {
     // first IVF query of a fresh session can't resolve graft_dot
     NativeExpressions.register(spark)
     val n = e0.count()
-    val root = spark.conf.getOption("graft.ivf.cacheDir")
-      .orElse(sys.env.get("SPARK_GRAFT_IVF_CACHE"))
-      .getOrElse(sys.props("java.io.tmpdir") + "/graft-ivf")
+    val root = cacheRoot(spark)
     val safe = key.replaceAll("[^A-Za-z0-9._-]", "_")
     // fmtVersion invalidates caches written by an older build algorithm —
     // bump it whenever build()'s output changes
@@ -94,6 +92,29 @@ object IvfIndex {
       idx.cells.write.mode("overwrite").parquet(cPath)
     }
     Index(spark.read.parquet(aPath), spark.read.parquet(cPath))
+  }
+
+  private def cacheRoot(spark: SparkSession): String =
+    spark.conf.getOption("graft.ivf.cacheDir")
+      .orElse(sys.env.get("SPARK_GRAFT_IVF_CACHE"))
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft-ivf")
+
+  /** Delete cache entries written by a different (older) `fmtVersion`.
+    * Cache keys are `key-nN-vV`: a version bump strands every `-v(V-1)`
+    * entry forever, and repeated harness runs accumulate them in the
+    * scratch dir. Verify and Bench call this once at startup;
+    * current-version entries are kept — they ARE the build-once artifact
+    * the cache exists for.
+    */
+  def pruneStaleCache(spark: SparkSession): Unit = {
+    val root = new java.io.File(cacheRoot(spark))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !f.getName.endsWith(s"-v$fmtVersion"))
+      .foreach(rm)
   }
 
   private def clampAcos(c: org.apache.spark.sql.Column) =

@@ -107,10 +107,10 @@ object Dashboard {
           // floor-divide in integer space instead of ROUND(AVG) — a rounded
           // quotient lands exactly on x.xx5 ties that Spark and DuckDB break
           // differently (see .claude/skills/verify gotchas)
-          expr("(cast(round(sum(temperature_value)*10) as bigint) * 1000" +
-            " div count(temperature_value)) / 10000.0").as("avg_temp"),
-          expr("(cast(round(sum(humidity_value)*10) as bigint) * 1000" +
-            " div count(humidity_value)) / 10000.0").as("avg_humidity"),
+          expr("cast((cast(round(sum(temperature_value)*10) as bigint) * 1000" +
+            " div count(temperature_value)) / 10000.0 as double)").as("avg_temp"),
+          expr("cast((cast(round(sum(humidity_value)*10) as bigint) * 1000" +
+            " div count(humidity_value)) / 10000.0 as double)").as("avg_humidity"),
           sum(when(col("temperature_value").isNull, 1L).otherwise(0L)).as("n_missing_temp"),
           round(greatest(least(max("air_quality_value"), lit(500.0)), lit(0.0)), 1)
             .as("max_aqi_clamped"))

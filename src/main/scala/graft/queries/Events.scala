@@ -306,20 +306,30 @@ object Events {
         val ev = t(s, dir)
         val stats = ev.groupBy("event_type")
           .agg(avg("value").as("mu"), stddev_samp("value").as("sd"))
+        // outputs AND the threshold both live in integer mills (the repo's
+        // tie-avoidance convention, q_events_percentiles): the filter reads
+        // the same rounded integer both engines emit, so a boundary row can
+        // only flip inclusion if its output value differs too — one boundary
+        // definition instead of a separate float `> 2.0` cut whose
+        // mu/sd-summation-noise flips would be invisible in the output
         ev.join(broadcast(stats), "event_type")
-          .withColumn("z", (col("value") - col("mu")) / col("sd"))
-          .filter(abs(col("z")) > 2.0)
-          .select(col("event_id"), col("event_type"), round(col("value"), 2).as("value"),
-            round(col("z"), 2).as("z"))
+          .withColumn("z_mills",
+            round((col("value") - col("mu")) / col("sd") * 1000).cast("long"))
+          .filter(abs(col("z_mills")) > 2000)
+          .select(col("event_id"), col("event_type"),
+            round(col("value") * 1000).cast("long").as("value_mills"),
+            col("z_mills"))
           .orderBy("event_id")
       },
       Some("""WITH st AS (SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
-             |            FROM events GROUP BY event_type)
-             |SELECT e.event_id, e.event_type, ROUND(e.value, 2) AS value,
-             |  ROUND((e.value - st.mu) / st.sd, 2) AS z
-             |FROM events e JOIN st USING (event_type)
-             |WHERE ABS((e.value - st.mu) / st.sd) > 2.0
-             |ORDER BY e.event_id""".stripMargin)),
+             |            FROM events GROUP BY event_type),
+             |z AS (SELECT e.event_id, e.event_type,
+             |        CAST(ROUND(e.value * 1000) AS BIGINT) AS value_mills,
+             |        CAST(ROUND((e.value - st.mu) / st.sd * 1000) AS BIGINT) AS z_mills
+             |      FROM events e JOIN st USING (event_type))
+             |SELECT event_id, event_type, value_mills, z_mills FROM z
+             |WHERE ABS(z_mills) > 2000
+             |ORDER BY event_id""".stripMargin)),
 
     // ---- exact p50/p90/p99 per event_type — the latency-SLA percentile
     // report. Spark's exact `percentile` and DuckDB's `quantile_cont` share

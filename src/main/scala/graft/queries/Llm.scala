@@ -178,6 +178,130 @@ object Llm {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Exact all-pairs CONTAINMENT C(a,b) = |A∩B| / min(|A|,|B|) ≥ num/den
+    * over `tok(doc_id, w)` set-element rows — the asymmetric criterion that
+    * catches a snippet EMBEDDED in a larger document (a 50-word quote in a
+    * 500-word page has J ≈ 0.1 but C = 1.0). The threshold is exact integer
+    * arithmetic (den·i ≥ num·min ⟺ C ≥ num/den) and outputs are e4 integer
+    * ratios, so no quotient ever meets ROUND cross-engine.
+    *
+    * Adaptive like [[jaccardPairs]], and in BOTH paths sub-quadratic in
+    * docs (the r04 plan paired raw doc masks all-pairs — O(n²) however many
+    * docs shared a token set):
+    *  - vocab ≤ 4096: the bitset popcount NLJ, but over DISTINCT SETS
+    *    (identical masks collapse first, exactly as `bitsetSetsAndPairs`
+    *    does for Jaccard) — S² primitive ops, not n², and corpora worth
+    *    deduping are precisely the ones where S ≪ n.
+    *  - vocab > 4096: prefix-filtered candidate join from the SSJoin
+    *    overlap family (Chaudhuri et al. ICDE'06; PPJoin+ Xiao et al.
+    *    WWW'08 extends it with positional bounds): a qualifying pair needs
+    *    i ≥ ⌈t·min(na,nb)⌉, and for the SMALLER set that bound is
+    *    ⌈t·n_small⌉ — so its (df asc, w)-ordered prefix of
+    *    n − ⌈t·n⌉ + 1 rarest elements must share an element with the
+    *    larger set. Probe small-side prefixes against the full inverted
+    *    index of docs with n ≥ the probe's n, verify candidates exactly.
+    *    (Unlike Jaccard, the index side must stay full-width — a huge doc
+    *    can contain a tiny one, so no symmetric length filter is legal —
+    *    which is exactly why containment costs more than Jaccard in every
+    *    published SSJoin variant.)
+    */
+  private[graft] def containmentPairsForTest(s: SparkSession, tok: DataFrame,
+      num: Int, den: Int): DataFrame = containmentPairs(s, tok, num, den)
+
+  private def containmentPairs(s: SparkSession, tok0: DataFrame,
+      num: Int, den: Int): DataFrame = {
+    graft.functions.NativeExpressions.register(s)
+    val tok = graft.Caches.persist(tok0)
+    val vocabSize = tok.select("w").distinct().count()
+    if (vocabSize <= 4096) bitsetContainmentPairs(tok, vocabSize.toInt, num, den)
+    else prefixContainmentPairs(tok, num, den)
+  }
+
+  private[graft] def bitsetContainmentPairs(tok: DataFrame, vocab: Int,
+      num: Int, den: Int): DataFrame = {
+    val words = (vocab + 63) / 64
+    val w = Window.orderBy("w")
+    val idx = tok.select("w").distinct()
+      .select(col("w"), (row_number().over(w) - 1).cast("long").as("i"))
+    val masks = tok.join(broadcast(idx), "w")
+      .groupBy("doc_id")
+      .agg(call_function("graft_mask", collect_list("i"), lit(words)).as("mask"),
+        count(lit(1)).as("n"))
+    // identical token sets collapse to one row before the S² pair join;
+    // doc ids re-attach by set id (= min doc) after, as in the Jaccard path
+    val sets = graft.Caches.persist(masks.groupBy("mask", "n")
+      .agg(collect_list("doc_id").as("ds"), min("doc_id").as("sid")))
+    val bcThreshold = tok.sparkSession.conf
+      .getOption("graft.jaccard.broadcastThreshold").map(_.toLong).getOrElse(100000L)
+    val bs: DataFrame => DataFrame =
+      if (sets.count() <= bcThreshold) broadcast else identity
+    def isect(l: Column, r: Column) = call_function("graft_mask_isect", l, r)
+    val a = sets.select(col("mask").as("maska"), col("n").as("na"), col("sid").as("sa"))
+    val b = sets.select(col("mask").as("maskb"), col("n").as("nb"), col("sid").as("sb"))
+    // sa ≤ sb admits the IDENTICAL-set pair (C = 1.0 trivially qualifies:
+    // its docs are exact set-dups of each other) — expanded with x < y below
+    val pairs = a.join(bs(b),
+        col("sa") <= col("sb") &&
+          isect(col("maska"), col("maskb")) * den >=
+            least(col("na"), col("nb")) * num)
+      .withColumn("i", isect(col("maska"), col("maskb")))
+      .select(col("sa"), col("sb"), col("i"), col("na"), col("nb"))
+    pairs
+      .join(sets.select(col("sid").as("sa"), col("ds").as("da")), "sa")
+      .join(sets.select(col("sid").as("sb"), col("ds").as("db")), "sb")
+      .select(col("sa"), col("sb"), col("i"), col("na"), col("nb"),
+        explode(col("da")).as("x"), col("db"))
+      .select(col("sa"), col("sb"), col("i"), col("na"), col("nb"),
+        col("x"), explode(col("db")).as("y"))
+      .filter((col("sa") === col("sb") && col("x") < col("y")) || col("sa") < col("sb"))
+      .select(least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"),
+        expr("i * 10000 div least(na, nb)").as("containment_e4"),
+        expr("i * 10000 div (na + nb - i)").as("jaccard_e4"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private[graft] def prefixContainmentPairs(tok: DataFrame,
+      num: Int, den: Int): DataFrame = {
+    val dfreq = tok.groupBy("w").agg(count(lit(1)).as("df"))
+    // persisted: probe (prefix) and index (full) sides + nothing else —
+    // registered so the harness drains it after the query
+    val sorted = graft.Caches.persist(tok.join(dfreq, "w")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("w")))).as("sw"))
+      .select(col("doc_id"),
+        expr("transform(sw, p -> p.w)").as("toks"),
+        size(col("sw")).cast("long").as("n")))
+    // prefix length n − ⌈num·n/den⌉ + 1 in EXACT integer arithmetic
+    // (⌈a/b⌉ = (a + b − 1) div b) — an FP ceil(0.9·n) can round up a
+    // half-ulp and silently shorten the prefix below the safe bound
+    val pref = sorted.select(col("doc_id"), col("toks"), col("n"),
+      explode(slice(col("toks"), lit(1),
+        expr(s"cast(n - ((n * $num + ${den - 1}) div $den) + 1 as int)"))).as("w"))
+    val full = sorted.select(col("doc_id"), col("toks"), col("n"),
+      explode(col("toks")).as("w"))
+    // every qualifying pair's smaller set exposes an intersection element in
+    // its prefix, and that element appears SOMEWHERE in the larger set — so
+    // prefix(small) ⋈ full(large) on the element, sizes ordered (ties probe
+    // both directions and dedup), is a complete candidate generator
+    val cand = pref.as("a").join(full.as("b"),
+        col("a.w") === col("b.w") &&
+          (col("b.n") > col("a.n") ||
+            (col("b.n") === col("a.n") && col("a.doc_id") =!= col("b.doc_id"))))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        col("a.toks").as("ta"), col("b.toks").as("tb"),
+        col("a.n").as("pa"), col("b.n").as("pb"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .withColumn("i", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .filter(col("i") * den >= least(col("pa"), col("pb")) * num)
+      .select(col("doc_a"), col("doc_b"),
+        expr("i * 10000 div least(pa, pb)").as("containment_e4"),
+        expr("i * 10000 div (pa + pb - i)").as("jaccard_e4"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- X1 exact dedup: keep-min-id per (lang, n_chars) group
@@ -248,45 +372,15 @@ object Llm {
 
     // ---- X2 exact CONTAINMENT near-dup: C(a,b) = |A∩B| / min(|A|,|B|) —
     // the asymmetric criterion that catches a snippet EMBEDDED in a larger
-    // document, which symmetric Jaccard misses (a 50-word quote inside a
-    // 500-word page has J ≈ 0.1 but C = 1.0). Same bitset machinery as the
-    // Jaccard path (codegen'd popcount in the join condition), but no
-    // length prefilter — containment pairs any size ratio by design. The
-    // threshold is EXACT integer arithmetic (10·i ≥ 9·min ⟺ C ≥ 0.9) and
-    // outputs are e4 integer ratios, so no quotient ever meets ROUND
-    // cross-engine. Scale path: the AllPairs prefix family extends to
-    // containment with per-pair prefix bounds (PPJoin+); at this bounded
-    // vocabulary the distributed bitset NLJ is the measured winner.
+    // document, which symmetric Jaccard misses. Adaptive sub-quadratic
+    // algorithm — see containmentPairs above (distinct-set bitset popcount
+    // NLJ at this bounded vocabulary; SSJoin-family prefix filtering on
+    // open vocabularies). 10·i ≥ 9·min ⟺ C ≥ 0.9, exact integer arithmetic.
     Q("x2_containment",
       (s, dir) => {
-        graft.functions.NativeExpressions.register(s)
-        val tok = graft.Caches.persist(docs(s, dir)
-          .select(col("doc_id"), explode(TF.tokenSet(col("text"))).as("w")))
-        val vocab = tok.select("w").distinct().count().toInt
-        val words = (vocab + 63) / 64
-        val w = Window.orderBy("w")
-        val idx = tok.select("w").distinct()
-          .select(col("w"), (row_number().over(w) - 1).cast("long").as("i"))
-        val masks = graft.Caches.persist(tok.join(broadcast(idx), "w")
-          .groupBy("doc_id")
-          .agg(call_function("graft_mask", collect_list("i"), lit(words)).as("mask"),
-            count(lit(1)).as("n")))
-        val bcThreshold = s.conf.getOption("graft.jaccard.broadcastThreshold")
-          .map(_.toLong).getOrElse(100000L)
-        val bs: DataFrame => DataFrame =
-          if (masks.count() <= bcThreshold) broadcast else identity
-        def isect(l: Column, r: Column) = call_function("graft_mask_isect", l, r)
-        val a = masks.select(col("doc_id").as("doc_a"), col("mask").as("maska"),
-          col("n").as("na"))
-        val b = masks.select(col("doc_id").as("doc_b"), col("mask").as("maskb"),
-          col("n").as("nb"))
-        a.join(bs(b), col("doc_a") < col("doc_b") &&
-            isect(col("maska"), col("maskb")) * 10 >= least(col("na"), col("nb")) * 9)
-          .withColumn("i", isect(col("maska"), col("maskb")))
-          .select(col("doc_a"), col("doc_b"),
-            expr("i * 10000 div least(na, nb)").as("containment_e4"),
-            expr("i * 10000 div (na + nb - i)").as("jaccard_e4"))
-          .orderBy("doc_a", "doc_b")
+        val tok = docs(s, dir)
+          .select(col("doc_id"), explode(TF.tokenSet(col("text"))).as("w"))
+        containmentPairs(s, tok, 9, 10)
       },
       Some("""WITH tok AS (SELECT doc_id, UNNEST(list_distinct(string_split(text,' '))) AS w
              |            FROM documents),

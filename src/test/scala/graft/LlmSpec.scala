@@ -12,10 +12,27 @@ class LlmSpec extends AnyFunSuite {
 
   private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
 
-  test("x2_minhash_lsh finds (nearly) all 3-shingle pairs with jaccard >= 0.6") {
-    // exact twin: all-pairs 3-shingle jaccard (small at 500 docs)
+  test("x2_minhash_lsh: precision vs the exact >=0.5 pair list, recall at 0.6") {
+    // exact twin: all-pairs 3-shingle jaccard (small at 500 docs), at the
+    // query's own 0.5 verify threshold
     val d = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), TF.shingles(col("text"), 3).as("sh"))
+    val exact05 = d.as("a").crossJoin(d.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("j", TF.jaccard(col("a.sh"), col("b.sh")))
+      .filter(col("j") >= 0.5)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshAll = q("x2_minhash_lsh")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // PRECISION is deterministic even though the candidate set isn't: every
+    // emitted pair passed the exact-jaccard >= 0.5 verify, so the full
+    // output must be a subset of the exact >= 0.5 list — the one-sided
+    // check that keeps this rows-only query honest (false positives here
+    // mean the verify step itself is broken)
+    assert(lshAll.subsetOf(exact05), s"false positives: ${lshAll -- exact05}")
+    // ...and at b=16,r=2 the per-pair candidate probability at j=0.6 is
+    // 1-(1-0.36)^16 ≈ 0.9992 — demand >= 90% recall on the >= 0.6 slice
     val exact = d.as("a").crossJoin(d.as("b"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .withColumn("j", TF.jaccard(col("a.sh"), col("b.sh")))
@@ -25,10 +42,6 @@ class LlmSpec extends AnyFunSuite {
     val lsh = q("x2_minhash_lsh")
       .filter(col("jaccard") >= 0.6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // LSH candidates are verified with exact jaccard, so lsh ⊆ exact...
-    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
-    // ...and at b=16,r=2 the per-pair candidate probability at j=0.6 is
-    // 1-(1-0.36)^16 ≈ 0.9992 — demand >= 90% recall
     if (exact.nonEmpty) {
       val recall = lsh.size.toDouble / exact.size
       assert(recall >= 0.9, s"recall $recall over ${exact.size} true pairs")

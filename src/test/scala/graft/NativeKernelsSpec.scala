@@ -245,4 +245,65 @@ class NativeKernelsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == naive, s"missing=${naive -- got} extra=${got -- naive}")
   }
+
+  /** Driver-side all-pairs containment reference: (doc_a, doc_b,
+    * containment_e4, jaccard_e4) at threshold num/den, truncating integer
+    * division exactly like SQL `div`.
+    */
+  private def naiveContainment(sets: Map[Long, Set[String]],
+      num: Int, den: Int): Set[(Long, Long, Long, Long)] =
+    (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      i = sets(a).intersect(sets(b)).size.toLong
+      mn = math.min(sets(a).size, sets(b).size).toLong
+      if i * den >= mn * num
+      u = sets(a).size + sets(b).size - i
+    } yield (a, b, i * 10000L / mn, i * 10000L / u)).toSet
+
+  test("bitset containment over distinct sets agrees with naive all-pairs") {
+    // three planted pair classes: exact set-dups (exercise the distinct-set
+    // collapse), embedded snippets (C = 1.0 but J ≈ 0.33 — the pairs only
+    // containment finds), and unrelated docs (must not pair)
+    val base = (1L to 40L).map { i =>
+      i -> (0 until 15).map(k => s"w${(i * 7 + k * 3) % 120}").distinct
+    }
+    val dups = base.take(10).map { case (i, ws) => (i + 40L) -> ws }
+    val snips = base.take(10).map { case (i, ws) => (i + 50L) -> ws.take(5) }
+    val all = base ++ dups ++ snips
+    val docs = all.map { case (i, ws) => (i, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val naive = naiveContainment(all.map { case (i, ws) => i -> ws.toSet }.toMap, 9, 10)
+    assert(naive.nonEmpty, "planted snippets must qualify")
+    val tok = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("w"))
+    val got = graft.queries.Llm.containmentPairsForTest(spark, tok, 9, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    graft.Caches.drain(spark)
+    assert(got == naive, s"missing=${naive -- got} extra=${got -- naive}")
+  }
+
+  test("prefix-path containment (open-vocabulary branch) agrees with naive") {
+    val rng = new Random(31)
+    // open-ish vocabulary; snippets embedded in larger docs are the pairs a
+    // symmetric-length-filtered join would miss — call the prefix path
+    // DIRECTLY (the dispatcher would pick bitset at this vocab size)
+    val base = (1L to 40L).map { i =>
+      i -> List.fill(30)(s"w${rng.nextInt(5000)}").distinct
+    }
+    val snips = base.map { case (i, ws) => (i + 40L) -> ws.take(6) }
+    val near = base.take(10).map { case (i, ws) =>
+      (i + 80L) -> (ws.tail :+ s"w${rng.nextInt(5000)}").distinct
+    }
+    val all = base ++ snips ++ near
+    val naive = naiveContainment(all.map { case (i, ws) => i -> ws.toSet }.toMap, 9, 10)
+    assert(naive.nonEmpty, "planted snippets must qualify")
+    val tok = all.flatMap { case (i, ws) => ws.map(w => (i, w)) }
+      .toDF("doc_id", "w")
+    val got = graft.queries.Llm.prefixContainmentPairs(tok, 9, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    graft.Caches.drain(spark)
+    assert(got == naive, s"missing=${naive -- got} extra=${got -- naive}")
+  }
 }

@@ -167,4 +167,17 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
   }
+
+  test("x2_containment: pair join runs over distinct-set aggregates, not doc×doc") {
+    // the r04 plan paired raw per-doc masks all-pairs — O(n²) in DOCS even
+    // when thousands share one token set; the fixed plan must collapse
+    // identical masks first (groupBy(mask) with the doc-id list), so the
+    // popcount pair join is S² in DISTINCT SETS
+    val df = SparkEntry.queries("x2_containment")(spark, sfDir)
+    df.collect()
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("collect_list(doc_id"),
+      s"no distinct-set collapse feeding the containment pair join; plan=\n$opt")
+    graft.Caches.drain(spark)
+  }
 }

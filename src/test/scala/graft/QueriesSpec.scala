@@ -21,11 +21,37 @@ class QueriesSpec extends AnyFunSuite {
 
   SparkEntry.registry.foreach { q =>
     test(s"${q.name} runs and returns rows") {
+      val t0 = System.nanoTime()
       val df = q.fn(spark, sfDir)
       assert(df.count() > 0, s"${q.name} returned no rows on sf0.001")
+      val dt = (System.nanoTime() - t0) / 1e9
+      // generous wall-time budget: every query runs sub-second-to-~2s at
+      // sf0.001, so a 10x plan regression (lost broadcast, surprise
+      // cartesian, upstream re-run) fails HERE instead of waiting for the
+      // round bench; the slack absorbs documented ~2x host variance + JIT
+      assert(dt < 30.0, f"${q.name} took $dt%.1fs at sf0.001 — plan regression?")
       // same per-query hygiene as Bench/Verify
       graft.Caches.drain(spark)
     }
+  }
+
+  test("no registered query emits DecimalType columns") {
+    // Spark parses exact literals (e.g. `/ 10000.0` after an integer div) as
+    // Decimal, while the DuckDB oracle emits DOUBLE — identical values then
+    // hash-mismatch on type alone (bit r04: q_iot_location_stats). Gate the
+    // whole registry: schemas are analysis-only, no execution needed.
+    import org.apache.spark.sql.types._
+    def decimals(dt: DataType, path: String): Seq[String] = dt match {
+      case _: DecimalType => Seq(path)
+      case s: StructType => s.fields.flatMap(f => decimals(f.dataType, s"$path.${f.name}")).toSeq
+      case a: ArrayType => decimals(a.elementType, s"$path[]")
+      case m: MapType => decimals(m.keyType, s"$path.key") ++ decimals(m.valueType, s"$path.value")
+      case _ => Nil
+    }
+    val offenders = SparkEntry.registry.flatMap { q =>
+      decimals(q.fn(spark, sfDir).schema, q.name)
+    }
+    assert(offenders.isEmpty, s"DecimalType in query output (cast to double): $offenders")
   }
 
   test("Caches.drain releases a cache-heavy query's persisted frames") {
