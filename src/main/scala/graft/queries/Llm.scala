@@ -1101,6 +1101,72 @@ object Llm {
              |  FROM documents)
              |WHERE rk <= 20 ORDER BY doc_id""".stripMargin)),
 
+    // ---- X4 curation: deterministic per-language Bernoulli sampling — the
+    // language-rebalancing knob of a multilingual pretraining mix (dominant
+    // languages downsampled hard, low-resource kept nearly whole; cf. the
+    // per-language alpha-sampling of mC4/XLM-R, Conneau et al. 2020). Keep
+    // iff a portable integer LCG of doc_id lands under the language's
+    // rate_e6 threshold: reproducible across engines and runs (no RNG),
+    // embarrassingly parallel (no shuffle before the final sort), and at
+    // 100 TB the same expression runs as a pure map over the scan. A
+    // DIFFERENT multiplier/modulus than x4_split's LCG, so sampling stays
+    // independent of split assignment (correlated hashes would silently
+    // bias the train/val/test composition of the sample).
+    Q("x4_sample_stratified",
+      (s, dir) => {
+        // pre-reduced for the same Int64-overflow reason as x4_split:
+        // (doc_id % 3e11) * 22695477 + 1 <= 6.9e18 < Long.MaxValue
+        val h = ((col("doc_id") % 300000000000L) * 22695477L + 1L) % 1000000L
+        val rate = when(col("lang") === "en", 300000L)
+          .when(col("lang").isin("de", "fr"), 600000L)
+          .otherwise(900000L)
+        docs(s, dir)
+          .select(col("doc_id"), col("lang"), h.as("sample_hash"),
+            rate.as("rate_e6"))
+          .filter(col("sample_hash") < col("rate_e6"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang,
+             |  ((doc_id % 300000000000) * 22695477 + 1) % 1000000 AS sample_hash,
+             |  CAST(CASE WHEN lang = 'en' THEN 300000
+             |       WHEN lang IN ('de','fr') THEN 600000
+             |       ELSE 900000 END AS BIGINT) AS rate_e6
+             |FROM documents
+             |WHERE ((doc_id % 300000000000) * 22695477 + 1) % 1000000 <
+             |  CASE WHEN lang = 'en' THEN 300000
+             |       WHEN lang IN ('de','fr') THEN 600000
+             |       ELSE 900000 END
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- X4 curation: soft dedup — instead of DROPPING duplicate docs,
+    // down-weight each copy by its normalized-text multiplicity so the
+    // group's total training mass stays one document (the repetition-aware
+    // reweighting alternative to hard dedup; the normalization is the same
+    // C4-style pass as x1_dedup_normalized, so the two queries agree on
+    // what counts as a copy). weight_e4 = 10000 div n is exact integer
+    // arithmetic — no quotient ever meets ROUND cross-engine. Scale shape:
+    // one count window partitioned by the normalized key — identical
+    // shuffle to the dedup groupBy itself, no join-back pass.
+    Q("x4_dedup_weight",
+      (s, dir) => {
+        val w = Window.partitionBy("norm")
+        docs(s, dir)
+          .withColumn("norm",
+            trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+          .withColumn("n_copies", count(lit(1)).over(w))
+          .select(col("doc_id"), col("n_copies"),
+            expr("10000 div n_copies").as("weight_e4"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(COUNT(*) OVER (PARTITION BY
+             |    TRIM(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g')))
+             |    AS BIGINT) AS n_copies,
+             |  10000 // CAST(COUNT(*) OVER (PARTITION BY
+             |    TRIM(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g')))
+             |    AS BIGINT) AS weight_e4
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---- X4 curation: within-document repetition filter (the Gopher
     // repetition family): fraction of duplicate trigrams per doc. A doc
     // whose trigram stream repeats itself is template spam / generation

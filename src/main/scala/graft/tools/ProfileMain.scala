@@ -32,6 +32,16 @@ object ProfileMain {
       case "@knn" => knnPieces(spark, sfDir)
       case "@clusters" => clusterPieces(spark, sfDir)
       case "@scale" => scaleSweep(spark, sfDir)
+      // warm:<query> — 3 runs with NO cache drain between them, mimicking
+      // the r01-era min-of-2 bench whose persisted frames stayed warm
+      // across samples; the run2/run3 times are what those era numbers
+      // actually measured for cache-heavy queries
+      case name if name.startsWith("warm:") =>
+        val q = name.stripPrefix("warm:")
+        (1 to 3).foreach { i =>
+          time(s"$q warm$i") { SparkEntry.queries(q)(spark, sfDir).count() }
+        }
+        graft.Caches.drain(spark)
       case name =>
         (1 to 3).foreach { i =>
           time(s"$name run$i") { SparkEntry.queries(name)(spark, sfDir).count() }
