@@ -72,9 +72,18 @@ object Llm {
     // after the query (leaked, it slows every later query in the session)
     val tok = graft.Caches.persist(tok0)
     val vocabSize = tok.select("w").distinct().count()
-    if (vocabSize <= 4096) bitsetJaccardPairs(tok, t, vocabSize.toInt)
+    if (vocabSize <= vocabThreshold(s)) bitsetJaccardPairs(tok, t, vocabSize.toInt)
     else prefixJaccardPairs(tok, t)
   }
+
+  /** Bitset-vs-prefix dispatch threshold (distinct vocabulary size). The
+    * 4096 default bounds masks at 64 longs/set; overriding to 0 forces the
+    * open-vocabulary prefix path — used by the @scale sweep and specs to
+    * measure/verify that path on corpora whose vocabulary would otherwise
+    * dispatch to bitsets.
+    */
+  private def vocabThreshold(s: SparkSession): Long =
+    s.conf.getOption("graft.setsim.vocabThreshold").map(_.toLong).getOrElse(4096L)
 
   /** Bitset core: distinct sets (mask, doc list, set id = min doc, size) and
     * the QUALIFYING SET PAIRS (sa, sb, j) — shared by pair expansion and by
@@ -213,7 +222,7 @@ object Llm {
     graft.functions.NativeExpressions.register(s)
     val tok = graft.Caches.persist(tok0)
     val vocabSize = tok.select("w").distinct().count()
-    if (vocabSize <= 4096) bitsetContainmentPairs(tok, vocabSize.toInt, num, den)
+    if (vocabSize <= vocabThreshold(s)) bitsetContainmentPairs(tok, vocabSize.toInt, num, den)
     else prefixContainmentPairs(tok, num, den)
   }
 
@@ -435,7 +444,7 @@ object Llm {
         val tok = graft.Caches.persist(docs(s, dir)
           .select(col("doc_id"), explode(TF.tokenSet(col("text"))).as("w")))
         val vocabSize = tok.select("w").distinct().count()
-        if (vocabSize <= 4096) {
+        if (vocabSize <= vocabThreshold(s)) {
           // set-level clustering: CC runs over DISTINCT SETS (~S nodes,
           // qualifying set pairs as edges), not the quadratically larger
           // doc-pair graph; docs inherit their set's component, and

@@ -32,6 +32,7 @@ object ProfileMain {
       case "@knn" => knnPieces(spark, sfDir)
       case "@clusters" => clusterPieces(spark, sfDir)
       case "@scale" => scaleSweep(spark, sfDir)
+      case "@prefix" => prefixSweep(spark, sfDir)
       // warm:<query> — 3 runs with NO cache drain between them, mimicking
       // the r01-era min-of-2 bench whose persisted frames stayed warm
       // across samples; the run2/run3 times are what those era numbers
@@ -94,12 +95,69 @@ object ProfileMain {
     * unshifted original ~0 on these near-isotropic vectors). Results land
     * in SCALING.md's measured-scaling table. Dev-only tool.
     */
-  private def scaleSweep(spark: SparkSession, baseDir: String): Unit = {
+  private def scaleSweep(spark: SparkSession, baseDir: String): Unit =
+    scaleSweepOver(spark, baseDir,
+      Seq("x1_dedup_clusters", "x2_jaccard_exact", "x2_containment",
+        "x2_minhash_lsh", "x3_knn_ivf", "x5_neardup_ivf", "x4_tfidf",
+        "x4_decontam", "x4_pack"))
+
+  /** @prefix — scaling sweep for the OPEN-VOCABULARY prefix-filtered path,
+    * on a corpus actually shaped like that regime: G topic groups, each
+    * with its own 192-token vocabulary (total vocab = 192·G ≫ 4096, so the
+    * dispatcher picks the prefix path on its own — no conf override) and
+    * 50 docs of 28 tokens sampled from the group vocabulary, plus planted
+    * near-dup pairs (1-token edits) and embedded snippets (6-token
+    * subsets). Scaling G scales docs AND vocabulary together — per-token
+    * fanout stays bounded (≈ docs-per-group), which is the property that
+    * makes prefix filtering sub-quadratic. Forcing the prefix path onto
+    * the driver corpus's ~31-token vocabulary instead measures its
+    * WORST case (every prefix token shared by thousands of docs) — that
+    * regime correctly dispatches to bitsets and is not measured here.
+    */
+  private def prefixSweep(spark: SparkSession, baseDir: String): Unit = {
+    import spark.implicits._
+    Seq(40, 80, 160, 320).foreach { groups =>
+      val docs = (0L until groups * 50L).map { id =>
+        val g = id / 50
+        val vocab = (0 until 192).map(v => s"g${g}w$v")
+        // docs come in blocks of 5 sharing an anchor: the anchor's base set,
+        // a 1-token-edit near-dup of it, a 6-token embedded snippet of it,
+        // and two independent docs — so every block plants one J >= 0.7
+        // pair and one C = 1.0 pair with known counts
+        val anchor = id - (id % 5)
+        val aRng = new scala.util.Random(g * 1000003L + anchor)
+        val base = aRng.shuffle(vocab).take(28)
+        val iRng = new scala.util.Random(g * 1000003L + id)
+        (id % 5).toInt match {
+          case 1 => (id, (base.tail :+ base.head.replace("w", "W")).mkString(" "))
+          case 2 => (id, base.take(6).mkString(" "))
+          case 3 | 4 => (id, iRng.shuffle(vocab).take(28).mkString(" "))
+          case _ => (id, base.mkString(" "))
+        }
+      }.toDF("doc_id", "text")
+      val tok = graft.Caches.persist(docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("w")))
+      val vocabSize = tok.select("w").distinct().count()
+      for ((label, run) <- Seq[(String, () => Long)](
+          ("jaccard", () => graft.queries.Llm.prefixJaccardPairs(tok, 0.7).count()),
+          ("containment", () =>
+            graft.queries.Llm.prefixContainmentPairs(tok, 9, 10).count()))) {
+        val t = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val n = run()
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        println(f"[prefix] G=$groups%-4d vocab=$vocabSize $label%-12s " +
+          f"run1=${t(0)._1}%7.2f s  run2=${t(1)._1}%7.2f s  rows=${t(1)._2}%d")
+      }
+      graft.Caches.drain(spark)
+    }
+  }
+
+  private def scaleSweepOver(spark: SparkSession, baseDir: String,
+      sweepQueries: Seq[String]): Unit = {
     import org.apache.spark.sql.DataFrame
     val root = "/tmp/graft-scale"
-    val sweepQueries = Seq("x1_dedup_clusters", "x2_jaccard_exact",
-      "x2_minhash_lsh", "x3_knn_ivf", "x5_neardup_ivf", "x4_tfidf",
-      "x4_decontam", "x4_pack")
     def buildDir(k: Int): String = {
       val dir = s"$root/x$k"
       def replicate(name: String, remap: (DataFrame, Int) => DataFrame): Unit = {

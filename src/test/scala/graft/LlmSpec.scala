@@ -12,6 +12,22 @@ class LlmSpec extends AnyFunSuite {
 
   private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
 
+  test("vocabThreshold=0 forces the prefix path with identical results") {
+    // the adaptive set-similarity queries dispatch bitset-vs-prefix on a
+    // measured vocabulary count; overriding the threshold to 0 must swap
+    // the physical algorithm (open-vocabulary prefix filtering) without
+    // changing a single output row — the dispatcher is a pure plan choice
+    for (name <- Seq("x2_jaccard_exact", "x2_containment", "x1_dedup_clusters")) {
+      val bitset = q(name).collect().toSeq
+      graft.Caches.drain(spark)
+      spark.conf.set("graft.setsim.vocabThreshold", "0")
+      val prefix = try q(name).collect().toSeq
+        finally spark.conf.unset("graft.setsim.vocabThreshold")
+      graft.Caches.drain(spark)
+      assert(prefix == bitset, s"$name: prefix path diverged from bitset path")
+    }
+  }
+
   test("x2_minhash_lsh: precision vs the exact >=0.5 pair list, recall at 0.6") {
     // exact twin: all-pairs 3-shingle jaccard (small at 500 docs), at the
     // query's own 0.5 verify threshold
