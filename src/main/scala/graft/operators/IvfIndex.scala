@@ -242,9 +242,15 @@ object IvfIndex {
       .groupBy("query_id").agg(min("s").as("skv"), count(lit(1)).as("kc"))
       .select(col("query_id"),
         when(col("kc") >= k, col("skv")).otherwise(lit(-2.0)).as("sk"))
-    // phase 2: triangle-inequality pruning over ALL cells
-    val survivors = qc.join(bq(sk), "query_id")
-      .filter(cos(greatest(col("qtheta") - col("r"), lit(0.0))) >= col("sk") - lit(1e-9))
+    // phase 2: triangle-inequality pruning over ALL cells. LEFT join: a
+    // query whose probed cells held NO candidates at all (possible once the
+    // index is restricted to a metadata predicate — x3_knn_filtered — where
+    // a probed cell may contain zero eligible members) has no sk row; an
+    // inner join would silently drop it from phase 2 and return zero
+    // neighbors even when eligible vectors exist in other cells.
+    val survivors = qc.join(bq(sk), Seq("query_id"), "left")
+      .filter(cos(greatest(col("qtheta") - col("r"), lit(0.0))) >=
+        coalesce(col("sk"), lit(-2.0)) - lit(1e-9))
       .select(col("query_id"), col("cell"))
     scanCells(survivors.union(probed).distinct())
       .withColumn("rk", row_number().over(wk).cast("long"))

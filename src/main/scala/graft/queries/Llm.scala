@@ -714,6 +714,45 @@ object Llm {
       },
       None),
 
+    // ---- X3 FILTERED vector search: top-k under a metadata predicate
+    // (label % 4 == 0) — the "filtered ANN" operating point every
+    // production vector system exposes (filter + vector score in one
+    // query). Done as PRE-filtering pushed INSIDE the index scan: the
+    // assigned frame is semi-joined to the eligible ids before the
+    // two-phase exact search, so only eligible members are scanned and
+    // ranked — not post-filtering a top-k that could return < k rows. The
+    // cell radii stay valid upper bounds for any subset of a cell, so
+    // triangle pruning and exactness are preserved (the phase-2 left join
+    // tolerates probed cells with zero eligible members). At 100 TB the
+    // semi-join is a broadcast of the predicate ids or a shuffle join on
+    // vec_id — either way linear, no new pairing.
+    Q("x3_knn_filtered",
+      (s, dir) => {
+        val idx = ivfIndex(s, dir)
+        val keep = embs(s, dir)
+          .filter(col("label") % 4 === 0).select("vec_id")
+        val fidx = graft.operators.IvfIndex.Index(
+          idx.assigned.join(keep, Seq("vec_id"), "left_semi"), idx.cells)
+        val q = idx.assigned.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        graft.operators.IvfIndex.knnExact(fidx, q, k = 10, nprobe = 3)
+          .select(col("query_id"), col("rk"), col("neighbor_id"),
+            round(col("s"), 4).as("sim"))
+          .orderBy("query_id", "rk")
+      },
+      Some("""SELECT query_id, rk, neighbor_id, ROUND(s, 4) AS sim FROM (
+             |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+             |                           CAST(n.embedding AS DOUBLE[])) AS s,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+             |                                      CAST(n.embedding AS DOUBLE[])) DESC,
+             |               n.vec_id) AS BIGINT) AS rk
+             |  FROM embeddings q JOIN embeddings n
+             |    ON n.vec_id != q.vec_id AND n.label % 4 = 0
+             |  WHERE q.vec_id % 50 = 0)
+             |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+
     // ---- X3 int8-quantized exact search: per-vector symmetric scalar
     // quantization (q_j = floor(v_j·127/max|v| + 0.5) — floor(x+0.5), not
     // round(), because floor on an identical IEEE double is identical in

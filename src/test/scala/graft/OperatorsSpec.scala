@@ -312,6 +312,47 @@ class OperatorsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(got == expected)
   }
 
+  test("knnExact on a predicate-filtered index: exact even when probed cells are empty") {
+    // filtered vector search (x3_knn_filtered) restricts the index to a
+    // metadata predicate BEFORE the scan. Adversarial shape: queries come
+    // from cluster 7 but only clusters 0/1 are eligible, so every probed
+    // (nearest) cell for a query holds ZERO eligible members — phase 1
+    // yields no sk row, and the phase-2 left join must keep the query
+    // alive (an inner join silently returned zero neighbors here)
+    val rng = new scala.util.Random(23)
+    val centers = Seq.fill(8)(Array.fill(6)(rng.nextGaussian()))
+    val vecs = (0L until 160L).map { i =>
+      val ctr = centers((i % 8).toInt)
+      (i, ctr.map(x => x + rng.nextGaussian() * 0.05).toSeq)
+    }
+    val e = vecs.toDF("vec_id", "v")
+    val idx = graft.operators.IvfIndex.build(e)
+    val eligible = vecs.map(_._1).filter(_ % 8 < 2).toSet
+    val keep = eligible.toSeq.toDF("vec_id")
+    val fidx = graft.operators.IvfIndex.Index(
+      idx.assigned.join(keep, Seq("vec_id"), "left_semi"), idx.cells)
+    val q = idx.assigned.filter(col("vec_id") % 8 === 7 && col("vec_id") < 24)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val got = withPruningPath {
+      graft.operators.IvfIndex.knnExact(fidx, q, k = 5, nprobe = 1)
+        .select("query_id", "rk", "neighbor_id").as[(Long, Long, Long)]
+        .collect().toSeq.sorted
+    }
+    def cos(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    val byId = vecs.toMap
+    val expected = Seq(7L, 15L, 23L).flatMap { qid =>
+      eligible.toSeq
+        .map(nid => (nid, cos(byId(qid), byId(nid))))
+        .sortBy { case (nid, s) => (-s, nid) }
+        .take(5).zipWithIndex
+        .map { case ((nid, _), i) => (qid, (i + 1).toLong, nid) }
+    }.sorted
+    assert(got == expected,
+      s"filtered pruning-path knn diverged from brute force over the eligible set")
+  }
+
   test("IvfIndex.knnApprox: recall >= 0.9 on clustered data at nprobe=4") {
     val rng = new scala.util.Random(17)
     val centers = Seq.fill(8)(Array.fill(6)(rng.nextGaussian()))
