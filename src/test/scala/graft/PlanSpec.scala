@@ -180,4 +180,16 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"no distinct-set collapse feeding the containment pair join; plan=\n$opt")
     graft.Caches.drain(spark)
   }
+
+  test("x3_knn_filtered: predicate lands as a semi-join BEFORE the scan") {
+    // filtered vector search must pre-filter the index (semi-join on the
+    // eligible ids), not post-filter a top-k — a post-filter plan would
+    // contain no semi join and could return fewer than k rows per query
+    val df = SparkEntry.queries("x3_knn_filtered")(spark, sfDir)
+    df.collect()
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("LeftSemi"),
+      s"expected the eligibility predicate as a LeftSemi join; plan=\n$opt")
+    graft.Caches.drain(spark)
+  }
 }
