@@ -324,6 +324,42 @@ object Streams {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** Streaming ANN LOOKUP: attribute each incoming `(doc_id, embedding)`
+    * row to its top-k nearest corpus neighbors — retrieval-at-ingest (tag
+    * every new document with its closest existing ones) where
+    * [[embeddingScreen]] is a RADIUS gate (all pairs ≥ t, appendable).
+    * Top-k needs a per-query ranking window, so like the MinHash screen it
+    * runs under foreachBatch ([[annLookupSink]]); the batch body IS
+    * [[graft.operators.IvfIndex.knnExact]] — the identical exact two-phase
+    * triangle-pruned search the batch queries use, against the same
+    * build-once parquet-backed index, so streaming answers match the batch
+    * engine row-for-row (pinned in StreamingSpec).
+    */
+  def annLookup(incoming: DataFrame, idx: graft.operators.IvfIndex.Index,
+      k: Int = 1): DataFrame = {
+    graft.functions.NativeExpressions.register(incoming.sparkSession)
+    val VF = graft.functions.VectorFunctions
+    val q = incoming.select(col("doc_id").as("query_id"),
+      VF.toDouble(col("embedding")).as("qv"))
+    graft.operators.IvfIndex.knnExact(idx, q, k = k)
+      .select(col("query_id").as("doc_id"), col("rk"),
+        col("neighbor_id"), round(col("s"), 4).as("sim"))
+  }
+
+  /** Streaming wrapper for [[annLookup]]: per micro-batch, exactly-once via
+    * overwrite-by-batch-directory (same contract as [[nearDupScreenSink]]).
+    */
+  def annLookupSink(stream: DataFrame, idx: graft.operators.IvfIndex.Index,
+      path: String, checkpoint: String, k: Int = 1)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        annLookup(batch, idx, k).write.mode("overwrite")
+          .parquet(s"$path/batch_id=$batchId")
+      }
+      .start()
+
   /** Streaming QUALITY screen — the third ingest gate beside the MinHash
     * and embedding near-dup screens: score each incoming document with the
     * same pure expressions as the batch `x4_quality`/`x4_repetition`

@@ -299,6 +299,41 @@ class StreamingSpec extends AnyFunSuite {
     graft.Caches.drain(spark)
   }
 
+  test("streaming ANN lookup matches batch knnExact row-for-row") {
+    import graft.streaming.Streams
+    val rng = new scala.util.Random(43)
+    val centers = Seq.fill(4)(Array.fill(5)(rng.nextGaussian()))
+    val corpusVecs = (0L until 80L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(x => (x + rng.nextGaussian() * 0.01).toFloat).toSeq)
+    }
+    val corpus = corpusVecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+    val idx = graft.operators.IvfIndex.build(corpus)
+    // incoming: perturbed members of two different clusters
+    val incoming = Seq(
+      (100L, corpusVecs(1)._2.map(x => x + 2e-4f)),
+      (101L, corpusVecs(2)._2.map(x => x + 2e-4f)))
+    val batchExpected = Streams.annLookup(
+      incoming.toDF("doc_id", "embedding"), idx, k = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(batchExpected.size == 6, s"expected 2 queries x k=3: $batchExpected")
+    val dir = java.nio.file.Files.createTempDirectory("ann_lookup").toString
+    val in = MemoryStream[(Long, Seq[Float])](spark)
+    val q = Streams.annLookupSink(in.toDF().toDF("doc_id", "embedding"), idx,
+      s"$dir/out", s"$dir/ckpt", k = 3)
+    in.addData(incoming: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.read.parquet(s"$dir/out/batch_id=*")
+      .select("doc_id", "rk", "neighbor_id", "sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(streamed == batchExpected,
+      s"stream/batch mismatch: only-stream=${streamed -- batchExpected} " +
+        s"only-batch=${batchExpected -- streamed}")
+    graft.Caches.drain(spark)
+  }
+
   test("streaming quality screen gates on length, stopwords, and repetition") {
     val in = MemoryStream[(Long, String)](spark)
     val screened = Streams.qualityScreen(in.toDF().toDF("doc_id", "text"))
