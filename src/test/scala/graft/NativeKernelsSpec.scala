@@ -306,4 +306,29 @@ class NativeKernelsSpec extends AnyFunSuite {
     graft.Caches.drain(spark)
     assert(got == naive, s"missing=${naive -- got} extra=${got -- naive}")
   }
+
+  test("set-similarity dispatchers survive degenerate corpora") {
+    import org.apache.spark.sql.DataFrame
+    def runBoth(tok: DataFrame): (Long, Long) = {
+      val j = graft.queries.Llm.jaccardPairsForTest(spark, tok, 0.9).count()
+      graft.Caches.drain(spark)
+      val c = graft.queries.Llm.containmentPairsForTest(spark, tok, 9, 10).count()
+      graft.Caches.drain(spark)
+      (j, c)
+    }
+    // empty corpus: vocab = 0 -> zero-width masks must not crash
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "w")
+    assert(runBoth(empty) == ((0L, 0L)))
+    // single doc: no pair to emit
+    val single = Seq((1L, "a"), (1L, "b")).toDF("doc_id", "w")
+    assert(runBoth(single) == ((0L, 0L)))
+    // all-identical docs: one distinct set, pairs come from within-set
+    // expansion only — C(3,2) = 3 pairs each at J = C = 1.0
+    val ident = (1L to 3L).flatMap(i => Seq((i, "x"), (i, "y"))).toDF("doc_id", "w")
+    assert(runBoth(ident) == ((3L, 3L)))
+    // an empty-TEXT doc produces no token rows at all (explode of an empty
+    // set drops it): it must simply be absent, not crash or pair
+    val withEmpty = Seq((1L, "a"), (2L, "a")).toDF("doc_id", "w")
+    assert(runBoth(withEmpty) == ((1L, 1L)))
+  }
 }

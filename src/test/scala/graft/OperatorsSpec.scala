@@ -351,6 +351,14 @@ class OperatorsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }.sorted
     assert(got == expected,
       s"filtered pruning-path knn diverged from brute force over the eligible set")
+    // a predicate matching NOTHING must yield zero rows, not crash — on
+    // both the single-phase and pruning paths
+    val emptyIdx = graft.operators.IvfIndex.Index(
+      idx.assigned.filter(lit(false)), idx.cells)
+    assert(graft.operators.IvfIndex.knnExact(emptyIdx, q, k = 5).count() == 0)
+    assert(withPruningPath {
+      graft.operators.IvfIndex.knnExact(emptyIdx, q, k = 5, nprobe = 1).count()
+    } == 0)
   }
 
   test("IvfIndex.knnApprox: recall >= 0.9 on clustered data at nprobe=4") {
