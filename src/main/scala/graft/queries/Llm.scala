@@ -345,9 +345,16 @@ object Llm {
         docs(s, dir)
           .withColumn("norm",
             trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
-          .groupBy("norm")
+          // group on a 128-bit DIGEST of the normalized text, not the text:
+          // the groupBy shuffle then carries (16-byte key, length, partials)
+          // per distinct doc instead of whole document bodies — at 100 TB
+          // that is the difference between shuffling kilobytes and 20 bytes
+          // per row (the oracle groups by norm directly; groups are
+          // identical, md5 collisions being vanishingly improbable — the
+          // same digest-keyed dedup every production C4-style pass runs)
+          .groupBy(md5(col("norm")).as("h"), length(col("norm")).as("norm_len"))
           .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_dups"))
-          .select(col("keeper_id"), col("n_dups"), length(col("norm")).as("norm_len"))
+          .select(col("keeper_id"), col("n_dups"), col("norm_len"))
           .orderBy("keeper_id"),
       Some("""SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups,
              |  LENGTH(norm) AS norm_len
@@ -1197,10 +1204,14 @@ object Llm {
     // shuffle to the dedup groupBy itself, no join-back pass.
     Q("x4_dedup_weight",
       (s, dir) => {
-        val w = Window.partitionBy("norm")
+        // the count window partitions on a 128-bit digest of the normalized
+        // text, not the text itself — the window shuffle carries a 16-byte
+        // key per row instead of the whole document body (same groups; the
+        // oracle partitions by norm directly)
+        val w = Window.partitionBy("h")
         docs(s, dir)
-          .withColumn("norm",
-            trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+          .withColumn("h",
+            md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))))
           .withColumn("n_copies", count(lit(1)).over(w))
           .select(col("doc_id"), col("n_copies"),
             expr("10000 div n_copies").as("weight_e4"))
