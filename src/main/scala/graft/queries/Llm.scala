@@ -1226,6 +1226,42 @@ object Llm {
              |    AS BIGINT) AS weight_e4
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- X4 curation: top-k bigram statistics per language — the corpus
+    // frequency pass tokenizer/BPE training starts from (merge candidates
+    // are exactly the most frequent adjacent pairs). Scale shape: explode
+    // bigrams (raw stream, NOT set-deduped — frequencies are the point) →
+    // one partial-aggregated groupBy(lang, ng) → per-language top-20 via
+    // rank<=k, which plans as WindowGroupLimit (partial top-k below the
+    // shuffle, no full sort of the n-gram table). Tie-break (count desc,
+    // bigram asc) makes the cut deterministic cross-engine.
+    Q("x4_ngram_topk",
+      (s, dir) => {
+        val toks = TF.tokens(col("text"))
+        val bigrams = transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", slice(toks, i, lit(2))))
+        val counts = docs(s, dir)
+          .filter(size(toks) >= 2)
+          .select(col("lang"), explode(bigrams).as("ng"))
+          .groupBy("lang", "ng").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("lang").orderBy(desc("n"), asc("ng"))
+        counts.withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 20)
+          .select(col("lang"), col("rk"), col("ng"), col("n"))
+          .orderBy("lang", "rk")
+      },
+      Some("""WITH b AS (SELECT lang,
+             |  UNNEST([string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+             |    for i in range(1, len(string_split(text,' ')))]) AS ng
+             |  FROM documents),
+             |c AS (SELECT lang, ng, CAST(COUNT(*) AS BIGINT) AS n
+             |      FROM b GROUP BY lang, ng),
+             |r AS (SELECT lang, ng, n,
+             |        CAST(ROW_NUMBER() OVER (PARTITION BY lang
+             |          ORDER BY n DESC, ng) AS BIGINT) AS rk
+             |      FROM c)
+             |SELECT lang, rk, ng, n FROM r WHERE rk <= 20
+             |ORDER BY lang, rk""".stripMargin)),
+
     // ---- X4 curation: within-document repetition filter (the Gopher
     // repetition family): fraction of duplicate trigrams per doc. A doc
     // whose trigram stream repeats itself is template spam / generation
