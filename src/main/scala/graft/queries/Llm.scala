@@ -1262,6 +1262,44 @@ object Llm {
              |SELECT lang, rk, ng, n FROM r WHERE rk <= 20
              |ORDER BY lang, rk""".stripMargin)),
 
+    // ---- X4 curation: vocabulary coverage — what fraction of all token
+    // OCCURRENCES the top-10 most frequent tokens cover, per language (the
+    // oov-rate curve tokenizer sizing reads; Zipf makes small N cover
+    // most mass). Two partial-aggregated groupBys + one window over the
+    // per-language DISTINCT-token counts (vocab-sized, not corpus-sized);
+    // coverage in exact e4 integer units, deterministic (count desc, token
+    // asc) cut.
+    Q("x4_vocab_coverage",
+      (s, dir) => {
+        val toks = TF.tokens(col("text"))
+        val counts = docs(s, dir)
+          .select(col("lang"), explode(toks).as("w"))
+          .groupBy("lang", "w").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("lang").orderBy(desc("n"), asc("w"))
+        counts.withColumn("rk", row_number().over(w))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_distinct_tokens"),
+            sum("n").as("n_tokens"),
+            sum(when(col("rk") <= 10, col("n")).otherwise(0L)).as("covered"))
+          .select(col("lang"), col("n_distinct_tokens"), col("n_tokens"),
+            expr("covered * 10000 div n_tokens").as("top10_coverage_e4"))
+          .orderBy("lang")
+      },
+      Some("""WITH t AS (SELECT lang, UNNEST(string_split(text,' ')) AS w
+             |           FROM documents),
+             |c AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS n
+             |      FROM t GROUP BY lang, w),
+             |r AS (SELECT lang, w, n,
+             |        ROW_NUMBER() OVER (PARTITION BY lang
+             |          ORDER BY n DESC, w) AS rk
+             |      FROM c)
+             |SELECT lang,
+             |  CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+             |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+             |  CAST(SUM(CASE WHEN rk <= 10 THEN n ELSE 0 END) AS BIGINT)
+             |    * 10000 // CAST(SUM(n) AS BIGINT) AS top10_coverage_e4
+             |FROM r GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // ---- X4 curation: within-document repetition filter (the Gopher
     // repetition family): fraction of duplicate trigrams per doc. A doc
     // whose trigram stream repeats itself is template spam / generation
