@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query names — dev-only filtered run
+    // (the driver always runs the full set; oracle_sql.json is trimmed to
+    // the filter so dev/check.py on the scratch dir checks just those)
+    val (Array(sfDir, outDir), filter) = (args.take(2), args.drop(2).headOption
+      .map(_.split(',').toSet))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -24,7 +28,9 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] iot oracle input failed: ${e.getMessage}")
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val selected = filter.fold(SparkEntry.queries)(f =>
+      SparkEntry.queries.filter { case (n, _) => f(n) })
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -45,7 +51,8 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = filter.fold(SparkEntry.oracleSql)(f =>
+      SparkEntry.oracleSql.filter { case (n, _) => f(n) })
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // release every frame the queries persisted (Dashboard memo, dedup

@@ -328,7 +328,12 @@ object Llm {
       (s, dir) =>
         docs(s, dir).agg(
           count(lit(1)).as("n_docs"),
-          countDistinct(col("text")).as("n_unique_texts"),
+          // distinct-count the 128-bit DIGEST, not the body: the distinct
+          // aggregate's shuffle then carries 16-byte keys instead of whole
+          // documents (same digest-key argument as x1_dedup_normalized —
+          // the oracle counts DISTINCT text directly; counts agree, md5
+          // collisions being vanishingly improbable)
+          countDistinct(md5(col("text"))).as("n_unique_texts"),
           countDistinct(col("lang")).as("n_langs")),
       Some("""SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_unique_texts,
              |  COUNT(DISTINCT lang) AS n_langs FROM documents""".stripMargin)),
@@ -1204,14 +1209,16 @@ object Llm {
     // shuffle to the dedup groupBy itself, no join-back pass.
     Q("x4_dedup_weight",
       (s, dir) => {
-        // the count window partitions on a 128-bit digest of the normalized
-        // text, not the text itself — the window shuffle carries a 16-byte
-        // key per row instead of the whole document body (same groups; the
-        // oracle partitions by norm directly)
-        val w = Window.partitionBy("h")
+        // the count window partitions on (128-bit digest, length) of the
+        // normalized text — the length co-key hardens the digest equivalence
+        // against collisions for free, matching x1_dedup_normalized's key —
+        // and the body is projected AWAY before the window, so the exchange
+        // carries (doc_id, 16-byte key, int) per row instead of whole
+        // documents (same groups; the oracle partitions by norm directly)
+        val w = Window.partitionBy("h", "norm_len")
+        val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
         docs(s, dir)
-          .withColumn("h",
-            md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))))
+          .select(col("doc_id"), md5(norm).as("h"), length(norm).as("norm_len"))
           .withColumn("n_copies", count(lit(1)).over(w))
           .select(col("doc_id"), col("n_copies"),
             expr("10000 div n_copies").as("weight_e4"))
@@ -1497,9 +1504,14 @@ object Llm {
         val toks = TF.tokens(col("text"))
         val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
         val nStop = size(filter(toks, x => x.isin(stop: _*)))
-        val wDup = Window.partitionBy("text")
+        // window on the 128-bit DIGEST of the body, not the body itself,
+        // and project the body AWAY before the window so the exchange
+        // shuffles (16-byte key, id, lang, split, counts) — not the corpus
+        // (the oracle partitions by text directly; identical groups modulo
+        // md5 collisions, same argument as x1_dedup_normalized)
+        val wDup = Window.partitionBy("text_h")
         val d = docs(s, dir).select(
-            col("doc_id"), col("lang"), col("text"),
+            col("doc_id"), col("lang"), md5(col("text")).as("text_h"),
             when(h < 800000L, "train").when(h < 900000L, "val")
               .otherwise("test").as("split"),
             size(toks).cast("long").as("n_tokens"),

@@ -181,6 +181,23 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     graft.Caches.drain(spark)
   }
 
+  test("dedup-family shuffles carry digests, never document bodies") {
+    // the 100 TB invariant: any exchange keyed on document identity must
+    // shuffle a 16-byte digest, with the body projected away beforehand —
+    // an exchange whose output still contains `text` ships the corpus
+    for (name <- Seq("x1_dedup_stats", "x4_dedup_weight", "x4_curation_report")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val offending = collectWithSubqueries(df.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+            if e.output.exists(_.name == "text") => e
+      }
+      assert(offending.isEmpty,
+        s"$name has an exchange carrying the raw text column:\n" +
+          df.queryExecution.executedPlan)
+    }
+  }
+
   test("x3_knn_filtered: predicate lands as a semi-join BEFORE the scan") {
     // filtered vector search must pre-filter the index (semi-join on the
     // eligible ids), not post-filter a top-k — a post-filter plan would
