@@ -424,6 +424,146 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Shared arithmetic for the PORTABLE hash kernels: pure mod-prime integer
+  * folds any engine can replay in plain SQL (the same portability contract as
+  * TextFunctions.docFingerprintPortable — fingerprints/signatures published to
+  * a dataset catalog must be recomputable by whatever engine reads them
+  * later). Every intermediate stays below 2^63 so ANSI mode never overflows
+  * and a DuckDB BIGINT twin computes bit-identical values:
+  *   word:    h1 = fold (a*31  + codepoint) mod 1e9+7   (< 2^30)
+  *            h2 = fold (a*131 + codepoint) mod 2^31-1  (< 2^31)
+  *            hw = h1 * 2^31 + h2                        (< 2^61)
+  *   shingle: s1 = fold (a*1000003 + hw) mod 1e9+7, s2 likewise mod 2^31-1
+  *            hs = s1 * 2^31 + s2
+  *   minhash family k: min over shingles of (a_k*(hs mod p) + b_k) mod p,
+  *            p = 2^31-1, a_k = (506952114*(k+1)+1) mod p (506952114 =
+  *            Knuth's 2654435761 mod p), b_k = (40503*(k+1)+17) mod p.
+  */
+private object PortableHash {
+  val P31 = 2147483647L  // 2^31 - 1
+  val P30 = 1000000007L
+
+  def wordHash(s: UTF8String): Long = {
+    val str = s.toString
+    var h1 = 0L
+    var h2 = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h1 = (h1 * 31L + cp) % P30
+      h2 = (h2 * 131L + cp) % P31
+      i += Character.charCount(cp)
+    }
+    h1 * 2147483648L + h2
+  }
+
+  /** Sorted distinct portable k-shingle hashes of a token array (same
+    * <k-token whole-doc fallback as ShingleHashes).
+    */
+  def shingleHashes(arr: ArrayData, k: Int): GenericArrayData = {
+    val n = arr.numElements()
+    val hws = new Array[Long](n)
+    var i = 0
+    while (i < n) { hws(i) = wordHash(arr.getUTF8String(i)); i += 1 }
+    val nShingles = math.max(n - (k - 1), 1)
+    val out = new Array[Long](nShingles)
+    i = 0
+    while (i < nShingles) {
+      var s1 = 0L
+      var s2 = 0L
+      var j = i
+      val end = math.min(i + k, n)
+      while (j < end) {
+        s1 = (s1 * 1000003L + hws(j)) % P30
+        s2 = (s2 * 1000033L + hws(j)) % P31
+        j += 1
+      }
+      out(i) = s1 * 2147483648L + s2
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 0
+    var r = 0
+    while (r < out.length) {
+      if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+}
+
+/** Portable 61-bit word hashes, one per token, order-preserving — the
+  * SQL-replayable counterpart of `transform(toks, xxhash64)` feeding
+  * SimHash64 (bits 61..63 are always 0, so the majority vote over them is
+  * always false and the signature stays inside the oracle's 62-bit sum).
+  */
+case class PortableWordHashes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = PortableHash.wordHash(arr.getUTF8String(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PortableWordHashes =
+    copy(child = newChild)
+}
+
+/** Portable sorted distinct k-shingle hashes — drop-in for ShingleHashes
+  * where the downstream signature must be oracle-replayable.
+  */
+case class PortableShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    PortableHash.shingleHashes(a.asInstanceOf[ArrayData], k)
+
+  override protected def withNewChildInternal(newChild: Expression): PortableShingleHashes =
+    copy(child = newChild)
+}
+
+/** Portable MinHash signature over portable shingle hashes: affine families
+  * mod 2^31-1 instead of splitmix64 — one compiled pass per family, same
+  * cost shape as MinHashSignature64, but SQL-replayable.
+  */
+case class PortableMinHash(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  import PortableHash.P31
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData].toLongArray()
+    val out = new Array[Long](numHashes)
+    var k = 0
+    while (k < numHashes) {
+      val ak = (506952114L * (k + 1) + 1) % P31
+      val bk = (40503L * (k + 1) + 17) % P31
+      var mn = Long.MaxValue
+      var i = 0
+      while (i < xs.length) {
+        val m = (ak * (xs(i) % P31) + bk) % P31
+        if (m < mn) mn = m
+        i += 1
+      }
+      out(k) = mn
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PortableMinHash =
+    copy(child = newChild)
+}
+
 object NativeExpressions {
   /** Session-scoped registration of the native functions; idempotent.
     * Registered through the classic FunctionRegistry so call sites can use
@@ -466,6 +606,17 @@ object NativeExpressions {
     registry.createOrReplaceTempFunction(
       "graft_bands",
       (args: Seq[Expression]) => BandKeys64(args(0),
+        args(1).eval().asInstanceOf[Int]), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_wordhash62",
+      (args: Seq[Expression]) => PortableWordHashes(args(0)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_shingles_portable",
+      (args: Seq[Expression]) => PortableShingleHashes(args(0),
+        args(1).eval().asInstanceOf[Int]), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_minhash_portable",
+      (args: Seq[Expression]) => PortableMinHash(args(0),
         args(1).eval().asInstanceOf[Int]), "built-in")
   }
 }

@@ -64,6 +64,120 @@ object Llm {
   private[graft] def jaccardPairsForTest(s: SparkSession, tok: DataFrame,
       t: Double): DataFrame = jaccardPairs(s, tok, t)
 
+  /** MinHash-LSH near-dup pairs over a (doc_id, text) frame: band-bucket
+    * candidates, exact 3-shingle-Jaccard verification at `t`. The entire
+    * signature pipeline is portable mod-prime arithmetic
+    * (graft_shingles_portable / graft_minhash_portable), so a SQL oracle
+    * replays it bit-for-bit.
+    *
+    * HOT-BAND SKEW GUARD: the band self-join runs over DISTINCT shingle
+    * sets, not documents (the same distinct-set collapse as
+    * containmentPairs). A boilerplate-heavy corpus — thousands of docs
+    * sharing one template — would otherwise put them all in the same band
+    * bucket and make the bucket join quadratic in DOCUMENTS; collapsed, the
+    * bucket join is quadratic only in distinct SETS (the all-identical
+    * adversarial corpus yields ONE set and zero band-join pairs), and the
+    * m·(m-1)/2 identical-doc pairs the contract still owes are re-expanded
+    * narrow (explode, no shuffle) from the member lists afterward. Identical
+    * sets have Jaccard exactly 1.0 ≥ t, so expansion preserves the output
+    * exactly and the oracle is unchanged. (Member lists are bounded by group
+    * size; a group so large its pair EXPANSION is infeasible makes the
+    * pairwise contract itself infeasible — that corpus wants
+    * x1_dedup_clusters' representative output instead.)
+    */
+  private[graft] def minhashLshPairs(s: SparkSession, d0: DataFrame,
+      t: Double): DataFrame =
+    minhashLshPairsUnsorted(s, d0, t).orderBy("doc_a", "doc_b")
+
+  private[graft] def minhashLshPairsUnsorted(s: SparkSession, d0: DataFrame,
+      t: Double): DataFrame = {
+    graft.functions.NativeExpressions.register(s)
+    val numHashes = 32; val bands = 16
+    val P31 = 2147483647L
+    // Persisted: the distinct-set frame is ~100x smaller than the text and
+    // is consumed by the band explode, both verify joins, and both member
+    // expansions; without it Spark re-runs text->shingle->hash per consumer.
+    val sets = graft.Caches.persist(
+      d0.select(col("doc_id"),
+          call_function("graft_shingles_portable",
+            TF.tokens(col("text")), lit(3)).as("sh"))
+        .groupBy("sh")
+        .agg(min("doc_id").as("set_id"),
+          collect_list("doc_id").as("members"),
+          count(lit(1)).as("m")))
+    val sig = sets.select(col("set_id"),
+      call_function("graft_minhash_portable",
+        col("sh"), lit(numHashes)).as("sig"))
+    // Band key = sig[2b]*p + sig[2b+1] (joined together with the band
+    // index) — plain integers both engines build identically. The join
+    // carries set ids ONLY; shingle arrays are re-joined post-dedup.
+    val banded = sig.select(col("set_id"),
+      posexplode(array((0 until bands).map { b =>
+        element_at(col("sig"), 2 * b + 1) * P31 +
+          element_at(col("sig"), 2 * b + 2)
+      }: _*)).as(Seq("band", "bk")))
+    val candSets = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.set_id") < col("b.set_id"))
+      .select(col("a.set_id").as("sa"), col("b.set_id").as("sb"))
+      .dropDuplicates("sa", "sb")
+    val verified = candSets
+      .join(sets.select(col("set_id").as("sa"), col("sh").as("sh_a"),
+        col("members").as("mem_a")), "sa")
+      .join(sets.select(col("set_id").as("sb"), col("sh").as("sh_b"),
+        col("members").as("mem_b")), "sb")
+      .withColumn("i", call_function("graft_isect", col("sh_a"), col("sh_b")))
+      .withColumn("j", col("i").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("i")).cast("double"))
+      .filter(col("j") >= t)
+    // cross-set doc pairs: every member pairing inherits the set-level j
+    // (members of distinct sets are distinct docs, so least/greatest emits
+    // each unordered pair exactly once). The repartition between the two
+    // explodes spreads a giant |A|x|B| expansion across the cluster — one
+    // enormous verified pair would otherwise expand inside a single task.
+    val crossPairs = verified
+      .select(explode(col("mem_a")).as("x"), col("mem_b"), col("j"))
+      .repartition(col("x"))
+      .select(col("x"), explode(col("mem_b")).as("y"), col("j"))
+      .select(least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"),
+        round(col("j"), 4).as("jaccard"))
+    // intra-set doc pairs: identical shingle sets share every band and have
+    // j = 1.0 exactly — owed by the contract. A flat explode×explode would
+    // serialize the whole m·(m-1)/2 expansion of one big group into a
+    // single task, so pairs are enumerated by BLOCK-PAIR join instead
+    // (SaltedJoin's spirit applied to self-pairing): each member lands in
+    // one of B = ceil(sqrt(m)) blocks by doc-id hash; a pair (x,y) is
+    // emitted only in the cell (min(px,py), max(px,py)), so the join key
+    // (set, blockA, blockB) spreads the expansion over ~m parallel cells of
+    // O(1) pairs each, and the shuffle carries m·sqrt(m) replicated ids —
+    // not m² pair rows.
+    val mem = sets.filter(col("m") > 1)
+      .select(col("set_id"), explode(col("members")).as("x"),
+        ceil(sqrt(col("m"))).cast("int").as("nb"))
+      // spread the members of one big group across the cluster BEFORE the
+      // block fanout: the set frame keeps a whole group in one partition, and
+      // the join below builds/broadcasts the small side, so without this the
+      // entire m²/2 expansion would stream out of a single task
+      .repartition(col("set_id"), col("x"))
+      .withColumn("p", pmod(xxhash64(col("x")), col("nb")).cast("int"))
+    val aSide = mem.select(col("set_id"), col("x").as("xa"),
+      col("p").as("ka"), explode(sequence(col("p"), col("nb") - 1)).as("kb"))
+    val bSide = mem.select(col("set_id"), col("x").as("xb"),
+      explode(sequence(lit(0), col("p"))).as("ka"), col("p").as("kb"))
+    // off-diagonal cells (ka < kb) join two DISJOINT blocks — every (xa,xb)
+    // combination is a distinct unordered pair, normalized by least/greatest;
+    // diagonal cells (ka = kb) self-pair one block and dedupe with xa < xb
+    val intraPairs = aSide
+      .join(bSide, Seq("set_id", "ka", "kb"))
+      .filter(col("ka") =!= col("kb") || col("xa") < col("xb"))
+      .select(least(col("xa"), col("xb")).as("doc_a"),
+        greatest(col("xa"), col("xb")).as("doc_b"),
+        lit(1.0).as("jaccard"))
+    crossPairs.unionAll(intraPairs)
+  }
+
   private def jaccardPairs(s: SparkSession, tok0: DataFrame, t: Double): DataFrame = {
     graft.functions.NativeExpressions.register(s)
     // persisted: consumed by the vocab count action, the vocabulary index,
@@ -501,68 +615,91 @@ object Llm {
 
     // ---- X2 MinHash + LSH near-dup (the scale path: candidates via band
     // buckets instead of all pairs; candidates then verified with exact
-    // 3-shingle Jaccard). Hash-function-dependent -> rows-only check; recall
-    // vs the exact twin is asserted in MinHashSpec.
+    // 3-shingle Jaccard). The whole signature pipeline is PORTABLE mod-prime
+    // arithmetic (graft_shingles_portable / graft_minhash_portable — compiled
+    // kernels, but SQL-replayable folds), so the DuckDB oracle reproduces
+    // candidates and scores bit-for-bit; recall vs the exact twin is
+    // additionally asserted in LlmSpec.
+    // b=16 bands of r=2: P(candidate | j) = 1-(1-j^2)^16 = 0.99 at j=0.5, so
+    // recall at the 0.5 verify threshold is near-exact while the bucket join
+    // stays tiny — see minhashLshPairs above for the pipeline + skew guard.
     Q("x2_minhash_lsh",
-      (s, dir) => {
-        // b=16 bands of r=2: P(candidate | j) = 1-(1-j^2)^16 = 0.99 at j=0.5,
-        // so recall at the 0.5 verify threshold is near-exact while the
-        // bucket join stays tiny
-        graft.functions.NativeExpressions.register(s)
-        val numHashes = 32; val bands = 16
-        // Shingles are hashed to 64-bit longs ONCE up front (collision odds
-        // ~n^2/2^65 — immaterial against the 0.5 verify threshold) and kept
-        // SORTED, so (a) the 32 minhash families run as one native primitive
-        // pass per doc (graft_minhash) instead of 32 interpreted HOF
-        // traversals, and (b) candidate verification is a native merge-scan
-        // intersection count (graft_isect) with |union| = na+nb-i, no
-        // array_intersect/array_union materialization.
-        // Persisted: the hashed-shingle projection is ~100x smaller than the
-        // text and is consumed 4x (both band-join sides + both verify joins);
-        // without it Spark re-runs text->shingle->hash per consumer.
-        val d = graft.Caches.persist(docs(s, dir).select(
-          col("doc_id"), TF.shingleHashes(col("text"), 3).as("sh")))
-        val sig = d.select(col("doc_id"),
-          call_function("graft_minhash", col("sh"), lit(numHashes)).as("sig"))
-        // Band join carries doc ids ONLY — candidate pairs can be ~10^6 and
-        // dragging two ~50-element arrays per row through the bucket join +
-        // dedup shuffle dominates runtime; the arrays are re-joined (by id,
-        // post-dedup) solely for verification.
-        val banded = sig.select(col("doc_id"),
-          explode(TF.bandKeys64(col("sig"), bands)).as("bk"))
-        val cand = banded.as("a")
-          .join(banded.as("b"),
-            col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .dropDuplicates("doc_a", "doc_b")
-        cand
-          .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-          .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-          .withColumn("i", call_function("graft_isect", col("sh_a"), col("sh_b")))
-          .withColumn("j", col("i").cast("double") /
-            (size(col("sh_a")) + size(col("sh_b")) - col("i")).cast("double"))
-          .filter(col("j") >= 0.5)
-          .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
-          .orderBy("doc_a", "doc_b")
-      },
-      None),
+      (s, dir) => minhashLshPairs(s, docs(s, dir), 0.5),
+      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+             |wh AS (SELECT doc_id, [
+             |    (list_reduce([CAST(0 AS BIGINT)] ||
+             |       [CAST(unicode(c) AS BIGINT) FOR c IN string_split(x,'')],
+             |       (a,b) -> (a*31+b) % 1000000007) * 2147483648 +
+             |     list_reduce([CAST(0 AS BIGINT)] ||
+             |       [CAST(unicode(c) AS BIGINT) FOR c IN string_split(x,'')],
+             |       (a,b) -> (a*131+b) % 2147483647)) FOR x IN ws] AS hws FROM w),
+             |sh AS (SELECT doc_id, list_distinct([
+             |    (list_reduce([CAST(0 AS BIGINT)] ||
+             |       list_slice(hws, i, least(i+2, len(hws))),
+             |       (a,h) -> (a*1000003+h) % 1000000007) * 2147483648 +
+             |     list_reduce([CAST(0 AS BIGINT)] ||
+             |       list_slice(hws, i, least(i+2, len(hws))),
+             |       (a,h) -> (a*1000033+h) % 2147483647))
+             |    FOR i IN range(1, greatest(len(hws)-1, 2))]) AS hs FROM wh),
+             |shing AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+             |fam AS (SELECT doc_id, k,
+             |    MIN((((506952114*(k+1)+1) % 2147483647) * (h % 2147483647)
+             |         + ((40503*(k+1)+17) % 2147483647)) % 2147483647) AS sig
+             |  FROM shing CROSS JOIN (SELECT unnest(range(0,32)) AS k) ks
+             |  GROUP BY doc_id, k),
+             |band AS (SELECT f0.doc_id, f0.k // 2 AS b,
+             |    f0.sig * 2147483647 + f1.sig AS bk
+             |  FROM fam f0 JOIN fam f1
+             |    ON f0.doc_id = f1.doc_id AND f1.k = f0.k + 1
+             |  WHERE f0.k % 2 = 0),
+             |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+             |  FROM band a JOIN band b2
+             |    ON a.b = b2.b AND a.bk = b2.bk AND a.doc_id < b2.doc_id),
+             |ver AS (SELECT doc_a, doc_b, len(list_intersect(x.hs, y.hs)) AS i,
+             |    len(x.hs) AS na, len(y.hs) AS nb
+             |  FROM cand JOIN sh x ON x.doc_id = doc_a
+             |            JOIN sh y ON y.doc_id = doc_b)
+             |SELECT doc_a, doc_b, ROUND(CAST(i AS DOUBLE)/(na+nb-i), 4) AS jaccard
+             |FROM ver WHERE CAST(i AS DOUBLE)/(na+nb-i) >= 0.5
+             |ORDER BY doc_a, doc_b""".stripMargin)),
 
-    // ---- X2 SimHash fingerprints: 64-bit, from distinct-token xxhash64 bit
-    // votes, computed in ONE native pass per document (graft_simhash). The
-    // explode formulation ((doc, token, 64 bits) vote rows -> groupBy shuffle)
-    // inflates rows 64× through the shuffle; the native kernel shuffles
-    // nothing beyond the final sort and is bit-identical (NativeKernelsSpec
-    // cross-checks it against the explode+sum(vote) form).
+    // ---- X2 SimHash fingerprints: 62-bit, from distinct-token PORTABLE
+    // word-hash bit votes, computed in ONE native pass per document
+    // (graft_simhash over graft_wordhash62). The explode formulation ((doc,
+    // token, bit) vote rows -> groupBy shuffle) inflates rows 64× through the
+    // shuffle; the native kernel shuffles nothing beyond the final sort and
+    // is bit-identical (NativeKernelsSpec cross-checks it against the
+    // explode+sum(vote) form). The word hashes are mod-prime folds the
+    // DuckDB oracle replays exactly — bits 61..63 of every input are 0, so
+    // those majority votes are always false and both engines agree the
+    // signature fits in 62 bits.
     Q("x2_simhash",
       (s, dir) => {
         graft.functions.NativeExpressions.register(s)
         docs(s, dir).select(
           col("doc_id"),
           call_function("graft_simhash",
-            transform(TF.tokenSet(col("text")), w => xxhash64(w))).as("simhash"))
+            call_function("graft_wordhash62", TF.tokenSet(col("text"))))
+            .as("simhash"))
           .orderBy("doc_id")
       },
-      None),
+      Some("""WITH tok AS (SELECT doc_id,
+             |    unnest(list_distinct(string_split(text,' '))) AS w FROM documents),
+             |th AS (SELECT doc_id,
+             |    (list_reduce([CAST(0 AS BIGINT)] ||
+             |       [CAST(unicode(c) AS BIGINT) FOR c IN string_split(w,'')],
+             |       (a,b) -> (a*31+b) % 1000000007) * 2147483648 +
+             |     list_reduce([CAST(0 AS BIGINT)] ||
+             |       [CAST(unicode(c) AS BIGINT) FOR c IN string_split(w,'')],
+             |       (a,b) -> (a*131+b) % 2147483647)) AS h
+             |  FROM tok),
+             |votes AS (SELECT doc_id, b, SUM((h >> b) & 1) AS ones, COUNT(*) AS n
+             |  FROM th CROSS JOIN (SELECT unnest(range(0, 62)) AS b) bits
+             |  GROUP BY doc_id, b)
+             |SELECT doc_id,
+             |  CAST(SUM(CASE WHEN 2*ones > n THEN (CAST(1 AS BIGINT) << b)
+             |           ELSE 0 END) AS BIGINT) AS simhash
+             |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ---- X5/X2 embedding-cosine near-dup pairs (exact all-pairs baseline,
     // oracle-checked; broadcast one side — embeddings dim table is small, the

@@ -33,6 +33,7 @@ object ProfileMain {
       case "@clusters" => clusterPieces(spark, sfDir)
       case "@scale" => scaleSweep(spark, sfDir)
       case "@prefix" => prefixSweep(spark, sfDir)
+      case "@lshskew" => lshSkewSweep(spark)
       // warm:<query> — 3 runs with NO cache drain between them, mimicking
       // the r01-era min-of-2 bench whose persisted frames stayed warm
       // across samples; the run2/run3 times are what those era numbers
@@ -114,6 +115,69 @@ object ProfileMain {
     * WORST case (every prefix token shared by thousands of docs) — that
     * regime correctly dispatches to bitsets and is not measured here.
     */
+  /** Adversarial hot-band corpus: m IDENTICAL boilerplate docs (every one
+    * lands in the same bucket of all 16 bands) + a distinct tail. Compares
+    * the shipped distinct-set-collapsed LSH against the doc-level band join
+    * it replaced: same output (m·(m-1)/2 pairs at j=1.0 + the tail's), but
+    * the doc-level join drags 16·m²/2 bucket pairs through the candidate
+    * dedup shuffle while the collapsed path band-joins ONE set row and
+    * re-expands the owed pairs narrow.
+    */
+  private def lshSkewSweep(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.DataFrame
+    graft.functions.NativeExpressions.register(spark)
+    val template = (1 to 30).map(i => s"tpl$i").mkString(" ")
+    def corpus(m: Int): DataFrame =
+      spark.range(m).select(col("id").as("doc_id"), lit(template).as("text"))
+        .unionAll(spark.range(100).select((col("id") + 1000000L).as("doc_id"),
+          concat_ws(" ", lit("tail"), col("id").cast("string"),
+            lit("w1 w2 w3 w4 w5 w6")).as("text")))
+    // the r05 doc-level formulation, reconstructed for comparison
+    def docLevel(d0: DataFrame): DataFrame = {
+      val P31 = 2147483647L
+      val d = graft.Caches.persist(d0.select(col("doc_id"),
+        call_function("graft_shingles_portable",
+          TF.tokens(col("text")), lit(3)).as("sh")))
+      val sig = d.select(col("doc_id"),
+        call_function("graft_minhash_portable", col("sh"), lit(32)).as("sig"))
+      val banded = sig.select(col("doc_id"),
+        posexplode(array((0 until 16).map { b =>
+          element_at(col("sig"), 2 * b + 1) * P31 +
+            element_at(col("sig"), 2 * b + 2)
+        }: _*)).as(Seq("band", "bk")))
+      val cand = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+      cand
+        .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .withColumn("i", call_function("graft_isect", col("sh_a"), col("sh_b")))
+        .withColumn("j", col("i").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("i")).cast("double"))
+        .filter(col("j") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
+    }
+    for (m <- Seq(2000, 4000, 8000)) {
+      val d = corpus(m)
+      val rows = time(s"lsh set-collapsed m=$m") {
+        graft.queries.Llm.minhashLshPairs(spark, d, 0.5).count()
+      }
+      graft.Caches.drain(spark)
+      time(s"lsh collapsed NOSORT m=$m") {
+        graft.queries.Llm.minhashLshPairsUnsorted(spark, d, 0.5).count()
+      }
+      graft.Caches.drain(spark)
+      val rowsOld = time(s"lsh doc-level    m=$m") {
+        docLevel(d).orderBy("doc_a", "doc_b").count()
+      }
+      graft.Caches.drain(spark)
+      println(s"[profile]   rows collapsed=$rows docLevel=$rowsOld")
+    }
+  }
+
   private def prefixSweep(spark: SparkSession, baseDir: String): Unit = {
     import spark.implicits._
     Seq(40, 80, 160, 320).foreach { groups =>

@@ -127,6 +127,67 @@ class NativeKernelsSpec extends AnyFunSuite {
     assert(native == explodeForm)
   }
 
+  // interpreted-HOF twin of PortableHash.wordHash — an independent in-Spark
+  // formulation of the oracle's list_reduce folds
+  private def hofWordHash(w: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.Column
+    def fold(m: Long, p: Long): Column =
+      aggregate(split(w, ""), lit(0L), (a, c) => (a * m + ascii(c)) % p)
+    fold(31L, 1000000007L) * lit(2147483648L) + fold(131L, 2147483647L)
+  }
+
+  test("graft_wordhash62 equals the interpreted mod-prime fold, both modes") {
+    val rng = new Random(23)
+    val docs = (1L to 30L).map { i =>
+      (i, List.fill(1 + rng.nextInt(20))(s"w${rng.nextInt(99)}x").mkString(" "))
+    }.toDF("doc_id", "text")
+    for (mode <- modes) withCodegen(mode) {
+      val both = docs.select(
+        call_function("graft_wordhash62", split(col("text"), " ")).as("k"),
+        transform(split(col("text"), " "), hofWordHash _).as("h"))
+        .as[(Seq[Long], Seq[Long])].collect()
+      both.foreach { case (k, h) => assert(k == h) }
+      // every hash fits in 61 bits — the simhash oracle's 62-bit sum relies on it
+      both.foreach { case (k, _) => k.foreach(x => assert(x >= 0 && x < (1L << 61))) }
+    }
+  }
+
+  test("graft_shingles_portable equals the interpreted slice+fold+distinct form") {
+    val rng = new Random(29)
+    val docs = (1L to 30L).map { i =>
+      // include sub-k docs to pin the whole-doc fallback
+      (i, List.fill(1 + rng.nextInt(12))(s"t${rng.nextInt(40)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val toks = split(col("text"), " ")
+    val hws = transform(toks, hofWordHash _)
+    def foldSlice(m: Long, p: Long) =
+      transform(sequence(lit(1), greatest(size(toks) - 2, lit(1))), i =>
+        aggregate(slice(hws, i, lit(3)), lit(0L), (a, h) => (a * m + h) % p))
+    val hof = zip_with(foldSlice(1000003L, 1000000007L), foldSlice(1000033L, 2147483647L),
+      (s1, s2) => s1 * lit(2147483648L) + s2)
+    val both = docs.select(
+      call_function("graft_shingles_portable", toks, lit(3)).as("k"),
+      array_sort(array_distinct(hof)).as("h")).as[(Seq[Long], Seq[Long])].collect()
+    both.foreach { case (k, h) => assert(k == h) }
+  }
+
+  test("graft_minhash_portable equals the interpreted affine-family minima") {
+    val rng = new Random(31)
+    val p = 2147483647L
+    for (_ <- 1 to 10) {
+      val xs = List.fill(1 + rng.nextInt(50))(rng.nextLong().abs % (1L << 61))
+      val expected = (0 until 32).map { k =>
+        val ak = (506952114L * (k + 1) + 1) % p
+        val bk = (40503L * (k + 1) + 17) % p
+        xs.map(h => (ak * (h % p) + bk) % p).min
+      }
+      val got = Seq(Tuple1(xs)).toDF("a")
+        .select(call_function("graft_minhash_portable", col("a"), lit(32)).as("sig"))
+        .as[Seq[Long]].head()
+      assert(got == expected)
+    }
+  }
+
   test("graft_bigrams equals the HOF transform+slice+distinct formulation") {
     val rng = new Random(13)
     val vocab = Vector("a", "bb", "ccc", "dd", "e", "ff", "g")

@@ -431,4 +431,35 @@ class OperatorsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       spark.sql("DROP TABLE IF EXISTS b_items")
     }
   }
+
+  test("minhash-LSH hot-band skew guard: band join runs over distinct sets") {
+    // adversarial boilerplate corpus: 400 IDENTICAL docs (every one lands in
+    // the same bucket of all 16 bands) + two distinct near-dup docs + one
+    // unrelated doc. Without the distinct-set collapse the band self-join
+    // would generate 16 * 400*399/2 ≈ 1.3M bucket pairs; collapsed, the
+    // identical docs are ONE set and the join sees at most one row per
+    // (set, band) bucket.
+    val template = (1 to 30).map(i => s"tpl$i").mkString(" ")
+    val nearA = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearB = ((1 to 29).map(i => s"w$i") :+ "zz").mkString(" ")
+    val rows = (0L until 400L).map(i => (i, template)) ++
+      Seq((1000L, nearA), (1001L, nearB), (2000L, "totally unrelated stuff x y"))
+    val d = rows.toDF("doc_id", "text")
+    val out = graft.queries.Llm.minhashLshPairs(spark, d, 0.5)
+    val res = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the 400 identical docs owe all m(m-1)/2 pairs at exactly 1.0
+    val intra = res.filter { case (a, b, _) => a < 400 && b < 400 }
+    assert(intra.length == 400 * 399 / 2)
+    assert(intra.forall(_._3 == 1.0))
+    // the near-dup pair survives band + verify (28/32 shared shingles)
+    assert(res.exists { case (a, b, j) => a == 1000L && b == 1001L && j > 0.8 })
+    // no cross pairs between template group and the rest
+    assert(res.length == intra.length + 1)
+    // plan pin: the distinct-set collapse (groupBy(sh) + collect_list) feeds
+    // the band join — same detector as the x2_containment collapse test
+    val opt = out.queryExecution.optimizedPlan.toString
+    assert(opt.contains("collect_list(doc_id"),
+      s"no distinct-set collapse feeding the band join; plan=\n$opt")
+    graft.Caches.drain(spark)
+  }
 }
