@@ -51,15 +51,20 @@ object Bench {
         graft.Caches.drain(spark)
       }
     }
-    // a query only lands in `queries` if at least one round succeeded;
-    // all-round failures appear (only) under "failed" with a -1 sentinel
+    // "queries" holds ONLY real timings (a query lands there iff at least
+    // one round succeeded — no sentinels downstream tooling could sum);
+    // "failed" holds queries that failed EVERY round; queries that failed
+    // some round but succeeded another are listed under "flaky" with their
+    // successful timing still in "queries".
     val results = names.flatMap { case (name, _) => best.get(name).map(name -> _) }.toMap
-    val qs = (results ++ failed.filterNot(results.contains).map(_ -> -1.0))
+    val qs = results
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val fs = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def strList(xs: Seq[String]) = xs.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fs = strList(failed.toSeq.filterNot(results.contains))
+    val fl = strList(failed.toSeq.filter(results.contains))
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"flaky":$fl,"sf":"$sfDir"}""")
     graft.queries.Dashboard.clearCache(spark)
     graft.queries.Llm.clearCache(spark)
     spark.catalog.clearCache()

@@ -47,7 +47,7 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  private val fmtVersion = 1
+  private[graft] val fmtVersion = 1
 
   /** `assigned`: (vec_id, v, nrm, cell, c1=cos(v, centroid)).
     * `cells`: (cell, cv, cnrm, r, cnt) — k ≈ √n rows, broadcastable.
@@ -105,15 +105,36 @@ object IvfIndex {
     * scratch dir. Verify and Bench call this once at startup;
     * current-version entries are kept — they ARE the build-once artifact
     * the cache exists for.
+    *
+    * Deletion is deliberately conservative: the cache root is
+    * user-configurable (and may be a shared scratch directory), so only
+    * directories that (a) match the full `*-nN-vV` cache-key shape with a
+    * version OTHER than the current one and (b) contain the expected
+    * `assigned`/`cells` children (and nothing that isn't index-shaped) are
+    * removed — never arbitrary subdirectories that happen to live beside
+    * the cache.
     */
   def pruneStaleCache(spark: SparkSession): Unit = {
     val root = new java.io.File(cacheRoot(spark))
+    val keyShape = raw".*-n\d+-v(\d+)$$".r
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete(): Unit
     }
+    def indexShaped(f: java.io.File): Boolean = {
+      val children = Option(f.listFiles()).getOrElse(Array.empty)
+      children.nonEmpty &&
+        children.forall(c => c.isDirectory &&
+          (c.getName == "assigned" || c.getName == "cells"))
+    }
     Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && !f.getName.endsWith(s"-v$fmtVersion"))
+      .filter(_.isDirectory)
+      .filter { f =>
+        f.getName match {
+          case keyShape(v) => v != fmtVersion.toString && indexShaped(f)
+          case _ => false
+        }
+      }
       .foreach(rm)
   }
 

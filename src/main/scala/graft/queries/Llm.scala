@@ -848,9 +848,12 @@ object Llm {
     // HARD scanned-fraction bound (~nprobe/√n of the corpus), the knob a
     // 100 TB deployment actually turns. Probe ranking depends on the
     // index's hash-free but data-driven cell layout -> rows-only check;
-    // recall ≥0.9 on clustered corpora is pinned in OperatorsSpec, and
-    // LlmSpec pins internal consistency (dense ranks, sim-desc order,
-    // sims agreeing with the exact twin) on the driver's data.
+    // OperatorsSpec pins recall ≥0.9 (clustered), the scan budget, and
+    // scan-exactness (result == true top-k over the probed cells, bit-for-
+    // bit vs an independent reference) SIMULTANEOUSLY on both clustered
+    // and isotropic fixtures; LlmSpec pins internal consistency on the
+    // driver's data; DeterminismSpec pins byte-stable output (ties broken
+    // by neighbor_id), so the driver's recorded row set is stable.
     Q("x3_knn_ivf_approx",
       (s, dir) => {
         val idx = ivfIndex(s, dir)

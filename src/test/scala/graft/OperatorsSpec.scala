@@ -361,30 +361,70 @@ class OperatorsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     } == 0)
   }
 
-  test("IvfIndex.knnApprox: recall >= 0.9 on clustered data at nprobe=4") {
+  test("IvfIndex.knnApprox: recall, scan budget, and scan-exactness hold " +
+      "simultaneously on clustered AND isotropic fixtures") {
+    val k = 5; val nprobe = 4
     val rng = new scala.util.Random(17)
     val centers = Seq.fill(8)(Array.fill(6)(rng.nextGaussian()))
-    val vecs = (0L until 240L).map { i =>
+    val clustered = (0L until 240L).map { i =>
       val ctr = centers((i % 8).toInt)
       (i, ctr.map(x => x + rng.nextGaussian() * 0.05).toSeq)
     }
-    val e = vecs.toDF("vec_id", "v")
-    val idx = graft.operators.IvfIndex.build(e)
-    val q = idx.assigned.filter(col("vec_id") % 20 === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val exact = withPruningPath {
-      graft.operators.IvfIndex.knnExact(idx, q, k = 5, nprobe = 2)
-        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rng2 = new scala.util.Random(23)
+    val isotropic = (0L until 240L).map(i => (i, Seq.fill(6)(rng2.nextGaussian())))
+    for ((label, vecs) <- Seq("clustered" -> clustered, "isotropic" -> isotropic)) {
+      val byId = vecs.map { case (i, v) => i -> v.toArray }.toMap
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        // same sequential folds as VF.dotNative / VF.l2Norm → bit-identical
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val e = vecs.toDF("vec_id", "v")
+      val idx = graft.operators.IvfIndex.build(e)
+      val queryIds = vecs.map(_._1).filter(_ % 20 == 0)
+      val q = idx.assigned.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val approx = graft.operators.IvfIndex.knnApprox(idx, q, k = k, nprobe = nprobe)
+        .select("query_id", "rk", "neighbor_id").as[(Long, Long, Long)]
+        .collect().toSeq.sorted
+      // independent Scala reference of the probe + scan contract
+      val cells = idx.cells.select("cell", "cv").as[(Long, Seq[Double])]
+        .collect().map { case (c, v) => c -> v.toArray }
+      val members = idx.assigned.select("cell", "vec_id").as[(Long, Long)]
+        .collect().groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toSeq }
+      var scanned = 0L
+      val reference = queryIds.flatMap { qid =>
+        val qv = byId(qid)
+        val probed = cells.map { case (c, cv) => (c, cos(qv, cv)) }
+          .sortBy { case (c, s) => (-s, c) }.take(nprobe).map(_._1).toSet
+        val cand = probed.toSeq.flatMap(members.getOrElse(_, Nil)).filter(_ != qid)
+        scanned += cand.size
+        cand.map(n => (n, cos(qv, byId(n))))
+          .sortBy { case (n, s) => (-s, n) }.take(k).zipWithIndex
+          .map { case ((n, _), r) => (qid, (r + 1).toLong, n) }
+      }.sorted
+      // 1) SCAN-EXACTNESS: the approximate search returns exactly the true
+      //    top-k of what its probe budget scanned (deterministic ties incl.)
+      assert(approx == reference, s"[$label] approx != exact-over-probed-cells")
+      // 2) SCAN BUDGET: the probe bound holds — on ~sqrt(n)=16 cells,
+      //    nprobe=4 must scan well under half the corpus per query
+      val frac = scanned.toDouble / (vecs.size.toLong * queryIds.size)
+      assert(frac <= 0.5, s"[$label] scanned fraction $frac exceeds budget")
+      // 3) RECALL vs the full exact search: >= 0.9 where clustering gives
+      //    the probe signal; on isotropic data no sublinear ANN can beat its
+      //    scan fraction (the repo's documented rationale for the exact IVF
+      //    path), so the floor there is only the scan fraction itself
+      val exact = withPruningPath {
+        graft.operators.IvfIndex.knnExact(idx, q, k = k, nprobe = 2)
+          .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      }
+      val approxSet = approx.map { case (qid, _, n) => (qid, n) }.toSet
+      val recall = (exact & approxSet).size.toDouble / exact.size
+      val floor = if (label == "clustered") 0.9 else frac * 0.5
+      assert(recall >= floor, s"[$label] recall=$recall < $floor (frac=$frac)")
+      graft.Caches.drain(spark)
     }
-    val approx = graft.operators.IvfIndex.knnApprox(idx, q, k = 5, nprobe = 4)
-      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    assert(exact.nonEmpty)
-    val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.9, s"recall=$recall")
-    // and the approximate path returns at most k rows per query
-    val perQuery = graft.operators.IvfIndex.knnApprox(idx, q, k = 5, nprobe = 4)
-      .groupBy("query_id").count().select("count").as[Long].collect()
-    assert(perQuery.forall(_ <= 5))
   }
 
   test("IvfIndex.knnExact above the broadcast threshold shuffles the query side") {
@@ -430,6 +470,35 @@ class OperatorsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       spark.sql("DROP TABLE IF EXISTS b_orders")
       spark.sql("DROP TABLE IF EXISTS b_items")
     }
+  }
+
+  test("IvfIndex.pruneStaleCache deletes only stale index-shaped entries") {
+    val root = java.nio.file.Files.createTempDirectory("ivf-prune").toFile
+    def mk(parts: String*): java.io.File = {
+      val f = new java.io.File(root, parts.mkString("/")); f.mkdirs(); f
+    }
+    val stale = mk("emb-n100-v0", "assigned")
+    mk("emb-n100-v0", "cells")
+    val current =
+      mk(s"emb-n100-v${graft.operators.IvfIndex.fmtVersion}", "assigned")
+    // a user directory that happens to live under the (configurable) cache
+    // root must NEVER be deleted, key-shaped or not
+    val precious = mk("precious-data")
+    java.nio.file.Files.writeString(
+      new java.io.File(precious, "keep.txt").toPath, "x")
+    val keyedButForeign = mk("backup-n5-v0")
+    java.nio.file.Files.writeString(
+      new java.io.File(keyedButForeign, "data.bin").toPath, "x")
+    val old = spark.conf.getOption("graft.ivf.cacheDir")
+    spark.conf.set("graft.ivf.cacheDir", root.getAbsolutePath)
+    try graft.operators.IvfIndex.pruneStaleCache(spark)
+    finally old.fold(spark.conf.unset("graft.ivf.cacheDir"))(
+      spark.conf.set("graft.ivf.cacheDir", _))
+    assert(!stale.getParentFile.exists(), "stale versioned entry removed")
+    assert(current.exists(), "current-version entry kept")
+    assert(new java.io.File(precious, "keep.txt").isFile, "user dir untouched")
+    assert(new java.io.File(keyedButForeign, "data.bin").isFile,
+      "key-shaped dir without index children untouched")
   }
 
   test("minhash-LSH hot-band skew guard: band join runs over distinct sets") {

@@ -186,6 +186,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(parts == Set("device_id=d1", "device_id=d2"))
   }
 
+  test("checkpoint restart: crash after sink write, before offset commit — exactly once") {
+    // The failure window the overwrite-by-batch-directory contract defends:
+    // foreachBatch wrote batch N's parquet, then the process died before the
+    // commit log recorded N. On restart Structured Streaming replays batch N
+    // with the SAME batch id and the sink overwrites the same directory —
+    // no duplicate rows, no gap. (annLookupSink and nearDupScreenSink share
+    // this exact foreachBatch body shape, so the contract proven here is
+    // theirs too.) The crash is injected deterministically via onBatchAudit,
+    // which keyedParquetSink invokes AFTER the batch parquet write.
+    val root = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val srcDir = s"$root/src"; val sinkDir = s"$root/data"; val ck = s"$root/ckpt"
+    def addFile(n: Int, rows: Seq[(String, Long, Double)]): Unit =
+      rows.toDF("device_id", "ts", "value").coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/f$n")
+    addFile(0, Seq(("d1", 0L, 1.0), ("d2", 1L, 2.0)))
+    addFile(1, Seq(("d1", 2L, 3.0), ("d3", 3L, 4.0)))
+    addFile(2, Seq(("d2", 4L, 5.0)))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("device_id", "string").add("ts", "long").add("value", "double")
+    def source() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)      // one source file per micro-batch
+      .parquet(s"$srcDir/f*")
+    val crash = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val q1 = Streams.keyedParquetSink(source(), sinkDir, ck,
+      onBatchAudit = (bid, _) =>
+        if (bid == 1 && crash.get)
+          throw new RuntimeException("injected crash post-write, pre-commit"))
+    val died = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    assert(died.getMessage.contains("injected crash"))
+    q1.stop()
+    // batch 1's data reached the sink before the "crash" — the dangerous state
+    assert(new java.io.File(s"$sinkDir/batch_id=1").exists())
+    // restart from the same checkpoint, with one MORE source file pending
+    crash.set(false)
+    addFile(3, Seq(("d3", 5L, 6.0)))
+    val q2 = Streams.keyedParquetSink(source(), sinkDir, ck)
+    q2.processAllAvailable(); q2.stop()
+    // exactly-once: every source row exactly once, batch 1 not duplicated
+    val got = spark.read.parquet(sinkDir)
+      .select("device_id", "ts", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val expect = Seq(("d1", 0L, 1.0), ("d2", 1L, 2.0), ("d1", 2L, 3.0),
+      ("d3", 3L, 4.0), ("d2", 4L, 5.0), ("d3", 5L, 6.0)).sorted
+    assert(got == expect, s"sink rows after restart: $got")
+    // and the replayed batch kept its id (same directory, overwritten)
+    val batchDirs = new java.io.File(sinkDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(batchDirs.contains("batch_id=1"))
+  }
+
   test("S1 generatorStream is bit-identical to the batch generator, across micro-batches") {
     import graft.streaming.Streams.GenTick
     val nDevices = 5; val ticks = 20
