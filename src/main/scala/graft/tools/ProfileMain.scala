@@ -100,7 +100,9 @@ object ProfileMain {
     scaleSweepOver(spark, baseDir,
       Seq("x1_dedup_clusters", "x2_jaccard_exact", "x2_containment",
         "x2_minhash_lsh", "x3_knn_ivf", "x5_neardup_ivf", "x4_tfidf",
-        "x4_decontam", "x4_pack"))
+        "x4_decontam", "x4_pack",
+        "x3_knn_filtered", "x4_ngram_topk", "x4_dedup_weight",
+        "x4_vocab_coverage"))
 
   /** @prefix — scaling sweep for the OPEN-VOCABULARY prefix-filtered path,
     * on a corpus actually shaped like that regime: G topic groups, each
