@@ -313,8 +313,12 @@ object Multimodal {
 
     // ---- REAL audio decode: documents → genuine RIFF/WAVE (PCM16 mono)
     // payloads → pure-JVM chunk-walking parser → per-doc RMS/peak features.
-    // Rows-only (sample-level math isn't SQL-expressible); MultimodalSpec
-    // pins the parser against golden bytes incl. reordered chunks.
+    // ORACLE-CHECKED: the sample mapping (byte b → (b-128)·256) is known to
+    // the writer, so the DuckDB twin recomputes every feature from the text
+    // bytes — integer sum-of-squares (exact ≤ 2^40), then the identical
+    // double expression sqrt(ss/n)·10⁴ in the same op order, so rounding is
+    // bit-equal. MultimodalSpec additionally pins the parser against golden
+    // bytes incl. reordered chunks (the oracle can't see the RIFF walk).
     Q("x5_audio_features",
       (s, dir) => {
         val feats = decodeWav(withWavPayload(Tables.load(s, dir, "documents")))
@@ -322,12 +326,25 @@ object Multimodal {
           .select("doc_id", "sample_rate", "n_samples", "duration_ms", "rms", "peak")
           .orderBy("doc_id")
       },
-      None),
+      Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text,'')) AS c
+             |            FROM documents),
+             |sm AS (SELECT doc_id, COUNT(*) AS n,
+             |         SUM(CAST(((unicode(c)-128)*256)*((unicode(c)-128)*256)
+             |           AS BIGINT)) AS ss,
+             |         MAX(ABS((unicode(c)-128)*256)) AS peak
+             |       FROM ch GROUP BY doc_id)
+             |SELECT doc_id, 8000 AS sample_rate, CAST(n AS BIGINT) AS n_samples,
+             |  CAST(n*1000//8000 AS BIGINT) AS duration_ms,
+             |  ROUND(sqrt(CAST(ss AS DOUBLE)/n)*10000)/10000 AS rms,
+             |  CAST(peak AS INT) AS peak
+             |FROM sm ORDER BY doc_id""".stripMargin)),
 
     // ---- REAL frame sampling: WAV payloads → 160-sample (20 ms at 8 kHz)
     // windows at a 320-sample hop (every other frame — strided sampling) →
-    // per-frame RMS/peak. Rows-only; MultimodalSpec pins frame edges and
-    // energies against golden bytes.
+    // per-frame RMS/peak. ORACLE-CHECKED like x5_audio_features: the twin
+    // enumerates the same frame starts (0 until max(n,1) by 320, short tail
+    // kept) over the text-derived samples. MultimodalSpec pins frame edges
+    // and energies against golden bytes.
     Q("x5_audio_frames",
       (s, dir) => {
         frameWav(withWavPayload(Tables.load(s, dir, "documents")),
@@ -336,13 +353,36 @@ object Multimodal {
           .select("doc_id", "frame_no", "n_samples", "rms", "peak")
           .orderBy("doc_id", "frame_no")
       },
-      None),
+      Some("""WITH d AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
+             |f AS (SELECT doc_id, text, n,
+             |        unnest(range(0, CAST((greatest(n,1)+319)//320 AS INT)))
+             |          AS fno FROM d),
+             |pos AS (SELECT doc_id, fno,
+             |          unnest(range(CAST(fno*320+1 AS INT),
+             |                       CAST(least(fno*320+160, n)+1 AS INT))) AS p,
+             |          text FROM f),
+             |sq AS (SELECT doc_id, fno,
+             |         CAST(((unicode(substring(text,p,1))-128)*256)
+             |            * ((unicode(substring(text,p,1))-128)*256) AS BIGINT) AS s2,
+             |         ABS((unicode(substring(text,p,1))-128)*256) AS ab
+             |       FROM pos),
+             |sm AS (SELECT doc_id, fno, COUNT(*) AS cnt, SUM(s2) AS ss,
+             |         MAX(ab) AS peak
+             |       FROM sq GROUP BY doc_id, fno)
+             |SELECT doc_id, CAST(fno AS INT) AS frame_no, CAST(cnt AS INT) AS n_samples,
+             |  ROUND(sqrt(CAST(ss AS DOUBLE)/cnt)*10000)/10000 AS rms,
+             |  CAST(peak AS INT) AS peak
+             |FROM sm ORDER BY doc_id, frame_no""".stripMargin)),
 
     // ---- REAL resize: PPM payloads → nearest-neighbor 2x downsample →
     // re-decode the RESIZED bytes with the same parser → per-doc dims +
     // mean luminance. The round-trip through genuine P6 bytes is the point:
-    // the resized output is itself a valid image. Rows-only; MultimodalSpec
-    // pins the kernel on a golden raster.
+    // the resized output is itself a valid image. ORACLE-CHECKED: on the
+    // writer's 4-wide rasters the kept pixels are exactly src indices
+    // 8y+2x, so the twin sums those byte triples straight from the text
+    // (zero padding beyond it) and applies the identical mean expression.
+    // MultimodalSpec pins the kernel on a golden raster (arbitrary dims —
+    // beyond what the oracle covers).
     Q("x5_image_resize",
       (s, dir) => {
         val resized = resizePpmDs(
@@ -354,23 +394,59 @@ object Multimodal {
           .select("doc_id", "width", "height", "n_pixels", "mean_gray")
           .orderBy("doc_id")
       },
-      None),
+      Some("""WITH d AS (SELECT doc_id, text, LENGTH(text) AS len,
+             |    greatest(CAST(ceil(LENGTH(text)/12.0) AS INT), 1) AS h
+             |  FROM documents),
+             |dd AS (SELECT doc_id, text, len, CAST((h+1)//2 AS INT) AS h2 FROM d),
+             |px AS (SELECT doc_id, text, len, h2,
+             |         8*CAST(y AS INT) + 2*CAST(x AS INT) AS p
+             |       FROM dd, unnest(range(0, h2)) AS ty(y), unnest([0,1]) AS tx(x)),
+             |b AS (SELECT doc_id, h2, CAST(3*p AS INT) + CAST(j AS INT) AS i,
+             |        text, len
+             |      FROM px, unnest([0,1,2]) AS tj(j)),
+             |sm AS (SELECT doc_id, h2,
+             |         SUM(CASE WHEN i < len THEN unicode(substring(text, i+1, 1))
+             |             ELSE 0 END) AS s
+             |       FROM b GROUP BY doc_id, h2)
+             |SELECT doc_id, 2 AS width, CAST(h2 AS INT) AS height,
+             |  CAST(2*h2 AS BIGINT) AS n_pixels,
+             |  ROUND(CAST(s AS DOUBLE)/(6*h2)*10000)/10000 AS mean_gray
+             |FROM sm ORDER BY doc_id""".stripMargin)),
 
     // ---- REAL decode: documents → genuine PPM (P6) images → pure-JVM
-    // parser → feature aggregation. Rows-only for the driver (the byte-level
-    // means aren't SQL-expressible); MultimodalSpec pins the parser against
-    // hand-crafted golden bytes and the writer's invariants.
+    // parser → feature aggregation. ORACLE-CHECKED: per-doc mean_gray is
+    // recomputed by the twin from the text bytes (identical double op
+    // order), and the corpus average runs in EXACT integer e4 units
+    // (sum of per-doc 4-dp integers, floor-divided to 2 dp) — a ROUND of
+    // a float avg() would be tie-unstable cross-engine. MultimodalSpec
+    // pins the parser against hand-crafted golden bytes (comments,
+    // arbitrary dims) that the oracle can't exercise.
     Q("x5_multimodal_decode",
       (s, dir) => {
         val feats = decodePpm(withPpmPayload(Tables.load(s, dir, "documents")))
         feats.toDF()
           .groupBy("width", "maxval")
           .agg(count(lit(1)).as("n"),
-            round(avg("mean_gray"), 2).as("avg_gray"),
+            sum(round(col("mean_gray") * 10000).cast("long")).as("gray_e4_sum"),
             max("height").as("max_height"),
             sum("n_pixels").as("total_pixels"))
+          .withColumn("avg_gray",
+            expr("gray_e4_sum * 100 div (n * 10000)").cast("double") / 100.0)
+          .select("width", "maxval", "n", "avg_gray", "max_height", "total_pixels")
           .orderBy("width", "maxval")
       },
-      None)
+      Some("""WITH d AS (SELECT doc_id, text,
+             |    greatest(CAST(ceil(LENGTH(text)/12.0) AS INT), 1) AS h
+             |  FROM documents),
+             |g AS (SELECT doc_id, h,
+             |        CAST(ROUND(CAST(list_sum([CAST(unicode(c) AS BIGINT)
+             |            FOR c IN string_split(text,'')]) AS DOUBLE)
+             |          / (12*h) * 10000) AS BIGINT) AS k
+             |      FROM d)
+             |SELECT 4 AS width, 255 AS maxval, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST((SUM(k)*100) // (COUNT(*)*10000) AS DOUBLE)/100 AS avg_gray,
+             |  CAST(MAX(h) AS INT) AS max_height,
+             |  CAST(SUM(4*h) AS BIGINT) AS total_pixels
+             |FROM g GROUP BY 1, 2 ORDER BY width, maxval""".stripMargin))
   )
 }
