@@ -565,34 +565,7 @@ object Llm {
     // This is the step that turns pair lists into dedup DECISIONS (keep the
     // representative, drop the rest). Oracle: recursive-CTE reachability.
     Q("x1_dedup_clusters",
-      (s, dir) => {
-        graft.functions.NativeExpressions.register(s)
-        val tok = graft.Caches.persist(docs(s, dir)
-          .select(col("doc_id"), explode(TF.tokenSet(col("text"))).as("w")))
-        val vocabSize = tok.select("w").distinct().count()
-        if (vocabSize <= vocabThreshold(s)) {
-          // set-level clustering: CC runs over DISTINCT SETS (~S nodes,
-          // qualifying set pairs as edges), not the quadratically larger
-          // doc-pair graph; docs inherit their set's component, and
-          // min-reachable-sid == min-reachable-doc-id since sid = min doc
-          // of its set
-          val (sets, pairs) = bitsetSetsAndPairs(tok, 0.9, vocabSize.toInt)
-          val comp = graft.operators.ConnectedComponents(
-            sets.select(col("sid").as("id")),
-            pairs.filter(col("sa") =!= col("sb"))
-              .select(col("sa").as("src"), col("sb").as("dst")))
-          sets.join(comp, sets("sid") === comp("id"))
-            .select(explode(col("ds")).as("doc_id"), col("component").as("cluster_id"))
-            .orderBy("doc_id")
-        } else {
-          val edges = prefixJaccardPairs(tok, 0.9)
-            .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          val vertices = tok.select(col("doc_id").as("id")).distinct()
-          graft.operators.ConnectedComponents(vertices, edges)
-            .select(col("id").as("doc_id"), col("component").as("cluster_id"))
-            .orderBy("doc_id")
-        }
-      },
+      (s, dir) => dedupClusters(s, docs(s, dir)).orderBy("doc_id"),
       Some("""WITH RECURSIVE
              |tok AS (SELECT doc_id, UNNEST(list_distinct(string_split(text,' '))) AS w
              |        FROM documents),
