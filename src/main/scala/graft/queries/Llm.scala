@@ -41,6 +41,22 @@ object Llm {
     */
   def clearCache(s: SparkSession): Unit = graft.Caches.drain(s)
 
+  /** The raw nprobe-bounded ANN search (query_id, rk, neighbor_id, sim)
+    * behind x3_knn_ivf_approx: every 50th vector queries the shared IVF
+    * index with k=10, nprobe=8. Exposed for LlmSpec's consistency checks —
+    * the REGISTERED query aggregates this into a deterministic, oracle-
+    * checkable self-audit (neighbor lists themselves are not SQL-replayable).
+    */
+  private[graft] def knnIvfApproxRaw(s: SparkSession, dir: String): DataFrame = {
+    val idx = ivfIndex(s, dir)
+    val q = idx.assigned.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    graft.operators.IvfIndex.knnApprox(idx, q, k = 10, nprobe = 8)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        round(col("s"), 4).as("sim"))
+      .orderBy("query_id", "rk")
+  }
+
   /** Exact all-pairs Jaccard >= t, dispatching on vocabulary size (counted
     * with one tiny action — an AQE-style statistics-driven plan choice):
     *
@@ -425,6 +441,46 @@ object Llm {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Pairs→components→decisions: the shared step that turns a similarity
+    * pair list into cluster labels. Vertices carry `id`; undirected edges
+    * carry (`src`,`dst`); every vertex comes back labeled with its cluster
+    * representative (min reachable id). Used by x1_dedup_clusters (text
+    * modality, doc-level branch) and x5_embedding_clusters (embedding
+    * modality) so the CC invocation + label projection live in one place.
+    */
+  private[graft] def labelClusters(vertices: DataFrame, edges: DataFrame,
+      outId: String): DataFrame =
+    graft.operators.ConnectedComponents(vertices, edges)
+      .select(col("id").as(outId), col("component").as("cluster_id"))
+
+  /** Text near-dup dedup clustering over `d` (doc_id, text): tokenize, find
+    * Jaccard >= 0.9 pairs, connected-components, label every doc with its
+    * cluster representative. Below the vocab threshold CC runs over DISTINCT
+    * SETS (~S nodes, qualifying set pairs as edges), not the quadratically
+    * larger doc-pair graph — docs inherit their set's component, and
+    * min-reachable-sid == min-reachable-doc-id since sid = min doc of its
+    * set. Above it, AllPairs prefix filtering generates doc-level edges.
+    */
+  private[graft] def dedupClusters(s: SparkSession, d: DataFrame): DataFrame = {
+    graft.functions.NativeExpressions.register(s)
+    val tok = graft.Caches.persist(d
+      .select(col("doc_id"), explode(TF.tokenSet(col("text"))).as("w")))
+    val vocabSize = tok.select("w").distinct().count()
+    if (vocabSize <= vocabThreshold(s)) {
+      val (sets, pairs) = bitsetSetsAndPairs(tok, 0.9, vocabSize.toInt)
+      val comp = graft.operators.ConnectedComponents(
+        sets.select(col("sid").as("id")),
+        pairs.filter(col("sa") =!= col("sb"))
+          .select(col("sa").as("src"), col("sb").as("dst")))
+      sets.join(comp, sets("sid") === comp("id"))
+        .select(explode(col("ds")).as("doc_id"), col("component").as("cluster_id"))
+    } else {
+      val edges = prefixJaccardPairs(tok, 0.9)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      labelClusters(tok.select(col("doc_id").as("id")).distinct(), edges, "doc_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- X1 exact dedup: keep-min-id per (lang, n_chars) group
@@ -735,9 +791,7 @@ object Llm {
         val idx = ivfIndex(s, dir)
         val pairs = graft.operators.IvfIndex.pairsExact(idx, 0.35)
           .select(col("id_a").as("src"), col("id_b").as("dst"))
-        graft.operators.ConnectedComponents(
-          idx.assigned.select(col("vec_id").as("id")), pairs)
-          .select(col("id").as("vec_id"), col("component").as("cluster_id"))
+        labelClusters(idx.assigned.select(col("vec_id").as("id")), pairs, "vec_id")
           .orderBy("vec_id")
       },
       Some("""WITH RECURSIVE
@@ -829,15 +883,39 @@ object Llm {
     // by neighbor_id), so the driver's recorded row set is stable.
     Q("x3_knn_ivf_approx",
       (s, dir) => {
-        val idx = ivfIndex(s, dir)
-        val q = idx.assigned.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("query_id"), col("v").as("qv"))
-        graft.operators.IvfIndex.knnApprox(idx, q, k = 10, nprobe = 8)
-          .select(col("query_id"), col("rk"), col("neighbor_id"),
-            round(col("s"), 4).as("sim"))
-          .orderBy("query_id", "rk")
+        // The nprobe-bounded ANN's neighbor lists depend on the k-means cell
+        // layout, which no SQL oracle can replay — so the DRIVER-CHECKED
+        // output is the search's deterministic self-audit, one row per
+        // query: exactly k results, ranks contiguous from 1, scores
+        // non-increasing in rank, neighbors distinct and never the query
+        // itself. Each field is an invariant of a correct scan-bounded
+        // search (all deterministic: seeded k-means, (desc sim, asc id)
+        // tie-break), so the oracle pins the expected verdicts exactly and
+        // the row hash-matches. The raw neighbor lists stay pinned by
+        // OperatorsSpec (exactness-over-probed-cells + recall + scan budget
+        // on clustered/isotropic fixtures), LlmSpec (consistency vs the
+        // exact searcher), and DeterminismSpec (byte-stable output).
+        val res = knnIvfApproxRaw(s, dir)
+        val w = Window.partitionBy("query_id").orderBy("rk")
+        res
+          .withColumn("mono", when(col("rk") === 1, lit(1))
+            .otherwise((col("sim") <= lag("sim", 1).over(w)).cast("int")))
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_results"),
+            (min("rk") === 1 && max("rk") === count(lit(1)))
+              .cast("int").as("ranks_contiguous"),
+            min("mono").as("sims_nonincreasing"),
+            (countDistinct("neighbor_id") === count(lit(1)))
+              .cast("int").as("neighbors_distinct"),
+            max((col("neighbor_id") === col("query_id")).cast("int"))
+              .as("self_hits"))
+          .orderBy("query_id")
       },
-      None),
+      Some("""SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
+             |  1 AS ranks_contiguous, 1 AS sims_nonincreasing,
+             |  1 AS neighbors_distinct, 0 AS self_hits
+             |FROM embeddings WHERE vec_id % 50 = 0
+             |ORDER BY query_id""".stripMargin)),
 
     // ---- X3 FILTERED vector search: top-k under a metadata predicate
     // (label % 4 == 0) — the "filtered ANN" operating point every

@@ -259,15 +259,28 @@ object Relational {
              |  COUNT(DISTINCT l_suppkey) AS n_supps
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
-    // ---- A6 approx distinct (HLL impls differ across engines -> rows-only check)
+    // ---- A6 approx distinct. The HLL++ estimate is deterministic (hash-
+    // based, no randomness) but implementation-specific — Spark's sketch and
+    // DuckDB's will never agree bit-for-bit — so the DRIVER-CHECKED output
+    // pins the INVARIANT instead of the estimate: at rsd = 0.05 the estimate
+    // must land within 3·rsd = 15% of the exact distinct count computed in
+    // the same pass (one scan, Expand feeds both aggregates). Both engines
+    // agree on the exact side and on the expected verdict. QueriesSpec
+    // additionally asserts the raw estimate's relative error per group.
     Q("q_approx_distinct",
       (s, dir) => {
         t(s, dir, "lineitem")
           .groupBy("l_returnflag")
-          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+          .agg(approx_count_distinct(col("l_partkey"), 0.05).as("approx"),
+               countDistinct(col("l_partkey")).as("n_parts"))
+          .select(col("l_returnflag"), col("n_parts"),
+            (abs(col("approx") - col("n_parts")) <= col("n_parts") * 0.15)
+              .cast("int").as("approx_ok"))
           .orderBy("l_returnflag")
       },
-      None),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+             |  1 AS approx_ok
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // ---- O3 + W1: top-k per group via ranking window.
     // Tie-break note: (l_orderkey, l_linenumber) is NOT unique in this

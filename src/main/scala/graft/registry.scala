@@ -24,14 +24,20 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-      // as a timestamp (PARQUET_TYPE_ILLEGAL). Read it as raw nanos and
-      // truncate to microseconds ourselves (floor division — `div` stays in
-      // long arithmetic; a double division would lose precision at 1.7e18).
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+      // generations (Spark 4 refuses to read that as a timestamp —
+      // PARQUET_TYPE_ILLEGAL) and as TIMESTAMP(MICROS, isAdjustedToUTC=false)
+      // in others. Normalize BOTH to a session-TZ (UTC) TimestampType column:
+      // nanos are read as raw longs and floor-divided in long arithmetic (a
+      // double division would lose precision at 1.7e18); a native timestamp
+      // column is cast (NTZ wall-clock == UTC instant under the UTC session).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      else raw.withColumn("ts",
+        org.apache.spark.sql.functions.col("ts").cast("timestamp"))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

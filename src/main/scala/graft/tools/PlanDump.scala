@@ -12,7 +12,10 @@ object PlanDump {
     "q1_pricing_summary", "q5_region_revenue", "q_topk_per_group",
     "q_events_range_join", "q_ntile", "x2_jaccard_exact", "x3_knn_brute",
     "x3_knn_ivf", "x4_pack", "x4_decontam", "q_table_profile",
-    "q_events_retention")
+    "q_events_retention",
+    // top-5 most expensive queries (r5 bench) — plan drift regression corpus:
+    // a lost WindowGroupLimit / lost broadcast / new cartesian shows in diff
+    "x1_dedup_clusters", "x2_jaccard_bigram", "x4_ngram_topk", "x2_containment")
 
   private val preamble =
     """# PLANS — executed (AQE-final) physical plans of headline queries
@@ -54,6 +57,17 @@ object PlanDump {
       |  share the user_id partitioning; the exact distinct count adds its
       |  two-phase dedup exchanges — every exchange equi-keyed and
       |  partial-aggregated, no window, nothing single-partition.
+      |- x1_dedup_clusters: the set-level dispatch — masks grouped to DISTINCT
+      |  SETS, the qualifying-pair join over sets (never docs), CC's iteration
+      |  plans absent (converged), label projection via one explode.
+      |- x2_jaccard_bigram: the native graft_bigrams kernel in the tokenize
+      |  projection (no interpreted HOF lambda), then the same broadcast
+      |  set-pair join as x2_jaccard_exact.
+      |- x4_ngram_topk: partial+final hash agg on (lang, ngram) then
+      |  `WindowGroupLimit` below the rank shuffle — per-lang top-k state is
+      |  O(k) map-side, the full per-lang sort never materializes.
+      |- x2_containment: the bitset containment join — popcount predicate
+      |  inside the join condition, qualifying pairs only.
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {

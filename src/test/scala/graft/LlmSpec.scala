@@ -66,7 +66,10 @@ class LlmSpec extends AnyFunSuite {
 
   test("x3_knn_ivf_approx is internally consistent and a valid ANN answer") {
     import spark.implicits._
-    val rows = q("x3_knn_ivf_approx")
+    // raw neighbor lists (the registered query aggregates them into the
+    // oracle-checkable self-audit; the invariants asserted here are the
+    // ones that audit reports, plus sim agreement vs the exact searcher)
+    val rows = graft.queries.Llm.knnIvfApproxRaw(spark, sfDir)
       .select("query_id", "rk", "neighbor_id", "sim")
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(rows.nonEmpty)

@@ -62,6 +62,25 @@ class QueriesSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"DecimalType in query output (cast to double): $offenders")
   }
 
+  test("q_approx_distinct: the raw HLL estimate is within 3·rsd of exact") {
+    // the registered query's driver-checked output pins this invariant as a
+    // boolean; here the RAW estimate is asserted per group so a sketch
+    // regression fails with the actual relative error, not just a 0 flag
+    import org.apache.spark.sql.functions._
+    val per = Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.05).as("approx"),
+           countDistinct(col("l_partkey")).as("exact"))
+      .collect()
+    assert(per.nonEmpty)
+    per.foreach { r =>
+      val (flag, approx, exact) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val relErr = math.abs(approx - exact).toDouble / exact
+      assert(relErr <= 0.15,
+        s"flag=$flag approx=$approx exact=$exact relErr=$relErr > 3*rsd")
+    }
+  }
+
   test("Caches.drain releases a cache-heavy query's persisted frames") {
     graft.queries.Dashboard.clearCache(spark)
     graft.Caches.drain(spark)
