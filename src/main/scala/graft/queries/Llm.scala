@@ -730,6 +730,68 @@ object Llm {
              |           ELSE 0 END) AS BIGINT) AS simhash
              |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- X2 SimHash NEAR-DUP PAIRS: the decisions step for the SimHash
+    // modality — every doc pair within hamming distance 3 of the 62-bit
+    // fingerprint, found EXACTLY by the pigeonhole block join (Manku,
+    // Jain & Sarma, WWW'07): split the fingerprint into 4 16-bit blocks;
+    // any pair with <=3 differing bits must agree bit-for-bit on >=1
+    // block, so candidates come from an equi-key join on (block_id,
+    // block_bits) — never an all-pairs scan — and each candidate is
+    // verified with one popcount(xor). At 100 TB the block join is an
+    // ordinary hash shuffle on 16-bit-key buckets; a corpus that
+    // concentrates one block value degrades only that bucket, and the
+    // standard fix (wider blocks over permuted fingerprints, same paper)
+    // composes without changing the contract. The portable fingerprint
+    // pipeline makes the oracle a brute-force replay, so completeness of
+    // the pigeonhole candidates is hash-checked at every SF.
+    Q("x2_simhash_neardup",
+      (s, dir) => {
+        graft.functions.NativeExpressions.register(s)
+        val sh = graft.Caches.persist(docs(s, dir).select(
+          col("doc_id"),
+          call_function("graft_simhash",
+            call_function("graft_wordhash62", TF.tokenSet(col("text"))))
+            .as("simhash")))
+        val blocks = sh.select(col("doc_id"), col("simhash"),
+            explode(sequence(lit(0), lit(3))).as("blk"))
+          .withColumn("key", expr("(simhash >> (blk * 16)) & 65535"))
+        val a = blocks.select(col("blk"), col("key"),
+          col("doc_id").as("doc_a"), col("simhash").as("ha"))
+        val b = blocks.select(col("blk"), col("key"),
+          col("doc_id").as("doc_b"), col("simhash").as("hb"))
+        a.join(b, Seq("blk", "key"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+          .filter(col("hamming") <= 3)
+          // a pair agreeing on several blocks surfaces once per block;
+          // hamming is functionally determined by the pair, so key-dedup
+          .dropDuplicates("doc_a", "doc_b")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |    unnest(list_distinct(string_split(text,' '))) AS w FROM documents),
+             |th AS (SELECT doc_id,
+             |    (list_reduce([CAST(0 AS BIGINT)] ||
+             |       [CAST(unicode(c) AS BIGINT) FOR c IN string_split(w,'')],
+             |       (a,b) -> (a*31+b) % 1000000007) * 2147483648 +
+             |     list_reduce([CAST(0 AS BIGINT)] ||
+             |       [CAST(unicode(c) AS BIGINT) FOR c IN string_split(w,'')],
+             |       (a,b) -> (a*131+b) % 2147483647)) AS h
+             |  FROM tok),
+             |votes AS (SELECT doc_id, b, SUM((h >> b) & 1) AS ones, COUNT(*) AS n
+             |  FROM th CROSS JOIN (SELECT unnest(range(0, 62)) AS b) bits
+             |  GROUP BY doc_id, b),
+             |sim AS (SELECT doc_id,
+             |  CAST(SUM(CASE WHEN 2*ones > n THEN (CAST(1 AS BIGINT) << b)
+             |           ELSE 0 END) AS BIGINT) AS simhash
+             |FROM votes GROUP BY doc_id)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+             |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // ---- X5/X2 embedding-cosine near-dup pairs (exact all-pairs baseline,
     // oracle-checked; broadcast one side — embeddings dim table is small, the
     // LSH/IVF variant below is the 100 TB path)

@@ -99,8 +99,8 @@ object ProfileMain {
   private def scaleSweep(spark: SparkSession, baseDir: String): Unit =
     scaleSweepOver(spark, baseDir,
       Seq("x1_dedup_clusters", "x2_jaccard_exact", "x2_containment",
-        "x2_minhash_lsh", "x3_knn_ivf", "x5_neardup_ivf", "x4_tfidf",
-        "x4_decontam", "x4_pack",
+        "x2_minhash_lsh", "x2_simhash_neardup", "x3_knn_ivf",
+        "x5_neardup_ivf", "x4_tfidf", "x4_decontam", "x4_pack",
         "x3_knn_filtered", "x4_ngram_topk", "x4_dedup_weight",
         "x4_vocab_coverage"))
 
