@@ -198,6 +198,18 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("x2_simhash_neardup: candidates come from the equi-key block join") {
+    // the pigeonhole contract: hamming<=3 candidates are generated by a
+    // hash join on (block_id, block_bits) — an all-pairs plan (cartesian /
+    // nested-loop) here would be quadratic in the corpus at 100 TB
+    val p = planOf("x2_simhash_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"all-pairs join in the simhash block plan:\n$p")
+    assert(p.contains("blk") && p.contains("key"),
+      s"expected the (blk, key) equi-join keys in the plan:\n$p")
+    graft.Caches.drain(spark)
+  }
+
   test("x3_knn_filtered: predicate lands as a semi-join BEFORE the scan") {
     // filtered vector search must pre-filter the index (semi-join on the
     // eligible ids), not post-filter a top-k — a post-filter plan would
