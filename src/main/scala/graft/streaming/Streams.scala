@@ -285,6 +285,69 @@ object Streams {
         round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** SimHash fingerprint index over a static corpus for the streaming
+    * boilerplate screen: one 62-bit fingerprint per corpus doc plus its 4
+    * pigeonhole block keys (16 bits each). ~4 rows per corpus doc —
+    * broadcastable far beyond the MinHash band index (which carries hashed
+    * shingle sets for the verify step; the hamming verify here needs only
+    * the fingerprint, already on the block row).
+    */
+  final case class SimHashIndex(blocks: DataFrame)
+
+  def simhashIndex(corpus: DataFrame): SimHashIndex = {
+    graft.functions.NativeExpressions.register(corpus.sparkSession)
+    val fp = corpus.select(col("doc_id").as("corpus_id"),
+      call_function("graft_simhash",
+        call_function("graft_wordhash62",
+          graft.functions.TextFunctions.tokenSet(col("text"))))
+        .as("corpus_fp"))
+    SimHashIndex(fp
+      .select(col("corpus_id"), col("corpus_fp"),
+        explode(sequence(lit(0), lit(3))).as("blk"))
+      .withColumn("key", expr("(corpus_fp >> (blk * 16)) & 65535")))
+  }
+
+  /** Streaming SIMHASH near-dup screen: flag every incoming doc within
+    * hamming distance `maxHamming` (<= 3 for the 4-block index) of a corpus
+    * fingerprint — the boilerplate gate at ingest, sharing x2_simhash_neardup's
+    * exact pigeonhole contract: a qualifying pair agrees on >= 1 of the 4
+    * 16-bit blocks, so candidates come from a stream-static equi-join on
+    * (block_id, block_bits) and verify with one popcount(xor). A pair
+    * agreeing on several blocks is emitted ONLY on its first agreeing block
+    * (computed from the xor alone) — a STATELESS exactly-once dedup, so the
+    * whole screen is appendable: no foreachBatch, no state store, no
+    * watermark, like [[embeddingScreen]].
+    *
+    * Returns (doc_id, dup_of, hamming), one row per flagged pair.
+    */
+  def simhashScreen(incoming: DataFrame, index: SimHashIndex,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-block pigeonhole is complete only to hamming 3")
+    graft.functions.NativeExpressions.register(incoming.sparkSession)
+    val banded = incoming.select(col("doc_id"),
+        call_function("graft_simhash",
+          call_function("graft_wordhash62",
+            graft.functions.TextFunctions.tokenSet(col("text"))))
+          .as("fp"))
+      .select(col("doc_id"), col("fp"),
+        explode(sequence(lit(0), lit(3))).as("blk"))
+      .withColumn("key", expr("(fp >> (blk * 16)) & 65535"))
+    banded
+      .join(broadcast(index.blocks), Seq("blk", "key"))
+      .withColumn("x", expr("fp ^ corpus_fp"))
+      // first agreeing block of the pair, from the xor alone — the join row
+      // for any other agreeing block is dropped, so each pair emits once
+      .withColumn("first_agree",
+        when(expr("(x & 65535)") === 0, 0)
+          .when(expr("((x >> 16) & 65535)") === 0, 1)
+          .when(expr("((x >> 32) & 65535)") === 0, 2)
+          .otherwise(3))
+      .filter(col("blk") === col("first_agree"))
+      .withColumn("hamming", expr("bit_count(x)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_id"), col("corpus_id").as("dup_of"), col("hamming"))
+  }
+
   /** Streaming EMBEDDING near-dup screen: incoming `(doc_id, embedding)`
     * rows are checked against a static corpus' IVF index
     * ([[graft.operators.IvfIndex.loadOrBuild]]) — the vector-modality twin

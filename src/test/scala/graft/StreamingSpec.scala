@@ -316,6 +316,43 @@ class StreamingSpec extends AnyFunSuite {
       s"expected only the planted near-dup flagged, got $flagged")
   }
 
+  test("streaming simhash screen is appendable, matches its batch twin, " +
+      "flags boilerplate, admits novel docs") {
+    import graft.streaming.Streams
+    val corpusDocs = graft.Tables.load(spark, SparkTestSession.sfDir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val corpus = corpusDocs.toDF("doc_id", "text")
+    val index = Streams.simhashIndex(corpus)
+    val incoming = Seq(
+      // exact copy of a corpus doc -> hamming 0, must be flagged against it
+      (1000000L, corpusDocs.head._2),
+      // novel doc with a disjoint vocabulary -> ~31 expected hamming, admitted
+      (1000001L, "zzqa zzqb zzqc zzqd zzqe zzqf zzqg zzqh zzqi zzqj zzqk zzql"))
+    val in = MemoryStream[(Long, String)](spark)
+    val screened = Streams.simhashScreen(in.toDF().toDF("doc_id", "text"), index)
+    assert(screened.isStreaming, "screen must stay a streaming plan")
+    val q = screened.writeStream.format("memory")
+      .queryName("simhash_screen").outputMode("append").start()
+    in.addData(incoming: _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("simhash_screen")
+      .select("doc_id", "dup_of", "hamming").as[(Long, Long, Long)]
+      .collect().toSet
+    // batch twin on the same incoming rows — decision parity is the contract
+    val batch = Streams.simhashScreen(incoming.toDF("doc_id", "text"), index)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == batch, s"stream/batch divergence: ${got -- batch} ${batch -- got}")
+    assert(got.contains((1000000L, corpusDocs.head._1, 0L)),
+      s"exact copy not flagged at hamming 0: $got")
+    assert(!got.exists(_._1 == 1000001L), s"novel doc wrongly flagged: $got")
+    // exactly-once per pair even when several blocks agree (hamming 0 pairs
+    // agree on ALL 4 blocks): no (doc_id, dup_of) appears twice
+    val keys = spark.table("simhash_screen").select("doc_id", "dup_of")
+      .as[(Long, Long)].collect().toSeq
+    assert(keys.distinct.size == keys.size, s"duplicate pair emissions: $keys")
+    graft.Caches.drain(spark)
+  }
+
   test("streaming embedding screen flags vector near-dups in pure append mode") {
     import graft.streaming.Streams
     val rng = new scala.util.Random(41)
