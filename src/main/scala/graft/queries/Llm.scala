@@ -761,12 +761,19 @@ object Llm {
           col("doc_id").as("doc_b"), col("simhash").as("hb"))
         a.join(b, Seq("blk", "key"))
           .filter(col("doc_a") < col("doc_b"))
+          .withColumn("x", expr("ha ^ hb"))
+          // a pair agreeing on several blocks surfaces once per agreeing
+          // block; emit it ONLY on its FIRST agreeing block (computable
+          // from the xor alone) — a stateless exactly-once dedup that
+          // avoids shuffling the whole candidate set through a
+          // dropDuplicates exchange
+          .filter(col("blk") === when(expr("(x & 65535)") === 0, 0)
+            .when(expr("((x >> 16) & 65535)") === 0, 1)
+            .when(expr("((x >> 32) & 65535)") === 0, 2)
+            .otherwise(3))
           .select(col("doc_a"), col("doc_b"),
-            expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+            expr("bit_count(x)").cast("long").as("hamming"))
           .filter(col("hamming") <= 3)
-          // a pair agreeing on several blocks surfaces once per block;
-          // hamming is functionally determined by the pair, so key-dedup
-          .dropDuplicates("doc_a", "doc_b")
           .orderBy("doc_a", "doc_b")
       },
       Some("""WITH tok AS (SELECT doc_id,
