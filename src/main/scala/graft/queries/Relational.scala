@@ -267,6 +267,10 @@ object Relational {
     // the same pass (one scan, Expand feeds both aggregates). Both engines
     // agree on the exact side and on the expected verdict. QueriesSpec
     // additionally asserts the raw estimate's relative error per group.
+    // Scale note: pairing the sketch with the exact count is the
+    // VERIFICATION surface (it is what makes the sketch auditable); the
+    // production form at 100 TB is approx_count_distinct alone — constant
+    // memory, one pass, no distinct expand (see SCALING.md §Aggregations).
     Q("q_approx_distinct",
       (s, dir) => {
         t(s, dir, "lineitem")
