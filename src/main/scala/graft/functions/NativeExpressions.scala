@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native (codegen'd) dot product over two `array<double>` columns.
@@ -564,6 +564,68 @@ case class PortableMinHash(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Portable random-hyperplane LSH band keys over an embedding column: the
+  * sign-random-projection family (Charikar, STOC'02) with DETERMINISTIC
+  * pseudo-random hyperplanes, banded for bucket joins.
+  *
+  * For global bit j (= band*bitsPerBand + i) and dimension d, the hyperplane
+  * component is the Rademacher sign
+  *   s(j,d) = +1 if ((1000003*(j*4096+d) + 7919) mod (2^31-1)) mod 2 == 0
+  *            else -1                                 (requires dim < 4096)
+  * and bit_j = [ Σ_d s(j,d) * floor(v_d * 10^6) >= 0 ]. Components are
+  * QUANTIZED to integers (floor of the double value scaled by 10^6) so the
+  * projection is exact 64-bit integer arithmetic — no float-summation-order
+  * hazard — and a SQL oracle (DuckDB BIGINT) replays every bit identically.
+  * Output: one value per band, Σ_i bit_{band*bpb+i} << i.
+  *
+  * Accepts array<float> (the raw embedding column) or array<double>.
+  */
+case class HyperplaneBandKeys(child: Expression, bands: Int, bitsPerBand: Int)
+    extends UnaryExpression with CodegenFallback {
+  import PortableHash.P31
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val q = new Array[Long](n)
+    var d = 0
+    while (d < n) {
+      val x = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+      q(d) = math.floor(x * 1e6).toLong
+      d += 1
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var bv = 0L
+      var i = 0
+      while (i < bitsPerBand) {
+        val j = b * bitsPerBand + i
+        var acc = 0L
+        d = 0
+        while (d < n) {
+          val h = ((1000003L * (j * 4096L + d) + 7919L) % P31) % 2L
+          acc += (if (h == 0L) q(d) else -q(d))
+          d += 1
+        }
+        if (acc >= 0L) bv |= (1L << i)
+        i += 1
+      }
+      out(b) = bv
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBandKeys =
+    copy(child = newChild)
+}
+
 object NativeExpressions {
   /** Session-scoped registration of the native functions; idempotent.
     * Registered through the classic FunctionRegistry so call sites can use
@@ -618,5 +680,10 @@ object NativeExpressions {
       "graft_minhash_portable",
       (args: Seq[Expression]) => PortableMinHash(args(0),
         args(1).eval().asInstanceOf[Int]), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_hyperplane_bands",
+      (args: Seq[Expression]) => HyperplaneBandKeys(args(0),
+        args(1).eval().asInstanceOf[Int],
+        args(2).eval().asInstanceOf[Int]), "built-in")
   }
 }

@@ -57,6 +57,46 @@ object Llm {
       .orderBy("query_id", "rk")
   }
 
+  /** Hyperplane-LSH top-k cosine search over `emb` (vec_id, embedding):
+    * the engine behind x3_knn_lsh, exposed so LlmSpec can measure recall
+    * on planted-cluster fixtures. `queryPred` selects the query rows;
+    * candidates are corpus vectors sharing >= 1 of the `bands` band values
+    * (bitsPerBand hyperplane sign bits each, portable integer arithmetic —
+    * see HyperplaneBandKeys), reranked by exact cosine. Equi-key joins
+    * only; the query side is broadcast (queries << corpus by contract).
+    */
+  private[graft] def knnLsh(s: SparkSession, emb: DataFrame, queryPred: Column,
+      k: Int, bands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
+    graft.functions.NativeExpressions.register(s)
+    val e = graft.Caches.persist(
+      emb.select(col("vec_id"),
+          VF.toDouble(col("embedding")).as("v"),
+          call_function("graft_hyperplane_bands",
+            col("embedding"), lit(bands), lit(bitsPerBand)).as("bks"))
+        .withColumn("nrm", VF.l2Norm(col("v"))))
+    val bnd = e.select(col("vec_id"), posexplode(col("bks")).as(Seq("b", "bv")))
+    val qb = e.filter(queryPred)
+      .select(col("vec_id"), posexplode(col("bks")).as(Seq("b", "bv")))
+      .select(col("vec_id").as("query_id"), col("b"), col("bv"))
+    val cand = bnd.withColumnRenamed("vec_id", "neighbor_id")
+      .join(broadcast(qb), Seq("b", "bv"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val w = Window.partitionBy("query_id").orderBy(desc("s"), asc("neighbor_id"))
+    cand
+      .join(broadcast(e.filter(queryPred)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))),
+        Seq("query_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("nrm").as("nn")),
+        Seq("neighbor_id"))
+      .withColumn("s", VF.dotNative(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        round(col("s"), 4).as("sim"))
+      .orderBy("query_id", "rk")
+  }
+
   /** Exact all-pairs Jaccard >= t, dispatching on vocabulary size (counted
     * with one tiny action — an AQE-style statistics-driven plan choice):
     *
@@ -985,6 +1025,57 @@ object Llm {
              |  1 AS neighbors_distinct, 0 AS self_hits
              |FROM embeddings WHERE vec_id % 50 = 0
              |ORDER BY query_id""".stripMargin)),
+
+    // ---- X3 LSH-bucketed top-k (SURVEY §2.11 X3's "LSH variant for
+    // scale"): sign-random-projection codes (Charikar hyperplane LSH),
+    // banded 8×8 bits; candidates = corpus vectors sharing ANY band value
+    // with the query, exact cosine rerank of candidates only. The plan is
+    // an EQUI-KEY join on (band, band_value) — never an all-pairs scan:
+    // at 100 TB the corpus shuffles once on ~bands·2^bitsPerBand keys and
+    // each query touches only its colliding buckets (bitsPerBand scales
+    // with log2(n) to hold buckets at O(n/2^bits); raising it preserves
+    // this exact plan shape). Unlike the IVF twin the hyperplanes are
+    // PORTABLE deterministic integer arithmetic (quantized projections,
+    // no float-order hazard), so the DuckDB oracle replays the bucketing
+    // bit-for-bit and the FULL neighbor lists are hash-checked — an
+    // oracle-checkable ANN. LlmSpec pins recall vs x3_knn_brute on the
+    // planted-cluster fixture; PlanSpec pins the equi-join shape.
+    Q("x3_knn_lsh",
+      (s, dir) => knnLsh(s, embs(s, dir), col("vec_id") % 50 === 0, k = 10),
+      Some("""WITH dim AS (
+             |  SELECT vec_id, embedding,
+             |         unnest(generate_series(1, len(embedding))) AS d
+             |  FROM embeddings),
+             |qd AS (
+             |  SELECT vec_id, d - 1 AS d0,
+             |         CAST(FLOOR(CAST(embedding[d] AS DOUBLE) * 1000000) AS BIGINT) AS q
+             |  FROM dim),
+             |bits AS (SELECT unnest(generate_series(0, 63)) AS j),
+             |proj AS (
+             |  SELECT qd.vec_id, b.j,
+             |         SUM(CASE WHEN ((1000003 * (b.j * 4096 + qd.d0) + 7919)
+             |                        % 2147483647) % 2 = 0
+             |                  THEN qd.q ELSE -qd.q END) AS p
+             |  FROM qd CROSS JOIN bits b GROUP BY 1, 2),
+             |bnd AS (
+             |  SELECT vec_id, j // 8 AS b,
+             |         SUM(CASE WHEN p >= 0 THEN 1 << (j % 8) ELSE 0 END) AS bv
+             |  FROM proj GROUP BY 1, 2),
+             |cand AS (
+             |  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+             |  FROM bnd q JOIN bnd n ON q.b = n.b AND q.bv = n.bv
+             |  WHERE q.vec_id % 50 = 0 AND n.vec_id <> q.vec_id)
+             |SELECT query_id, rk, neighbor_id, ROUND(s, 4) AS sim FROM (
+             |  SELECT c.query_id, c.neighbor_id,
+             |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |                           CAST(b.embedding AS DOUBLE[])) AS s,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY c.query_id
+             |      ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |                                      CAST(b.embedding AS DOUBLE[])) DESC,
+             |               c.neighbor_id) AS BIGINT) AS rk
+             |  FROM cand c JOIN embeddings a ON a.vec_id = c.query_id
+             |              JOIN embeddings b ON b.vec_id = c.neighbor_id)
+             |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
 
     // ---- X3 FILTERED vector search: top-k under a metadata predicate
     // (label % 4 == 0) — the "filtered ANN" operating point every

@@ -192,6 +192,52 @@ class LlmSpec extends AnyFunSuite {
       s"largest cell ${counts.max} exceeds n/5 of n=$n")
   }
 
+  test("knnLsh: >=0.9 recall vs exact brute force on a planted-cluster " +
+      "fixture, and every reported sim is exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => c}
+    // 240 vectors in 8 tight clusters (sigma 0.02 -> within-cluster cosine
+    // ~0.999): hyperplane agreement probability p = 1 - theta/pi ~ 0.99 per
+    // bit, so a same-cluster neighbor collides on >=1 of the 8 8-bit bands
+    // with probability ~1 - (1 - p^8)^8 > 0.999 — recall on planted
+    // structure is the contract the 100 TB parameters are tuned for.
+    val rng = new scala.util.Random(41)
+    val centers = Seq.fill(8)(Array.fill(12)(rng.nextGaussian()))
+    val vecs = (0L until 240L).map { i =>
+      val ctr = centers((i % 8).toInt)
+      (i, ctr.map(x => x + rng.nextGaussian() * 0.02).toSeq)
+    }
+    val byId = vecs.map { case (i, v) => i -> v.toArray }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val k = 5
+    val got = graft.queries.Llm.knnLsh(spark, emb, c("vec_id") % 20 === 0, k)
+      .select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    // reported sims are the exact cosine (rounded 4dp) — LSH approximates
+    // the CANDIDATE SET, never the score
+    got.foreach { case (qid, nid, sim) =>
+      val expect = math.rint(cos(byId(qid), byId(nid)) * 1e4) / 1e4
+      assert(math.abs(sim - expect) <= 1e-9, s"sim($qid,$nid)=$sim != $expect")
+    }
+    val queryIds = vecs.map(_._1).filter(_ % 20 == 0)
+    val exact = queryIds.flatMap { qid =>
+      vecs.map(_._1).filter(_ != qid)
+        .map(n => (n, cos(byId(qid), byId(n))))
+        .sortBy { case (n, s) => (-s, n) }.take(k)
+        .map { case (n, _) => (qid, n) }
+    }.toSet
+    val gotSet = got.map { case (qid, n, _) => (qid, n) }.toSet
+    val recall = (exact & gotSet).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall < 0.9 over ${exact.size} truths")
+    graft.Caches.drain(spark)
+  }
+
   test("x4_fingerprint is stable across runs and distinct across docs") {
     val a = q("x4_fingerprint").collect().map(r => (r.getLong(0), r.getLong(1)))
     val b = q("x4_fingerprint").collect().map(r => (r.getLong(0), r.getLong(1)))

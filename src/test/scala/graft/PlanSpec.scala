@@ -210,6 +210,18 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     graft.Caches.drain(spark)
   }
 
+  test("x3_knn_lsh: candidates come from the banded equi-key join") {
+    // the LSH contract: candidate generation is a hash join on
+    // (band, band_value) — an all-pairs plan here would defeat the whole
+    // point of bucketing and go quadratic in the corpus at 100 TB
+    val p = planOf("x3_knn_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"all-pairs join in the LSH candidate plan:\n$p")
+    assert(p.contains("bv"),
+      s"expected the (b, bv) band equi-join keys in the plan:\n$p")
+    graft.Caches.drain(spark)
+  }
+
   test("x3_knn_filtered: predicate lands as a semi-join BEFORE the scan") {
     // filtered vector search must pre-filter the index (semi-join on the
     // eligible ids), not post-filter a top-k — a post-filter plan would
