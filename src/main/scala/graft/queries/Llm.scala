@@ -1053,7 +1053,8 @@ object Llm {
              |bits AS (SELECT unnest(generate_series(0, 63)) AS j),
              |proj AS (
              |  SELECT qd.vec_id, b.j,
-             |         SUM(CASE WHEN ((1000003 * (b.j * 4096 + qd.d0) + 7919)
+             |         SUM(CASE WHEN ((1000003 * (b.j * 4096 + qd.d0) * (b.j * 4096 + qd.d0)
+             |                         + 7919 * (b.j * 4096 + qd.d0) + 17)
              |                        % 2147483647) % 2 = 0
              |                  THEN qd.q ELSE -qd.q END) AS p
              |  FROM qd CROSS JOIN bits b GROUP BY 1, 2),

@@ -34,6 +34,7 @@ object ProfileMain {
       case "@scale" => scaleSweep(spark, sfDir)
       case "@prefix" => prefixSweep(spark, sfDir)
       case "@lshskew" => lshSkewSweep(spark)
+      case "@lshknn" => lshKnnSweep(spark)
       // warm:<query> — 3 runs with NO cache drain between them, mimicking
       // the r01-era min-of-2 bench whose persisted frames stayed warm
       // across samples; the run2/run3 times are what those era numbers
@@ -177,6 +178,68 @@ object ProfileMain {
       }
       graft.Caches.drain(spark)
       println(s"[profile]   rows collapsed=$rows docLevel=$rowsOld")
+    }
+  }
+
+  /** @lshknn — hyperplane-LSH knn scaling: clustered corpora 4k..32k
+    * (fixed cluster size, so cluster COUNT grows with n), ~100 queries.
+    * Sweeps bitsPerBand = 8 + log2(n/4000) alongside n — the deployment
+    * rule that keeps per-band bucket occupancy (n / 2^bits) constant — and
+    * prints wall-clock, candidate count, and recall vs the exact brute
+    * join at each point. The claim under test: candidates/query stays
+    * ~flat as n grows 8x, while brute-force work grows linearly.
+    */
+  private def lshKnnSweep(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.functions.{VectorFunctions => VF}
+    graft.functions.NativeExpressions.register(spark)
+    for ((n, bpb) <- Seq((4000, 8), (8000, 9), (16000, 10), (32000, 11))) {
+      val rng = new scala.util.Random(71)
+      val centers = Array.fill(n / 30)(Array.fill(16)(rng.nextGaussian()))
+      val vecs = (0L until n.toLong).map { i =>
+        val ctr = centers((i % centers.length).toInt)
+        (i, ctr.map(x => x + rng.nextGaussian() * 0.02).toSeq)
+      }
+      val emb = graft.Caches.persist(vecs.toDF("vec_id", "embedding"))
+      emb.count()
+      val step = n / 100
+      val pred = col("vec_id") % step === 0
+      val lsh = time(s"lsh knn   n=$n bpb=$bpb") {
+        graft.queries.Llm.knnLsh(spark, emb, pred, k = 10,
+          bands = 8, bitsPerBand = bpb).collect()
+      }
+      // candidate volume: the banded join's output before rerank
+      val bands = emb.select(col("vec_id"),
+        posexplode(call_function("graft_hyperplane_bands",
+          col("embedding"), lit(8), lit(bpb))).as(Seq("b", "bv")))
+      val cands = bands.filter(pred)
+        .select(col("vec_id").as("query_id"), col("b"), col("bv"))
+        .join(bands.withColumnRenamed("vec_id", "neighbor_id"), Seq("b", "bv"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select("query_id", "neighbor_id").distinct().count()
+      val brute = time(s"brute knn n=$n        ") {
+        val e = graft.Caches.persist(
+          emb.select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
+            .withColumn("nrm", VF.l2Norm(col("v"))))
+        val q = e.filter(pred).select(col("vec_id").as("query_id"),
+          col("v").as("qv"), col("nrm").as("qn"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(desc("s"), asc("neighbor_id"))
+        e.select(col("vec_id").as("neighbor_id"), col("v").as("nv"),
+            col("nrm").as("nn"))
+          .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+          .withColumn("s", VF.dotNative(col("qv"), col("nv")) / (col("qn") * col("nn")))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10)
+          .select(col("query_id"), col("neighbor_id")).collect()
+      }
+      val bruteSet = brute.map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lshSet = lsh.map(r => (r.getLong(0), r.getLong(2))).toSet
+      val recall = (bruteSet & lshSet).size.toDouble / bruteSet.size
+      val nq = vecs.count(v => v._1 % step == 0)
+      println(f"[profile]   n=$n%6d queries=$nq%4d cand=$cands%8d " +
+        f"cand/query=${cands.toDouble / nq}%8.1f recall=$recall%.3f")
+      graft.Caches.drain(spark)
     }
   }
 
