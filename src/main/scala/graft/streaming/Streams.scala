@@ -348,6 +348,69 @@ object Streams {
       .select(col("doc_id"), col("corpus_id").as("dup_of"), col("hamming"))
   }
 
+  /** Static hyperplane-LSH index over a corpus `(vec_id, embedding)`:
+    * banded sign-random-projection codes
+    * ([[graft.functions.HyperplaneBandKeys]]) exploded to one row per
+    * (band, band_value), carrying the full code array plus the
+    * double-vector and norm for the exact-cosine verify step.
+    */
+  final case class LshIndex(bands: DataFrame, numBands: Int, bitsPerBand: Int)
+
+  def lshIndex(corpus: DataFrame, numBands: Int = 8,
+      bitsPerBand: Int = 8): LshIndex = {
+    graft.functions.NativeExpressions.register(corpus.sparkSession)
+    val VF = graft.functions.VectorFunctions
+    val coded = corpus.select(col("vec_id"),
+        VF.toDouble(col("embedding")).as("nv"),
+        call_function("graft_hyperplane_bands",
+          col("embedding"), lit(numBands), lit(bitsPerBand)).as("cbks"))
+      .withColumn("nn", VF.l2Norm(col("nv")))
+    LshIndex(coded.select(col("vec_id"), col("nv"), col("nn"), col("cbks"),
+      posexplode(col("cbks")).as(Seq("b", "bv"))), numBands, bitsPerBand)
+  }
+
+  /** Streaming LSH embedding near-dup screen: the APPROXIMATE (cheap) twin
+    * of [[embeddingScreen]] — incoming vectors are checked against the
+    * static corpus via hyperplane-LSH bucket collisions instead of the IVF
+    * triangle bound. Candidates come from a stream-static equi-join on
+    * (band, band_value); the exact-cosine verify keeps precision at 1
+    * (LSH approximates the CANDIDATE SET, never the score), recall follows
+    * the band collision probability on near-identical vectors (≈1 for
+    * sim ≥ 0.95 at 8×8 bits — LlmSpec measures it on planted clusters).
+    * A pair colliding on several bands is emitted ONLY on its first
+    * agreeing band (computed by comparing the two code arrays carried on
+    * the join row) — the same STATELESS exactly-once dedup as
+    * [[simhashScreen]], so the screen is pure append mode: no foreachBatch,
+    * no state store, no watermark. Per incoming vector the work is its
+    * colliding buckets only (~n/2^bitsPerBand per band), not the √n-cell
+    * centroid scan — the operating point for very high ingest rates.
+    *
+    * Returns (doc_id, dup_of, sim), one row per flagged pair.
+    */
+  def lshScreen(incoming: DataFrame, index: LshIndex, t: Double): DataFrame = {
+    graft.functions.NativeExpressions.register(incoming.sparkSession)
+    val VF = graft.functions.VectorFunctions
+    val banded = incoming.select(col("doc_id"),
+        VF.toDouble(col("embedding")).as("qv"),
+        call_function("graft_hyperplane_bands", col("embedding"),
+          lit(index.numBands), lit(index.bitsPerBand)).as("qbks"))
+      .withColumn("qnrm", VF.l2Norm(col("qv")))
+      .select(col("doc_id"), col("qv"), col("qnrm"), col("qbks"),
+        posexplode(col("qbks")).as(Seq("b", "bv")))
+    banded
+      .join(index.bands, Seq("b", "bv"))
+      // first band where the two full codes agree — join rows for any later
+      // agreeing band are dropped, so each pair emits exactly once
+      .withColumn("first_agree",
+        array_position(zip_with(col("qbks"), col("cbks"),
+          (a, b) => a === b), lit(true)) - 1)
+      .filter(col("b") === col("first_agree"))
+      .withColumn("sim", VF.dotNative(col("qv"), col("nv")) / (col("qnrm") * col("nn")))
+      .filter(col("sim") >= t)
+      .select(col("doc_id"), col("vec_id").as("dup_of"),
+        round(col("sim"), 4).as("sim"))
+  }
+
   /** Streaming EMBEDDING near-dup screen: incoming `(doc_id, embedding)`
     * rows are checked against a static corpus' IVF index
     * ([[graft.operators.IvfIndex.loadOrBuild]]) — the vector-modality twin

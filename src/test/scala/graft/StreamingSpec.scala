@@ -388,6 +388,44 @@ class StreamingSpec extends AnyFunSuite {
     graft.Caches.drain(spark)
   }
 
+  test("streaming LSH screen flags vector near-dups in pure append mode, " +
+      "exactly once per pair, matching its batch twin") {
+    import graft.streaming.Streams
+    val rng = new scala.util.Random(47)
+    val centers = Seq.fill(4)(Array.fill(8)(rng.nextGaussian()))
+    val corpusVecs = (0L until 80L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(x => (x + rng.nextGaussian() * 0.01).toFloat).toSeq)
+    }
+    val index = Streams.lshIndex(corpusVecs.toDF("vec_id", "embedding"))
+    // a near-identical twin of corpus vec 0 (collides on ~all 8 bands —
+    // the exactly-once emission's stress case) and a far novel vector
+    val twin = corpusVecs.head._2.map(x => x + 1e-4f)
+    val novel = Seq.fill(8)(10f * rng.nextGaussian().toFloat)
+    val incoming = Seq((1000L, twin), (1001L, novel))
+    val in = MemoryStream[(Long, Seq[Float])](spark)
+    val screened = Streams.lshScreen(
+      in.toDF().toDF("doc_id", "embedding"), index, t = 0.95)
+    assert(screened.isStreaming, "screen must stay a streaming plan")
+    val q = screened.writeStream.format("memory")
+      .queryName("lsh_screen").outputMode("append").start()
+    in.addData(incoming: _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("lsh_screen")
+      .select("doc_id", "dup_of").as[(Long, Long)].collect().toSeq
+    // batch twin on the same incoming rows — decision parity is the contract
+    val batch = Streams.lshScreen(incoming.toDF("doc_id", "embedding"),
+      index, t = 0.95).select("doc_id", "dup_of")
+      .as[(Long, Long)].collect().toSeq
+    assert(got.toSet == batch.toSet,
+      s"stream/batch divergence: ${got.toSet -- batch.toSet} ${batch.toSet -- got.toSet}")
+    assert(got.contains((1000L, 0L)), s"twin not flagged vs vec 0: $got")
+    assert(!got.exists(_._1 == 1001L), s"novel doc wrongly flagged: $got")
+    // exactly-once even though the twin agrees with vec 0 on every band
+    assert(got.distinct.size == got.size, s"duplicate pair emissions: $got")
+    graft.Caches.drain(spark)
+  }
+
   test("streaming ANN lookup matches batch knnExact row-for-row") {
     import graft.streaming.Streams
     val rng = new scala.util.Random(43)
