@@ -635,6 +635,76 @@ case class HyperplaneBandKeys(child: Expression, bands: Int, bitsPerBand: Int)
     copy(child = newChild)
 }
 
+/** Query-side MULTIPROBE keys for [[HyperplaneBandKeys]]: per band, the
+  * primary band value plus `flips` probe values, each with one of the
+  * band's weakest bits flipped (smallest |projection| — the bits most
+  * likely to disagree with a true near neighbor; Lv et al., VLDB'07).
+  * Keys are composite (band << bitsPerBand) | value so one explode+equi-join
+  * covers all probes. Bits are ranked by (|acc|, bit index) — fully
+  * deterministic. flips=0 reproduces the primary keys exactly, so a corpus
+  * indexed with HyperplaneBandKeys joins against any flips level.
+  */
+case class HyperplaneProbeKeys(child: Expression, bands: Int, bitsPerBand: Int,
+    flips: Int) extends UnaryExpression with CodegenFallback {
+  import PortableHash.P31
+  require(flips <= bitsPerBand, "cannot flip more bits than a band holds")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val q = new Array[Long](n)
+    var d = 0
+    while (d < n) {
+      val x = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+      q(d) = math.floor(x * 1e6).toLong
+      d += 1
+    }
+    val out = new Array[Long](bands * (1 + flips))
+    var o = 0
+    var b = 0
+    while (b < bands) {
+      var bv = 0L
+      val mag = new Array[Long](bitsPerBand)
+      var i = 0
+      while (i < bitsPerBand) {
+        val j = b * bitsPerBand + i
+        var acc = 0L
+        d = 0
+        while (d < n) {
+          val t = j * 4096L + d
+          val h = ((1000003L * t * t + 7919L * t + 17L) % P31) % 2L
+          acc += (if (h == 0L) q(d) else -q(d))
+          d += 1
+        }
+        if (acc >= 0L) bv |= (1L << i)
+        mag(i) = math.abs(acc)
+        i += 1
+      }
+      val base = b.toLong << bitsPerBand
+      out(o) = base | bv
+      o += 1
+      // probe keys: flip the weakest bits one at a time
+      val order = (0 until bitsPerBand).sortBy(i => (mag(i), i))
+      var f = 0
+      while (f < flips) {
+        out(o) = base | (bv ^ (1L << order(f)))
+        o += 1
+        f += 1
+      }
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneProbeKeys =
+    copy(child = newChild)
+}
+
 object NativeExpressions {
   /** Session-scoped registration of the native functions; idempotent.
     * Registered through the classic FunctionRegistry so call sites can use
@@ -694,5 +764,11 @@ object NativeExpressions {
       (args: Seq[Expression]) => HyperplaneBandKeys(args(0),
         args(1).eval().asInstanceOf[Int],
         args(2).eval().asInstanceOf[Int]), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_hyperplane_probes",
+      (args: Seq[Expression]) => HyperplaneProbeKeys(args(0),
+        args(1).eval().asInstanceOf[Int],
+        args(2).eval().asInstanceOf[Int],
+        args(3).eval().asInstanceOf[Int]), "built-in")
   }
 }

@@ -66,7 +66,7 @@ object Llm {
     * only; the query side is broadcast (queries << corpus by contract).
     */
   private[graft] def knnLsh(s: SparkSession, emb: DataFrame, queryPred: Column,
-      k: Int, bands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
+      k: Int, bands: Int = 8, bitsPerBand: Int = 8, flips: Int = 0): DataFrame = {
     graft.functions.NativeExpressions.register(s)
     val e = graft.Caches.persist(
       emb.select(col("vec_id"),
@@ -75,9 +75,24 @@ object Llm {
             col("embedding"), lit(bands), lit(bitsPerBand)).as("bks"))
         .withColumn("nrm", VF.l2Norm(col("v"))))
     val bnd = e.select(col("vec_id"), posexplode(col("bks")).as(Seq("b", "bv")))
-    val qb = e.filter(queryPred)
-      .select(col("vec_id"), posexplode(col("bks")).as(Seq("b", "bv")))
-      .select(col("vec_id").as("query_id"), col("b"), col("bv"))
+    // flips > 0 = query-directed multiprobe (Lv et al.): the query also
+    // probes, per band, the `flips` buckets with one weakest-|projection|
+    // bit flipped — candidate set is a strict superset of flips=0, the
+    // recall-recovery knob when bitsPerBand is sized aggressively high.
+    // Only the query side changes; the corpus index is untouched.
+    val qb =
+      if (flips == 0)
+        e.filter(queryPred)
+          .select(col("vec_id"), posexplode(col("bks")).as(Seq("b", "bv")))
+          .select(col("vec_id").as("query_id"), col("b"), col("bv"))
+      else
+        e.filter(queryPred)
+          .select(col("vec_id").as("query_id"),
+            explode(call_function("graft_hyperplane_probes", col("v"),
+              lit(bands), lit(bitsPerBand), lit(flips))).as("bk"))
+          .select(col("query_id"),
+            shiftright(col("bk"), bitsPerBand).cast("int").as("b"),
+            col("bk").bitwiseAND(lit((1L << bitsPerBand) - 1)).as("bv"))
     val cand = bnd.withColumnRenamed("vec_id", "neighbor_id")
       .join(broadcast(qb), Seq("b", "bv"))
       .filter(col("neighbor_id") =!= col("query_id"))

@@ -241,6 +241,45 @@ object ProfileMain {
         f"cand/query=${cands.toDouble / nq}%8.1f recall=$recall%.3f")
       graft.Caches.drain(spark)
     }
+    // multiprobe at an aggressively high bitsPerBand: the recall-recovery
+    // knob when buckets are sized for minimal candidates. Looser clusters
+    // (sigma 0.25) so the primary buckets visibly miss true neighbors.
+    val n = 32000
+    val rng = new scala.util.Random(73)
+    val centers = Array.fill(n / 30)(Array.fill(16)(rng.nextGaussian()))
+    val vecs = (0L until n.toLong).map { i =>
+      val ctr = centers((i % centers.length).toInt)
+      (i, ctr.map(x => x + rng.nextGaussian() * 0.25).toSeq)
+    }
+    val emb = graft.Caches.persist(vecs.toDF("vec_id", "embedding"))
+    emb.count()
+    val pred = col("vec_id") % (n / 100) === 0
+    val exact = {
+      val e = graft.Caches.persist(
+        emb.select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
+          .withColumn("nrm", VF.l2Norm(col("v"))))
+      val q = e.filter(pred).select(col("vec_id").as("query_id"),
+        col("v").as("qv"), col("nrm").as("qn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("s"), asc("neighbor_id"))
+      e.select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("nrm").as("nn"))
+        .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+        .withColumn("s", VF.dotNative(col("qv"), col("nv")) / (col("qn") * col("nn")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    for (flips <- Seq(0, 2, 4)) {
+      val got = time(s"lsh bpb=13 flips=$flips n=$n") {
+        graft.queries.Llm.knnLsh(spark, emb, pred, k = 10,
+          bands = 8, bitsPerBand = 13, flips = flips).collect()
+      }
+      val gotSet = got.map(r => (r.getLong(0), r.getLong(2))).toSet
+      println(f"[profile]   flips=$flips rows=${got.length}%5d " +
+        f"recall=${(exact & gotSet).size.toDouble / exact.size}%.3f")
+    }
+    graft.Caches.drain(spark)
   }
 
   private def prefixSweep(spark: SparkSession, baseDir: String): Unit = {

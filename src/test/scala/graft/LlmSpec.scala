@@ -238,6 +238,50 @@ class LlmSpec extends AnyFunSuite {
     graft.Caches.drain(spark)
   }
 
+  test("knnLsh multiprobe: recall is monotone in flips and recovers >=0.9 " +
+      "at aggressively high bitsPerBand") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => c}
+    // looser clusters (sigma 0.3 -> within-cluster cosine ~0.92): at
+    // bitsPerBand=12 the primary buckets miss a visible share of true
+    // neighbors, which is exactly the regime multiprobe exists for — each
+    // flip probes the band bucket the query was closest to falling into
+    val rng = new scala.util.Random(59)
+    val centers = Seq.fill(8)(Array.fill(12)(rng.nextGaussian()))
+    val vecs = (0L until 240L).map { i =>
+      val ctr = centers((i % 8).toInt)
+      (i, ctr.map(x => x + rng.nextGaussian() * 0.3).toSeq)
+    }
+    val byId = vecs.map { case (i, v) => i -> v.toArray }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val k = 5
+    val queryIds = vecs.map(_._1).filter(_ % 20 == 0)
+    val exact = queryIds.flatMap { qid =>
+      vecs.map(_._1).filter(_ != qid)
+        .map(n => (n, cos(byId(qid), byId(n))))
+        .sortBy { case (n, s) => (-s, n) }.take(k)
+        .map { case (n, _) => (qid, n) }
+    }.toSet
+    def recallAt(flips: Int): Double = {
+      val got = graft.queries.Llm.knnLsh(spark, emb, c("vec_id") % 20 === 0,
+          k, bands = 8, bitsPerBand = 12, flips = flips)
+        .select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().map { case (q, n) => (q, n) }.toSet
+      graft.Caches.drain(spark)
+      (exact & got).size.toDouble / exact.size
+    }
+    val r0 = recallAt(0); val r2 = recallAt(2); val r4 = recallAt(4)
+    // candidates(flips) is a superset chain, and a false candidate can
+    // never evict a true top-k member — so recall must be monotone
+    assert(r0 <= r2 && r2 <= r4, s"recall not monotone: $r0 $r2 $r4")
+    assert(r4 >= 0.9, s"multiprobe flips=4 recall $r4 < 0.9 (flips=0: $r0)")
+  }
+
   test("x4_fingerprint is stable across runs and distinct across docs") {
     val a = q("x4_fingerprint").collect().map(r => (r.getLong(0), r.getLong(1)))
     val b = q("x4_fingerprint").collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -368,6 +368,33 @@ class NativeKernelsSpec extends AnyFunSuite {
     assert(got == naive, s"missing=${naive -- got} extra=${got -- naive}")
   }
 
+  test("graft_hyperplane_probes at flips=0 equals the composite band keys, " +
+      "and each flip level is a strict prefix of the next") {
+    graft.functions.NativeExpressions.register(spark)
+    val rng = new scala.util.Random(53)
+    val vecs = (0L until 40L).map(i => (i, Seq.fill(16)(rng.nextGaussian())))
+    val df = vecs.toDF("vec_id", "embedding")
+    val rows = df.selectExpr(
+        "graft_hyperplane_bands(embedding, 8, 8) AS bks",
+        "graft_hyperplane_probes(embedding, 8, 8, 0) AS p0",
+        "graft_hyperplane_probes(embedding, 8, 8, 2) AS p2")
+      .collect()
+    rows.foreach { r =>
+      val bks = r.getSeq[Long](0)
+      val p0 = r.getSeq[Long](1)
+      val p2 = r.getSeq[Long](2)
+      val composite = bks.zipWithIndex.map { case (bv, b) => (b.toLong << 8) | bv }
+      assert(p0 == composite, s"flips=0 probes != band keys: $p0 vs $composite")
+      // per band: p2 holds (primary, flip1, flip2); the primary stream of
+      // p2 is exactly p0, and every probe stays inside its band's keyspace
+      assert(p2.grouped(3).map(_.head).toSeq == p0)
+      p2.grouped(3).zipWithIndex.foreach { case (g, b) =>
+        assert(g.distinct.size == 3, s"band $b probes not distinct: $g")
+        assert(g.forall(k => (k >> 8) == b), s"band $b probe escaped band: $g")
+      }
+    }
+  }
+
   test("set-similarity dispatchers survive degenerate corpora") {
     import org.apache.spark.sql.DataFrame
     def runBoth(tok: DataFrame): (Long, Long) = {
