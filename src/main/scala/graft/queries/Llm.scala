@@ -1132,6 +1132,48 @@ object Llm {
              |  WHERE q.vec_id % 50 = 0)
              |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
 
+    // ---- X3 HYBRID text+vector search (filtered RAG retrieval): top-k
+    // nearest neighbors restricted to documents matching a TEXT-modality
+    // predicate (lang = 'en' AND the body contains "data") — the filter
+    // lives on the documents table, the vectors on embeddings, joined on
+    // doc_id = vec_id. Same pre-filter-inside-the-index-scan shape as
+    // x3_knn_filtered (semi-join the eligible ids into the assignment
+    // before the two-phase exact search; cell radii remain valid subset
+    // bounds), but the eligible-id set now crosses tables AND modalities —
+    // at 100 TB the keyword side is a pushed-down parquet scan of the
+    // document corpus producing an id list, semi-joined on the index's
+    // own key: linear, no new pairing, no text ever reaching the vector
+    // side's shuffles.
+    Q("x3_hybrid_search",
+      (s, dir) => {
+        val idx = ivfIndex(s, dir)
+        val keep = docs(s, dir)
+          .filter(col("lang") === "en" && col("text").contains("data"))
+          .select(col("doc_id").as("vec_id"))
+        val fidx = graft.operators.IvfIndex.Index(
+          idx.assigned.join(keep, Seq("vec_id"), "left_semi"), idx.cells)
+        val q = idx.assigned.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        graft.operators.IvfIndex.knnExact(fidx, q, k = 10, nprobe = 3)
+          .select(col("query_id"), col("rk"), col("neighbor_id"),
+            round(col("s"), 4).as("sim"))
+          .orderBy("query_id", "rk")
+      },
+      Some("""SELECT query_id, rk, neighbor_id, ROUND(s, 4) AS sim FROM (
+             |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+             |                           CAST(n.embedding AS DOUBLE[])) AS s,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+             |                                      CAST(n.embedding AS DOUBLE[])) DESC,
+             |               n.vec_id) AS BIGINT) AS rk
+             |  FROM embeddings q JOIN embeddings n
+             |    ON n.vec_id != q.vec_id AND n.vec_id IN (
+             |         SELECT doc_id FROM documents
+             |         WHERE lang = 'en' AND text LIKE '%data%')
+             |  WHERE q.vec_id % 50 = 0)
+             |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+
     // ---- X3 int8-quantized exact search: per-vector symmetric scalar
     // quantization (q_j = floor(v_j·127/max|v| + 0.5) — floor(x+0.5), not
     // round(), because floor on an identical IEEE double is identical in

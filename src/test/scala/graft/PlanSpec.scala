@@ -222,6 +222,25 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     graft.Caches.drain(spark)
   }
 
+  test("x3_hybrid_search: keyword filter is a semi-join on the index key, " +
+      "and no exchange ships document text") {
+    // the cross-modal contract: the documents-side predicate reduces to an
+    // id list semi-joined into the vector index BEFORE the scan, and the
+    // text column never survives into any shuffle of the vector plan
+    val df = SparkEntry.queries("x3_hybrid_search")(spark, sfDir)
+    df.collect()
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("LeftSemi"),
+      s"expected the document predicate as a LeftSemi join; plan=\n$opt")
+    val offending = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+          if e.output.exists(_.name == "text") => e
+    }
+    assert(offending.isEmpty,
+      s"hybrid search shuffles the document text:\n${df.queryExecution.executedPlan}")
+    graft.Caches.drain(spark)
+  }
+
   test("x3_knn_filtered: predicate lands as a semi-join BEFORE the scan") {
     // filtered vector search must pre-filter the index (semi-join on the
     // eligible ids), not post-filter a top-k — a post-filter plan would
