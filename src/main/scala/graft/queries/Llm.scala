@@ -1958,6 +1958,74 @@ object Llm {
              |    AS BIGINT) AS dup_rate_e4
              |FROM d GROUP BY lang, split ORDER BY lang, split""".stripMargin)),
 
+    // ---- X4 END-TO-END CURATION FUNNEL: the whole pipeline as one
+    // declarative query — ingest -> quality gate (x4_quality's predicate)
+    // -> exact dedup (min-doc-id keeper per text digest) -> near-dup
+    // cluster dedup (Jaccard>=0.9 connected components, keep the cluster
+    // representative) — emitting the per-stage survivor counts a curation
+    // run reports. Each stage consumes the previous stage's survivors, so
+    // the numbers compose (this is the funnel, not four independent
+    // counts). All stages are the already-verified operators: the quality
+    // predicate is x4_quality's, the digest keeper is x1_dedup_exact's
+    // shape on md5(text) (16-byte shuffle keys, never the body), the
+    // cluster step is dedupClusters (set-level CC below the vocab
+    // threshold). At 100 TB each stage is a linear shuffle on digests or
+    // the sub-quadratic pair pipeline — the funnel adds no new join shape.
+    Q("x4_pipeline_funnel",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val toks = TF.tokens(col("text"))
+        val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+        val qual = graft.Caches.persist(d.filter(size(toks) >= 5 &&
+          size(filter(toks, x => x.isin(stop: _*))) >= 1))
+        val keepers = graft.Caches.persist(
+          qual.groupBy(md5(col("text")).as("h"))
+            .agg(min("doc_id").as("doc_id"))
+            .join(qual.select("doc_id", "text"), Seq("doc_id")))
+        val reps = dedupClusters(s, keepers.select("doc_id", "text"))
+          .filter(col("doc_id") === col("cluster_id"))
+        def stage(no: Int, name: String, df: DataFrame): DataFrame =
+          df.agg(count(lit(1)).as("docs"))
+            .select(lit(no).as("stage_no"), lit(name).as("stage"), col("docs"))
+        stage(1, "ingest", d)
+          .unionAll(stage(2, "quality", qual))
+          .unionAll(stage(3, "exact_dedup", keepers))
+          .unionAll(stage(4, "neardup_dedup", reps))
+          .orderBy("stage_no")
+      },
+      Some("""WITH RECURSIVE
+             |qual AS (SELECT doc_id, text FROM documents
+             |         WHERE len(string_split(text,' ')) >= 5
+             |           AND len(list_filter(string_split(text,' '),
+             |                 x -> x IN ('the','a','of','and','to','in','is','it'))) >= 1),
+             |keep AS (SELECT MIN(doc_id) AS doc_id FROM qual GROUP BY text),
+             |kd AS (SELECT q.doc_id, q.text FROM qual q
+             |       JOIN keep k ON q.doc_id = k.doc_id),
+             |tok AS (SELECT doc_id, UNNEST(list_distinct(string_split(text,' '))) AS w
+             |        FROM kd),
+             |cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+             |          FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2),
+             |pairs AS (SELECT doc_a, doc_b FROM inter
+             |          JOIN cnt ca ON ca.doc_id = doc_a
+             |          JOIN cnt cb ON cb.doc_id = doc_b
+             |          WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= 0.9),
+             |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+             |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+             |reach(a, b) AS (
+             |  SELECT doc_id, doc_id FROM kd
+             |  UNION
+             |  SELECT reach.a, e.b FROM reach JOIN edges e ON reach.b = e.a),
+             |clus AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
+             |SELECT 1 AS stage_no, 'ingest' AS stage,
+             |       (SELECT COUNT(*) FROM documents) AS docs
+             |UNION ALL SELECT 2, 'quality', (SELECT COUNT(*) FROM qual)
+             |UNION ALL SELECT 3, 'exact_dedup', (SELECT COUNT(*) FROM keep)
+             |UNION ALL SELECT 4, 'neardup_dedup',
+             |       (SELECT COUNT(*) FROM clus WHERE doc_id = cluster_id)
+             |ORDER BY stage_no""".stripMargin)),
+
     // ---- F4/F5 array-function surface (scalar outputs only — array-valued
     // result columns would make the parquet/pandas compare ambiguous)
     Q("q_array_funcs",
