@@ -750,6 +750,33 @@ object Relational {
              |                    AND l.l_returnflag = 'R')
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // ---- §2.5 LATERAL correlated subquery (Spark 3.2+ lateral join):
+    // top-2 orders per sampled customer via a correlated ORDER BY/LIMIT
+    // subquery — Catalyst decorrelates it into a ranked window join, the
+    // same physical shape as q_topk_per_group, so the SQL-surface form
+    // costs nothing extra at scale (no per-row subquery execution).
+    Q("q_lateral_topk",
+      (s, dir) => {
+        Seq("customer", "orders")
+          .foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))
+        s.sql("""SELECT c.c_custkey, t.o_orderkey,
+                |       ROUND(t.o_totalprice, 2) AS price
+                |FROM customer c, LATERAL (
+                |  SELECT o_orderkey, o_totalprice FROM orders o
+                |  WHERE o.o_custkey = c.c_custkey
+                |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+                |WHERE c.c_custkey % 10 = 0
+                |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin)
+      },
+      Some("""SELECT c.c_custkey, t.o_orderkey,
+             |       ROUND(t.o_totalprice, 2) AS price
+             |FROM customer c, LATERAL (
+             |  SELECT o_orderkey, o_totalprice FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey
+             |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+             |WHERE c.c_custkey % 10 = 0
+             |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin)),
+
     // ---- §4 subquery decorrelation: correlated scalar subquery, written as
     // SQL and left to Catalyst to rewrite into an aggregate + join (the plan
     // contains no per-row subquery execution)
