@@ -1978,10 +1978,14 @@ object Llm {
         val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
         val qual = graft.Caches.persist(d.filter(size(toks) >= 5 &&
           size(filter(toks, x => x.isin(stop: _*))) >= 1))
+        // keeper per digest, text riding the SAME digest-keyed shuffle as
+        // the aggregation payload (first() is deterministic: every text in
+        // an md5 group is identical) — vs groupBy+join-back, which would
+        // shuffle the corpus a second time on doc_id. The cluster stage
+        // consumes survivor text, so one text movement is inherent here.
         val keepers = graft.Caches.persist(
           qual.groupBy(md5(col("text")).as("h"))
-            .agg(min("doc_id").as("doc_id"))
-            .join(qual.select("doc_id", "text"), Seq("doc_id")))
+            .agg(min("doc_id").as("doc_id"), first("text").as("text")))
         val reps = dedupClusters(s, keepers.select("doc_id", "text"))
           .filter(col("doc_id") === col("cluster_id"))
         def stage(no: Int, name: String, df: DataFrame): DataFrame =
