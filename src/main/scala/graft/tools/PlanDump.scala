@@ -13,9 +13,13 @@ object PlanDump {
     "q_events_range_join", "q_ntile", "x2_jaccard_exact", "x3_knn_brute",
     "x3_knn_ivf", "x4_pack", "x4_decontam", "q_table_profile",
     "q_events_retention",
-    // top-5 most expensive queries (r5 bench) — plan drift regression corpus:
-    // a lost WindowGroupLimit / lost broadcast / new cartesian shows in diff
-    "x1_dedup_clusters", "x2_jaccard_bigram", "x4_ngram_topk", "x2_containment")
+    // top most expensive queries (r5/r7 bench) — plan drift regression
+    // corpus: a lost WindowGroupLimit / lost broadcast / new cartesian
+    // shows in the diff
+    "x1_dedup_clusters", "x2_jaccard_bigram", "x4_ngram_topk", "x2_containment",
+    // round-7 additions: the end-to-end funnel (most expensive query) and
+    // the banded LSH candidate join
+    "x4_pipeline_funnel", "x3_knn_lsh")
 
   private val preamble =
     """# PLANS — executed (AQE-final) physical plans of headline queries
