@@ -1958,6 +1958,77 @@ object Llm {
              |    AS BIGINT) AS dup_rate_e4
              |FROM d GROUP BY lang, split ORDER BY lang, split""".stripMargin)),
 
+    // ---- X4 COUNT-MIN SKETCH heavy hitters: the classic sublinear-memory
+    // frequency sketch (Cormode & Muthukrishnan '05), expressed RELATIONALLY
+    // — each of the 4 hash rows buckets every token into 1024 cells and the
+    // cell sums ARE the sketch (map-side partial agg, then a 4096-key
+    // shuffle: the sketch's O(d·w) memory bound is literally the shuffle
+    // cardinality, independent of corpus size). Estimates for the exact
+    // top-15 tokens are min-over-rows of their cells; the output pins both
+    // the estimates (hash-exact) and the sketch's one-sided guarantee
+    // (never undercounts). Hashes are the portable mod-prime family, so
+    // the DuckDB oracle replays every cell bit-for-bit — an
+    // oracle-checkable sketch. At 100 TB the sketch state stays 4096
+    // cells regardless of vocabulary; only the exact-top-k comparison side
+    // scales with distinct tokens (and exists to audit the sketch).
+    Q("x4_heavy_hitters_cms",
+      (s, dir) => {
+        graft.functions.NativeExpressions.register(s)
+        val P = 2147483647L
+        def bkt(r: Column, hw: Column): Column =
+          (((lit(506952114L) * (r + 1) + 1) % P) * (hw % P) +
+            (lit(40503L) * (r + 1) + 17) % P) % P % 1024
+        val tc = graft.Caches.persist(
+          docs(s, dir).select(explode(TF.tokens(col("text"))).as("w"))
+            .groupBy("w").agg(count(lit(1)).as("c"))
+            .withColumn("hw",
+              element_at(call_function("graft_wordhash62", array(col("w"))), 1)))
+        val rows = tc.select(col("c"), col("hw"),
+            explode(array((0 until 4).map(lit): _*)).as("r"))
+          .withColumn("bkt", bkt(col("r"), col("hw")))
+        val bc = rows.groupBy("r", "bkt").agg(sum("c").as("bc"))
+        val top = tc.orderBy(desc("c"), asc("w")).limit(15)
+        top.select(col("w"), col("c"), col("hw"),
+            explode(array((0 until 4).map(lit): _*)).as("r"))
+          .withColumn("bkt", bkt(col("r"), col("hw")))
+          .join(broadcast(bc), Seq("r", "bkt"))
+          .groupBy("w", "c").agg(min("bc").as("cms_est"))
+          .select(col("w").as("token"), col("c").as("exact_count"),
+            col("cms_est"),
+            (col("cms_est") >= col("c")).as("never_undercounts"))
+          .orderBy(desc("exact_count"), asc("token"))
+      },
+      Some("""WITH tc AS (
+             |  SELECT w, COUNT(*) AS c,
+             |    list_reduce([CAST(0 AS BIGINT)] ||
+             |        [CAST(unicode(ch) AS BIGINT) FOR ch IN string_split(w,'')],
+             |        (a,b) -> (a*31+b) % 1000000007) * 2147483648
+             |    + list_reduce([CAST(0 AS BIGINT)] ||
+             |        [CAST(unicode(ch) AS BIGINT) FOR ch IN string_split(w,'')],
+             |        (a,b) -> (a*131+b) % 2147483647) AS hw
+             |  FROM (SELECT UNNEST(string_split(text,' ')) AS w FROM documents)
+             |  GROUP BY w),
+             |rows_ AS (SELECT unnest(generate_series(0,3)) AS r),
+             |bc AS (
+             |  SELECT r.r,
+             |    ((((506952114*(r.r+1)+1) % 2147483647) * (tc.hw % 2147483647)
+             |      + ((40503*(r.r+1)+17) % 2147483647)) % 2147483647) % 1024 AS bkt,
+             |    CAST(SUM(tc.c) AS BIGINT) AS bc
+             |  FROM tc CROSS JOIN rows_ r GROUP BY 1, 2),
+             |top_ AS (SELECT w, c, hw FROM tc ORDER BY c DESC, w LIMIT 15)
+             |SELECT token, exact_count, cms_est,
+             |       cms_est >= exact_count AS never_undercounts
+             |FROM (
+             |  SELECT t.w AS token, CAST(t.c AS BIGINT) AS exact_count,
+             |         MIN(bc.bc) AS cms_est
+             |  FROM top_ t CROSS JOIN rows_ r
+             |  JOIN bc ON bc.r = r.r
+             |   AND bc.bkt = ((((506952114*(r.r+1)+1) % 2147483647)
+             |      * (t.hw % 2147483647)
+             |      + ((40503*(r.r+1)+17) % 2147483647)) % 2147483647) % 1024
+             |  GROUP BY 1, 2)
+             |ORDER BY exact_count DESC, token""".stripMargin)),
+
     // ---- X4 END-TO-END CURATION FUNNEL: the whole pipeline as one
     // declarative query — ingest -> quality gate (x4_quality's predicate)
     // -> exact dedup (min-doc-id keeper per text digest) -> near-dup
