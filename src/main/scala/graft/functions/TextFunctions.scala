@@ -15,6 +15,19 @@ object TextFunctions {
   /** Distinct token set. */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 
+  /** Count-min-sketch cell index for hash row `r` (0-based) and a portable
+    * word hash `hw` (graft_wordhash62): the PortableMinHash affine family
+    * mod 2^31-1, reduced to the sketch's 1024-cell width. Shared by the
+    * batch sketch (x4_heavy_hitters_cms) and the streaming sketch
+    * (Streams.cmsSketch) so both land tokens in identical cells — and by
+    * their SQL oracles, which replay the same integer arithmetic.
+    */
+  def cmsBucket(r: Column, hw: Column): Column = {
+    val P = 2147483647L
+    (((lit(506952114L) * (r + 1) + 1) % P) * (hw % P) +
+      (lit(40503L) * (r + 1) + 17) % P) % P % 1024
+  }
+
   /** k-word shingles (n-grams joined by space), distinct.
     * For a doc with < k words, falls back to the whole doc as one shingle.
     */

@@ -1974,10 +1974,7 @@ object Llm {
     Q("x4_heavy_hitters_cms",
       (s, dir) => {
         graft.functions.NativeExpressions.register(s)
-        val P = 2147483647L
-        def bkt(r: Column, hw: Column): Column =
-          (((lit(506952114L) * (r + 1) + 1) % P) * (hw % P) +
-            (lit(40503L) * (r + 1) + 17) % P) % P % 1024
+        def bkt(r: Column, hw: Column): Column = TF.cmsBucket(r, hw)
         val tc = graft.Caches.persist(
           docs(s, dir).select(explode(TF.tokens(col("text"))).as("w"))
             .groupBy("w").agg(count(lit(1)).as("c"))

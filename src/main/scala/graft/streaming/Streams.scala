@@ -348,6 +348,30 @@ object Streams {
       .select(col("doc_id"), col("corpus_id").as("dup_of"), col("hamming"))
   }
 
+  /** Streaming COUNT-MIN SKETCH over incoming `(doc_id, text)` rows: every
+    * token occurrence increments its cell in each of the 4 hash rows, so
+    * the streaming aggregation state IS the sketch — at most 4×1024 keys
+    * no matter how many distinct tokens the stream carries, the bounded-
+    * state frequency tracker a firehose ingest wants (per-token streaming
+    * counts grow state with the vocabulary; this never does). Emitted in
+    * update mode as (r, bkt, bc); estimates are min-over-rows of a token's
+    * cells, exactly as in the batch twin x4_heavy_hitters_cms — cells are
+    * IDENTICAL to the batch sketch over the same rows
+    * ([[graft.functions.TextFunctions.cmsBucket]] shared), pinned in
+    * StreamingSpec.
+    */
+  def cmsSketch(incoming: DataFrame): DataFrame = {
+    graft.functions.NativeExpressions.register(incoming.sparkSession)
+    val TF = graft.functions.TextFunctions
+    incoming.select(explode(TF.tokens(col("text"))).as("w"))
+      .withColumn("hw",
+        element_at(call_function("graft_wordhash62", array(col("w"))), 1))
+      .select(col("hw"),
+        explode(array((0 until 4).map(lit): _*)).as("r"))
+      .withColumn("bkt", TF.cmsBucket(col("r"), col("hw")))
+      .groupBy("r", "bkt").agg(count(lit(1)).as("bc"))
+  }
+
   /** Static hyperplane-LSH index over a corpus `(vec_id, embedding)`:
     * banded sign-random-projection codes
     * ([[graft.functions.HyperplaneBandKeys]]) exploded to one row per

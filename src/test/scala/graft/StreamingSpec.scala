@@ -426,6 +426,40 @@ class StreamingSpec extends AnyFunSuite {
     graft.Caches.drain(spark)
   }
 
+  test("streaming count-min sketch: bounded state, cells identical to the " +
+      "batch sketch over the same rows") {
+    import graft.streaming.Streams
+    val batch1 = Seq((1L, "the cat sat on the mat"), (2L, "the dog sat"))
+    val batch2 = Seq((3L, "cat and dog and cat"), (4L, "the end"))
+    val in = MemoryStream[(Long, String)](spark)
+    val sketch = Streams.cmsSketch(in.toDF().toDF("doc_id", "text"))
+    assert(sketch.isStreaming, "sketch must stay a streaming plan")
+    val q = sketch.writeStream.format("memory")
+      .queryName("cms_sketch").outputMode("complete").start()
+    in.addData(batch1: _*)
+    q.processAllAvailable()
+    in.addData(batch2: _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("cms_sketch")
+      .select("r", "bkt", "bc").as[(Int, Long, Long)].collect()
+      .map { case (r, b, c) => (r, b) -> c }.toMap
+    // bounded state: never more keys than the 4x1024 grid
+    assert(got.size <= 4096, s"sketch state exceeded the grid: ${got.size}")
+    // cells == batch sketch over the union of both batches
+    val expect = Streams.cmsSketch((batch1 ++ batch2).toDF("doc_id", "text"))
+      .select("r", "bkt", "bc").as[(Int, Long, Long)].collect()
+      .map { case (r, b, c) => (r, b) -> c }.toMap
+    assert(got == expect,
+      s"stream/batch cell divergence: ${got.toSet -- expect.toSet} ${expect.toSet -- got.toSet}")
+    // every hash row saw every token occurrence: row mass = total tokens
+    val totalTokens = (batch1 ++ batch2).map(_._2.split(" ").length).sum
+    (0 until 4).foreach { r =>
+      val mass = got.collect { case ((`r`, _), c) => c }.sum
+      assert(mass == totalTokens, s"row $r mass $mass != $totalTokens")
+    }
+    graft.Caches.drain(spark)
+  }
+
   test("streaming ANN lookup matches batch knnExact row-for-row") {
     import graft.streaming.Streams
     val rng = new scala.util.Random(43)
