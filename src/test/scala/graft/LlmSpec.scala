@@ -282,6 +282,25 @@ class LlmSpec extends AnyFunSuite {
     assert(r4 >= 0.9, s"multiprobe flips=4 recall $r4 < 0.9 (flips=0: $r0)")
   }
 
+  test("x4_pipeline_funnel stages agree with their constituent queries") {
+    import spark.implicits._
+    val funnel = q("x4_pipeline_funnel")
+      .select("stage", "docs").as[(String, Long)].collect().toMap
+    // stage 1 = corpus size; stage 2 = x4_quality's pass count; monotone
+    // survivors thereafter (each stage consumes the previous stage's output)
+    val corpus = Tables.load(spark, sfDir, "documents").count()
+    assert(funnel("ingest") == corpus)
+    val qualityPasses = q("x4_quality")
+      .filter(org.apache.spark.sql.functions.col("passes_quality")).count()
+    assert(funnel("quality") == qualityPasses,
+      s"funnel quality=${funnel("quality")} != x4_quality passes=$qualityPasses")
+    assert(funnel("ingest") >= funnel("quality"))
+    assert(funnel("quality") >= funnel("exact_dedup"))
+    assert(funnel("exact_dedup") >= funnel("neardup_dedup"))
+    assert(funnel("neardup_dedup") > 0)
+    graft.Caches.drain(spark)
+  }
+
   test("x4_fingerprint is stable across runs and distinct across docs") {
     val a = q("x4_fingerprint").collect().map(r => (r.getLong(0), r.getLong(1)))
     val b = q("x4_fingerprint").collect().map(r => (r.getLong(0), r.getLong(1)))
