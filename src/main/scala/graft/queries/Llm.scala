@@ -1518,6 +1518,64 @@ object Llm {
              |FROM tok JOIN cnt USING (w) CROSS JOIN tot
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- X4 quality: INTERPOLATED BIGRAM language-model score — the
+    // CCNet-style step up from the unigram filter: each position i >= 2
+    // scores ln(0.7·c(w_{i-1},w_i)/c(w_{i-1}) + 0.3·c(w_i)/N) under the
+    // corpus's own counts (interpolation keeps unseen-bigram mass finite
+    // without smoothing hyperparameters). Gibberish has plausible unigrams
+    // but improbable transitions, so this catches what x4_lm_score can't.
+    // Same determinism contract as the unigram scorer: per-position logs
+    // rounded to integer e6 BEFORE the per-doc sum (order-independent
+    // integer aggregation; identical integer count inputs -> bit-identical
+    // ln doubles). At 100 TB: one shuffle on bigram keys + two unigram
+    // joins — the model table IS the corpus aggregate, no training pass.
+    Q("x4_lm_score_bigram",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val toksOf = TF.tokens(col("text"))
+        val nToks = size(toksOf)
+        // explode(null) for docs with < 2 tokens emits no rows (no bigrams)
+        val bg = graft.Caches.persist(
+          d.select(col("doc_id"), explode(when(nToks >= 2,
+              transform(sequence(lit(2), nToks), i =>
+                struct(element_at(toksOf, i - 1).as("prev"),
+                  element_at(toksOf, i).as("cur"))))).as("b"))
+            .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur")))
+        val tok = d.select(explode(toksOf).as("w"))
+        val uni = tok.groupBy("w").agg(count(lit(1)).as("c"))
+        val tot = tok.agg(count(lit(1)).as("n"))
+        val cbi = bg.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+        val p = lit(0.7) * col("cb").cast("double") / col("cp").cast("double") +
+          lit(0.3) * col("cu").cast("double") / col("n").cast("double")
+        bg.join(cbi, Seq("prev", "cur"))
+          .join(uni.select(col("w").as("prev"), col("c").as("cp")), Seq("prev"))
+          .join(uni.select(col("w").as("cur"), col("c").as("cu")), Seq("cur"))
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"), round(log(p) * 1000000).cast("long").as("lp"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("sum_lp_e6"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, UNNEST(string_split(text,' ')) AS w
+             |            FROM documents),
+             |uni AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+             |tot AS (SELECT COUNT(*) AS n FROM tok),
+             |bg AS (SELECT doc_id, t.prev AS prev, t.cur AS cur FROM (
+             |    SELECT doc_id, UNNEST([{'prev': toks[i-1], 'cur': toks[i]}
+             |        FOR i IN range(2, len(toks)+1)]) AS t
+             |    FROM (SELECT doc_id, string_split(text,' ') AS toks
+             |          FROM documents))),
+             |cbi AS (SELECT prev, cur, COUNT(*) AS cb FROM bg GROUP BY 1, 2)
+             |SELECT doc_id, COUNT(*) AS n_bigrams,
+             |  CAST(SUM(CAST(ROUND(LN(0.7*CAST(cb AS DOUBLE)/cp.c
+             |    + 0.3*CAST(cu.c AS DOUBLE)/tot.n)*1000000) AS BIGINT)) AS BIGINT)
+             |    AS sum_lp_e6
+             |FROM bg JOIN cbi USING (prev, cur)
+             |        JOIN uni cp ON cp.w = bg.prev
+             |        JOIN uni cu ON cu.w = bg.cur
+             |        CROSS JOIN tot
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- X4 curation: deterministic train/val/test split. The split hash is
     // PORTABLE integer arithmetic (LCG mix of doc_id), not xxhash64 — the
     // same expression runs in DuckDB, so assignment is reproducible across
