@@ -72,6 +72,41 @@ object IvfIndex {
     * leak; the build path's transient persists are registered in
     * [[graft.Caches]] and drained by the harness after the query.
     */
+  /** Append new vectors to an existing index WITHOUT a rebuild — the ingest
+    * path of a live vector store. Each new vector is assigned to its
+    * nearest EXISTING centroid (centroids do not move, classic IVF append)
+    * and that cell's radius bound is widened to cover it. Exactness of
+    * [[knnExact]]/[[pairsExact]] is preserved: the only invariant their
+    * triangle pruning relies on is r >= angle(member, centroid) for every
+    * cell member, which `greatest(r, new member angles)` maintains for any
+    * assignment. The cost is ingest-proportional (one broadcast of the
+    * √n-row cell table + one shuffle of the NEW rows only); `cnt` tracks
+    * occupancy so a deployment can schedule a real rebuild when cells skew.
+    */
+  def append(idx: Index, e0: DataFrame): Index = {
+    NativeExpressions.register(e0.sparkSession)
+    val e = e0.select(col("vec_id"), col("v"))
+      .withColumn("nrm", VF.l2Norm(col("v")))
+    val assignedNew = e.join(broadcast(idx.cells.select("cell", "cv", "cnrm")), lit(true))
+      .withColumn("c1", VF.dotNative(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cell"), col("c1"), col("v"), col("nrm")),
+        struct(col("c1"), (-col("cell")).as("nc"))).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"), col("best.c1").as("c1"),
+        col("best.v").as("v"), col("best.nrm").as("nrm"))
+    val assignedAll = graft.Caches.persist(
+      idx.assigned.select("vec_id", "cell", "c1", "v", "nrm")
+        .unionByName(assignedNew))
+    val delta = assignedNew.groupBy("cell")
+      .agg(max(clampAcos(col("c1"))).as("dr"), count(lit(1)).as("dc"))
+    val cells = graft.Caches.persist(
+      idx.cells.join(delta, Seq("cell"), "left")
+        .select(col("cell"), col("cv"), col("cnrm"),
+          greatest(col("r"), coalesce(col("dr"), lit(0.0))).as("r"),
+          (col("cnt") + coalesce(col("dc"), lit(0L))).as("cnt")))
+    Index(assignedAll, cells)
+  }
+
   def loadOrBuild(e0: DataFrame, key: String): Index = {
     val spark = e0.sparkSession
     // the load path skips build() — register the kernels here too, or the

@@ -216,6 +216,51 @@ class OperatorsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     try f finally spark.conf.unset("graft.ivf.minCellsForPruning")
   }
 
+  test("IvfIndex.append: ingest without rebuild keeps knnExact exact") {
+    val rng = new scala.util.Random(67)
+    val centers = Seq.fill(6)(Array.fill(6)(rng.nextGaussian()))
+    def mk(ids: Range, jitter: Double): Seq[(Long, Seq[Double])] =
+      ids.map { i =>
+        val c = centers(i % 6)
+        (i.toLong, c.map(x => x + rng.nextGaussian() * jitter).toSeq)
+      }
+    val base = mk(0 until 200, 0.05)
+    // appended batch: half near existing clusters, half FAR outliers —
+    // the radius-widening path a real ingest exercises
+    val extra = mk(200 until 220, 0.05) ++
+      (220 until 240).map(i => (i.toLong, Seq.fill(6)(3.0 * rng.nextGaussian())))
+    val idx0 = graft.operators.IvfIndex.build(base.toDF("vec_id", "v"))
+    val idx = graft.operators.IvfIndex.append(idx0, extra.toDF("vec_id", "v"))
+    // occupancy bookkeeping covers every vector exactly once
+    assert(idx.assigned.count() == 240)
+    assert(idx.cells.agg(org.apache.spark.sql.functions.sum("cnt"))
+      .head.getLong(0) == 240)
+    val all = base ++ extra
+    val byId = all.map { case (i, v) => i -> v.toArray }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val q = idx.assigned.filter(col("vec_id") % 16 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val got = withPruningPath {
+      graft.operators.IvfIndex.knnExact(idx, q, k = 5, nprobe = 2)
+        .select("query_id", "rk", "neighbor_id").as[(Long, Long, Long)]
+        .collect().toSeq.sorted
+    }
+    // exactness over the APPENDED index: identical to brute force over the
+    // union — valid radii are the only thing the triangle pruning needs
+    val expect = all.map(_._1).filter(_ % 16 == 0).flatMap { qid =>
+      all.map(_._1).filter(_ != qid)
+        .map(n => (n, cos(byId(qid), byId(n))))
+        .sortBy { case (n, s) => (-s, n) }.take(5).zipWithIndex
+        .map { case ((n, _), r) => (qid, (r + 1).toLong, n) }
+    }.sorted
+    assert(got == expect, s"append broke exactness: got=${got.take(8)}...")
+    graft.Caches.drain(spark)
+  }
+
   test("IvfIndex edges: tiny corpus, k larger than candidates, self-pair search") {
     val e = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.9, 0.1)), (2L, Seq(0.0, 1.0)))
       .toDF("vec_id", "v")
