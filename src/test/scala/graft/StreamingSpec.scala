@@ -460,6 +460,48 @@ class StreamingSpec extends AnyFunSuite {
     graft.Caches.drain(spark)
   }
 
+  test("streaming ingest-and-index: later batches retrieve vectors " +
+      "ingested by earlier ones") {
+    import graft.streaming.Streams
+    val rng = new scala.util.Random(83)
+    val centers = Seq.fill(4)(Array.fill(6)(rng.nextGaussian()))
+    val corpusVecs = (0L until 80L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(x => (x + rng.nextGaussian() * 0.01).toFloat).toSeq)
+    }
+    val seed = graft.operators.IvfIndex.build(
+      corpusVecs.toDF("vec_id", "embedding")
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.toDouble(col("embedding")).as("v")))
+    // batch 1 ingests a NOVEL far vector; batch 2 queries with its twin —
+    // the twin's nearest neighbor must be the batch-1 vector, which only a
+    // live (appended) index can know about
+    val novel = Seq.fill(6)(5f * rng.nextGaussian().toFloat)
+    val twinOfCorpus = corpusVecs.head._2.map(x => x + 1e-4f)
+    val twinOfNovel = novel.map(x => x + 1e-4f)
+    val outDir = "/tmp/graft_ingest_index_out"
+    val ckDir = "/tmp/graft_ingest_index_ck"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckDir))
+    val in = MemoryStream[(Long, Seq[Float])](spark)
+    val q = Streams.annIngestIndexSink(
+      in.toDF().toDF("doc_id", "embedding"), seed, outDir, ckDir, k = 1)
+    in.addData((1000L, twinOfCorpus), (1001L, novel))
+    q.processAllAvailable()
+    in.addData((1002L, twinOfNovel))
+    q.processAllAvailable(); q.stop()
+    val out = spark.read.parquet(outDir)
+      .select("doc_id", "rk", "neighbor_id").as[(Long, Long, Long)]
+      .collect().toSet
+    // batch 1: the corpus twin finds corpus vec 0 (seed index serves it)
+    assert(out.contains((1000L, 1L, 0L)), s"corpus twin missed vec 0: $out")
+    // batch 2: the novel twin finds the batch-1 vector — proof the index
+    // grew between batches; a static index would answer with a corpus vec
+    assert(out.contains((1002L, 1L, 1001L)),
+      s"novel twin did not retrieve the batch-1 ingest: $out")
+    graft.Caches.drain(spark)
+  }
+
   test("streaming ANN lookup matches batch knnExact row-for-row") {
     import graft.streaming.Streams
     val rng = new scala.util.Random(43)
