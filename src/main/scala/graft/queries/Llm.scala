@@ -1547,11 +1547,19 @@ object Llm {
         val cbi = bg.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
         val p = lit(0.7) * col("cb").cast("double") / col("cp").cast("double") +
           lit(0.3) * col("cu").cast("double") / col("n").cast("double")
-        bg.join(cbi, Seq("prev", "cur"))
+        // every occurrence of a bigram has the same log-prob, so score each
+        // DISTINCT bigram once (model-sized joins) — the corpus-sized
+        // position list then shuffles exactly twice (the score join + the
+        // per-doc sum) instead of four times. (A corpus with heavy
+        // within-doc bigram repetition would additionally pre-aggregate
+        // per-doc bigram counts before the score join.)
+        val scored = cbi
           .join(uni.select(col("w").as("prev"), col("c").as("cp")), Seq("prev"))
           .join(uni.select(col("w").as("cur"), col("c").as("cu")), Seq("cur"))
           .crossJoin(broadcast(tot))
-          .select(col("doc_id"), round(log(p) * 1000000).cast("long").as("lp"))
+          .select(col("prev"), col("cur"),
+            round(log(p) * 1000000).cast("long").as("lp"))
+        bg.join(scored, Seq("prev", "cur"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("sum_lp_e6"))
           .orderBy("doc_id")
