@@ -635,6 +635,44 @@ case class HyperplaneBandKeys(child: Expression, bands: Int, bitsPerBand: Int)
     copy(child = newChild)
 }
 
+/** ALL consecutive token bigrams as space-joined strings, one compiled
+  * pass — NOT distinct (unlike ShingleStrings): the bigram LM needs every
+  * position. The interpreted HOF formulation
+  * (`transform(sequence(...), i -> struct(element_at, element_at))`)
+  * measured 3.5 s of x4_lm_score_bigram's 3.5 s at sf0.1 — per-position
+  * lambda evaluation with struct boxing; this kernel is one array walk.
+  * The space join is injective (tokens are space-split so contain none),
+  * so "prev cur" strings ARE the pair identity for counting and joining.
+  */
+case class BigramStringsAll(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  private val sep = UTF8String.fromString(" ")
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 2) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](n - 1)
+      var prev = arr.getUTF8String(0)
+      var i = 0
+      while (i < n - 1) {
+        val cur = arr.getUTF8String(i + 1)
+        out(i) = UTF8String.concatWs(sep, prev, cur)
+        prev = cur
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BigramStringsAll =
+    copy(child = newChild)
+}
+
 /** Query-side MULTIPROBE keys for [[HyperplaneBandKeys]]: per band, the
   * primary band value plus `flips` probe values, each with one of the
   * band's weakest bits flipped (smallest |projection| — the bits most
@@ -764,6 +802,9 @@ object NativeExpressions {
       (args: Seq[Expression]) => HyperplaneBandKeys(args(0),
         args(1).eval().asInstanceOf[Int],
         args(2).eval().asInstanceOf[Int]), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_bigram_strings",
+      (args: Seq[Expression]) => BigramStringsAll(args(0)), "built-in")
     registry.createOrReplaceTempFunction(
       "graft_hyperplane_probes",
       (args: Seq[Expression]) => HyperplaneProbeKeys(args(0),

@@ -1531,35 +1531,36 @@ object Llm {
     // joins — the model table IS the corpus aggregate, no training pass.
     Q("x4_lm_score_bigram",
       (s, dir) => {
+        graft.functions.NativeExpressions.register(s)
         val d = docs(s, dir)
         val toksOf = TF.tokens(col("text"))
-        val nToks = size(toksOf)
-        // explode(null) for docs with < 2 tokens emits no rows (no bigrams)
+        // one compiled pass builds every "prev cur" position string
+        // (graft_bigram_strings — the HOF transform/struct formulation was
+        // the whole query's cost, see the expression's scaladoc); the space
+        // join is injective over space-split tokens, so the string IS the
+        // pair identity
         val bg = graft.Caches.persist(
-          d.select(col("doc_id"), explode(when(nToks >= 2,
-              transform(sequence(lit(2), nToks), i =>
-                struct(element_at(toksOf, i - 1).as("prev"),
-                  element_at(toksOf, i).as("cur"))))).as("b"))
-            .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur")))
+          d.select(col("doc_id"),
+            explode(call_function("graft_bigram_strings", toksOf)).as("bgs")))
         val tok = d.select(explode(toksOf).as("w"))
         val uni = tok.groupBy("w").agg(count(lit(1)).as("c"))
         val tot = tok.agg(count(lit(1)).as("n"))
-        val cbi = bg.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+        val cbi = bg.groupBy("bgs").agg(count(lit(1)).as("cb"))
         val p = lit(0.7) * col("cb").cast("double") / col("cp").cast("double") +
           lit(0.3) * col("cu").cast("double") / col("n").cast("double")
         // every occurrence of a bigram has the same log-prob, so score each
-        // DISTINCT bigram once (model-sized joins) — the corpus-sized
+        // DISTINCT bigram once (model-sized joins; prev/cur recovered by
+        // splitting the key only in this small frame) — the corpus-sized
         // position list then shuffles exactly twice (the score join + the
-        // per-doc sum) instead of four times. (A corpus with heavy
-        // within-doc bigram repetition would additionally pre-aggregate
-        // per-doc bigram counts before the score join.)
+        // per-doc sum) instead of four times.
         val scored = cbi
+          .withColumn("prev", substring_index(col("bgs"), " ", 1))
+          .withColumn("cur", substring_index(col("bgs"), " ", -1))
           .join(uni.select(col("w").as("prev"), col("c").as("cp")), Seq("prev"))
           .join(uni.select(col("w").as("cur"), col("c").as("cu")), Seq("cur"))
           .crossJoin(broadcast(tot))
-          .select(col("prev"), col("cur"),
-            round(log(p) * 1000000).cast("long").as("lp"))
-        bg.join(scored, Seq("prev", "cur"))
+          .select(col("bgs"), round(log(p) * 1000000).cast("long").as("lp"))
+        bg.join(scored, Seq("bgs"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("sum_lp_e6"))
           .orderBy("doc_id")

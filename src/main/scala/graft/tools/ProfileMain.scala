@@ -35,6 +35,7 @@ object ProfileMain {
       case "@prefix" => prefixSweep(spark, sfDir)
       case "@lshskew" => lshSkewSweep(spark)
       case "@lshknn" => lshKnnSweep(spark)
+      case "@bglm" => bigramLmPieces(spark, sfDir)
       // warm:<query> — 3 runs with NO cache drain between them, mimicking
       // the r01-era min-of-2 bench whose persisted frames stayed warm
       // across samples; the run2/run3 times are what those era numbers
@@ -279,6 +280,31 @@ object ProfileMain {
       println(f"[profile]   flips=$flips rows=${got.length}%5d " +
         f"recall=${(exact & gotSet).size.toDouble / exact.size}%.3f")
     }
+    graft.Caches.drain(spark)
+  }
+
+  /** @bglm — stage decomposition of x4_lm_score_bigram: where do the
+    * seconds go (bigram explode vs model aggregation vs score join)?
+    */
+  private def bigramLmPieces(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val d = graft.Tables.load(spark, sfDir, "documents")
+    val toksOf = split(col("text"), " ")
+    val nToks = size(toksOf)
+    val bgExpr = explode(when(nToks >= 2,
+      transform(sequence(lit(2), nToks), i =>
+        struct(element_at(toksOf, i - 1).as("prev"),
+          element_at(toksOf, i).as("cur"))))).as("b")
+    time("bigram explode+count")(
+      d.select(col("doc_id"), bgExpr)
+        .select(col("doc_id"), col("b.prev"), col("b.cur")).count())
+    val bg = graft.Caches.persist(d.select(col("doc_id"), bgExpr)
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur")))
+    time("bigram persist")(bg.count())
+    val cbi = bg.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+    time("bigram model agg")(cbi.count())
+    time("full query")(
+      graft.SparkEntry.queries("x4_lm_score_bigram")(spark, sfDir).count())
     graft.Caches.drain(spark)
   }
 

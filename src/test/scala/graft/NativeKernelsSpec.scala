@@ -368,6 +368,25 @@ class NativeKernelsSpec extends AnyFunSuite {
     assert(got == naive, s"missing=${naive -- got} extra=${got -- naive}")
   }
 
+  test("graft_bigram_strings equals the HOF transform formulation, " +
+      "including <2-token and empty edge cases") {
+    graft.functions.NativeExpressions.register(spark)
+    val docs = Seq("the cat sat on the mat", "a b", "single", "",
+      "x  y", "repeat repeat repeat").toDF("text")
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    val rows = docs.select(
+        call_function("graft_bigram_strings", toks).as("native"),
+        coalesce(when(n >= 2, transform(sequence(lit(2), n), i =>
+          concat_ws(" ", element_at(toks, i - 1), element_at(toks, i)))),
+          array().cast("array<string>")).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"native=${r.getSeq[String](0)} hof=${r.getSeq[String](1)}")
+    }
+  }
+
   test("graft_hyperplane_probes at flips=0 equals the composite band keys, " +
       "and each flip level is a strict prefix of the next") {
     graft.functions.NativeExpressions.register(spark)
