@@ -490,6 +490,34 @@ private object PortableHash {
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, w))
   }
+
+  /** Positional k-token span hashes: same fold as `shingleHashes` but
+    * order-preserving and WITHOUT the sort/dedup — one value per start
+    * position, so downstream `posexplode` keeps (position -> span) intact.
+    */
+  def spanHashes(arr: ArrayData, k: Int): GenericArrayData = {
+    val n = arr.numElements()
+    val hws = new Array[Long](n)
+    var i = 0
+    while (i < n) { hws(i) = wordHash(arr.getUTF8String(i)); i += 1 }
+    val nSpans = math.max(n - (k - 1), 1)
+    val out = new Array[Long](nSpans)
+    i = 0
+    while (i < nSpans) {
+      var s1 = 0L
+      var s2 = 0L
+      var j = i
+      val end = math.min(i + k, n)
+      while (j < end) {
+        s1 = (s1 * 1000003L + hws(j)) % P30
+        s2 = (s2 * 1000033L + hws(j)) % P31
+        j += 1
+      }
+      out(i) = s1 * 2147483648L + s2
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Portable 61-bit word hashes, one per token, order-preserving — the
@@ -512,6 +540,27 @@ case class PortableWordHashes(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): PortableWordHashes =
+    copy(child = newChild)
+}
+
+/** Portable POSITIONAL k-token span hashes — one hash per start position,
+  * order-preserving, duplicates kept (unlike PortableShingleHashes, which
+  * sorts + dedups into a set signature). `posexplode` over this column
+  * gives (position, span-identity) rows, the unit of substring-level
+  * duplicate detection: a span hash seen at two positions anywhere in the
+  * corpus is a repeated k-token substring. Same dual mod-prime fold as
+  * PortableShingleHashes, so the DuckDB oracle replays every value
+  * bit-for-bit; same <k-token whole-doc fallback (one span).
+  */
+case class PortableSpanHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    PortableHash.spanHashes(a.asInstanceOf[ArrayData], k)
+
+  override protected def withNewChildInternal(newChild: Expression): PortableSpanHashes =
     copy(child = newChild)
 }
 
@@ -792,6 +841,10 @@ object NativeExpressions {
     registry.createOrReplaceTempFunction(
       "graft_shingles_portable",
       (args: Seq[Expression]) => PortableShingleHashes(args(0),
+        args(1).eval().asInstanceOf[Int]), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_span_hashes",
+      (args: Seq[Expression]) => PortableSpanHashes(args(0),
         args(1).eval().asInstanceOf[Int]), "built-in")
     registry.createOrReplaceTempFunction(
       "graft_minhash_portable",

@@ -536,6 +536,30 @@ object Llm {
     }
   }
 
+  /** Substring-level duplicate profile behind x1_span_dedup (exposed so
+    * LlmSpec can run it on planted fixtures): per doc, how many of its
+    * 8-token windows occur at >=2 positions anywhere in `d`. One
+    * hash-partitioned exchange on the 8-byte span digest (the occurrence
+    * count is a window over that exchange), then a per-doc re-aggregation.
+    */
+  private[graft] def spanDedup(s: SparkSession, d: DataFrame): DataFrame = {
+    graft.functions.NativeExpressions.register(s)
+    val spans = d.select(col("doc_id"),
+      posexplode(call_function("graft_span_hashes",
+        TF.tokens(col("text")), lit(8))).as(Seq("pos", "h")))
+    val byHash = Window.partitionBy("h")
+    spans
+      .withColumn("occ", count(lit(1)).over(byHash))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      // share in exact e4 units (integer floor-div — cross-engine
+      // ROUND-on-quotient is tie-unstable, x4_quality precedent)
+      .withColumn("dup_share_e4",
+        (col("n_dup_spans") * 10000 / col("n_spans")).cast("long"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- X1 exact dedup: keep-min-id per (lang, n_chars) group
@@ -592,6 +616,49 @@ object Llm {
              |        TRIM(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g')) AS norm
              |      FROM documents)
              |GROUP BY norm ORDER BY keeper_id""".stripMargin)),
+
+    // ---- X1 SUBSTRING-level duplicate detection (the ExactSubstr pass of
+    // Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    // Better", at token granularity): a doc can be globally unique yet be
+    // assembled from spans copied verbatim from other docs — doc-level
+    // exact/near dedup never sees it. Every 8-token window gets a PORTABLE
+    // positional rolling hash (graft_span_hashes, one compiled pass/doc);
+    // a window value occurring at >=2 positions anywhere in the corpus is a
+    // repeated substring, and each doc reports its duplicated-window share —
+    // the statistic the span-removal/filter decision consumes. Scale shape:
+    // posexplode -> ONE hash-partitioned exchange on the span hash (the
+    // occurrence count is a partition-local window over that exchange, and
+    // spans are 8-byte digests, never text) -> re-aggregate per doc. Corpus
+    // size scales the exchange linearly in span count; nothing is pairwise.
+    // The suffix-array machinery of the paper is an index replacement for
+    // this same hash-bucket join; the hash formulation is the shuffle-
+    // friendly equivalent (fixed k instead of longest-match).
+    Q("x1_span_dedup",
+      (s, dir) => spanDedup(s, docs(s, dir)),
+      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+             |wh AS (SELECT doc_id, [
+             |    (list_reduce([CAST(0 AS BIGINT)] ||
+             |       [CAST(unicode(c) AS BIGINT) FOR c IN string_split(x,'')],
+             |       (a,b) -> (a*31+b) % 1000000007) * 2147483648 +
+             |     list_reduce([CAST(0 AS BIGINT)] ||
+             |       [CAST(unicode(c) AS BIGINT) FOR c IN string_split(x,'')],
+             |       (a,b) -> (a*131+b) % 2147483647)) FOR x IN ws] AS hws FROM w),
+             |sp AS (SELECT doc_id, [
+             |    (list_reduce([CAST(0 AS BIGINT)] ||
+             |       list_slice(hws, i, least(i+7, len(hws))),
+             |       (a,h) -> (a*1000003+h) % 1000000007) * 2147483648 +
+             |     list_reduce([CAST(0 AS BIGINT)] ||
+             |       list_slice(hws, i, least(i+7, len(hws))),
+             |       (a,h) -> (a*1000033+h) % 2147483647))
+             |    FOR i IN range(1, greatest(len(hws)-6, 2))] AS hs FROM wh),
+             |spans AS (SELECT doc_id, unnest(hs) AS h FROM sp),
+             |occ AS (SELECT h, COUNT(*) AS occ FROM spans GROUP BY h)
+             |SELECT s.doc_id, COUNT(*) AS n_spans,
+             |  CAST(SUM(CASE WHEN o.occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+             |  CAST(SUM(CASE WHEN o.occ >= 2 THEN 1 ELSE 0 END) * 10000
+             |    // COUNT(*) AS BIGINT) AS dup_share_e4
+             |FROM spans s JOIN occ o USING (h)
+             |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)),
 
     // ---- X2 exact n-gram (unigram-set) Jaccard near-dup pairs, via AllPairs
     // prefix filtering (Bayardo et al., WWW'07): sort each doc's token set in a
@@ -1172,6 +1239,145 @@ object Llm {
              |         SELECT doc_id FROM documents
              |         WHERE lang = 'en' AND text LIKE '%data%')
              |  WHERE q.vec_id % 50 = 0)
+             |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+
+    // ---- X3 BM25 lexical top-k retrieval (Robertson/Spärck Jones; the
+    // Lucene-style idf = ln(1 + (N-df+0.5)/(df+0.5)), k1=1.2, b=0.75): the
+    // keyword leg of a retrieval stack, expressed as pure posting-list
+    // relational algebra — filter the exploded tokens to the query terms
+    // FIRST (predicate lands before the tf groupBy, so the shuffle carries
+    // only matching postings: |postings(q)|, not corpus size), then tf/df/
+    // length-normalized scoring. Determinism contract: each term's
+    // contribution is floored to integer e6 units BEFORE the per-doc sum
+    // (order-independent integer sum, x4_lm_score precedent; floor(x·1e6+.5)
+    // not ROUND — round-half semantics differ cross-engine), and the final
+    // top-15 ranks on the integer score. At 100 TB: df/N/avgdl are corpus
+    // statistics a real deployment snapshots with the index; here they come
+    // from one extra aggregation over the same scan, and the ranked tail is
+    // TakeOrderedAndProject (per-partition top-k, no global sort).
+    Q("x3_bm25",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val terms = Seq("hash", "join", "table")
+        val dl = d.select(col("doc_id"),
+          size(TF.tokens(col("text"))).cast("long").as("dl"))
+        val stats = d.agg(count(lit(1)).as("n"),
+          sum(size(TF.tokens(col("text"))).cast("long")).as("tot"))
+        val tf = d.select(col("doc_id"), explode(TF.tokens(col("text"))).as("w"))
+          .filter(col("w").isin(terms: _*))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val dfq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+        tf.join(broadcast(dfq), "w")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("c_e6", floor(
+            log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+              (col("tf") * lit(2.2) /
+                (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+                  (col("dl") * col("n") / col("tot"))))) * lit(1000000) + lit(0.5)))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_terms"), sum(col("c_e6")).as("score_e6"))
+          .withColumn("score", col("score_e6").cast("double") / 1000000)
+          .orderBy(desc("score_e6"), asc("doc_id"))
+          .limit(15)
+      },
+      Some("""WITH d AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS dl
+             |           FROM documents),
+             |tok AS (SELECT doc_id, UNNEST(string_split(text,' ')) AS w FROM documents),
+             |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+             |       WHERE w IN ('hash','join','table') GROUP BY 1, 2),
+             |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+             |st AS (SELECT COUNT(*) AS n, SUM(dl) AS tot FROM d),
+             |c AS (SELECT tf.doc_id,
+             |    CAST(FLOOR(LN(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+             |      (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 *
+             |        (CAST(d.dl * st.n AS DOUBLE) / st.tot)))) * 1000000 + 0.5)
+             |      AS BIGINT) AS c_e6
+             |  FROM tf JOIN dfq USING (w) JOIN d ON d.doc_id = tf.doc_id CROSS JOIN st)
+             |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(c_e6) AS BIGINT) AS score_e6,
+             |  CAST(SUM(c_e6) AS DOUBLE)/1000000 AS score
+             |FROM c GROUP BY doc_id
+             |ORDER BY score_e6 DESC, doc_id LIMIT 15""".stripMargin)),
+
+    // ---- X3 reciprocal-rank-fusion hybrid retrieval (Cormack et al.,
+    // SIGIR'09): fuse the DENSE leg (exact cosine top-20 against the shared
+    // IVF index) with a LEXICAL leg (token-set Jaccard top-20, ranked on the
+    // integer-floored e9 quotient so the order is engine-exact) by
+    // score = Σ 1e9 div (60 + rank) — RRF needs only ranks, so the fused
+    // score is EXACT integer arithmetic and the whole query stays
+    // hash-checkable. Shapes: the lexical leg is term-at-a-time posting
+    // intersection (explode + equi-join on the token, partial-aggregated
+    // count per pair — queries broadcast, corpus side never re-keyed on
+    // anything wider than a token), the dense leg reuses the build-once
+    // index, and the fusion is a (query,neighbor)-keyed outer join of two
+    // k-bounded lists: |Q|·k rows, trivially partitioned at any scale.
+    Q("x3_rrf_fusion",
+      (s, dir) => {
+        val idx = ivfIndex(s, dir)
+        val qv = idx.assigned.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        val vleg = graft.operators.IvfIndex.knnExact(idx, qv, k = 20, nprobe = 3)
+          .select(col("query_id"), col("neighbor_id"), col("rk").as("rank_vec"))
+        val d = docs(s, dir)
+        val tok = graft.Caches.persist(
+          d.select(col("doc_id"), explode(TF.tokenSet(col("text"))).as("w"),
+            size(TF.tokenSet(col("text"))).cast("long").as("nt")))
+        val qtok = tok.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("query_id"), col("w"), col("nt").as("nq"))
+        val inter = tok.join(broadcast(qtok), Seq("w"))
+          .filter(col("doc_id") =!= col("query_id"))
+          .groupBy(col("query_id"), col("doc_id").as("neighbor_id"))
+          .agg(count(lit(1)).as("i"), max("nt").as("nd"), max("nq").as("nq"))
+        val wl = Window.partitionBy("query_id")
+          .orderBy(desc("jr_e9"), asc("neighbor_id"))
+        val lleg = inter
+          .withColumn("jr_e9", expr("i * 1000000000L div (nq + nd - i)"))
+          .withColumn("rank_lex", row_number().over(wl).cast("long"))
+          .filter(col("rank_lex") <= 20)
+          .select(col("query_id"), col("neighbor_id"), col("rank_lex"))
+        val wf = Window.partitionBy("query_id")
+          .orderBy(desc("score_e9"), asc("neighbor_id"))
+        vleg.join(lleg, Seq("query_id", "neighbor_id"), "full_outer")
+          .withColumn("score_e9",
+            coalesce(expr("1000000000L div (60L + rank_vec)"), lit(0L)) +
+              coalesce(expr("1000000000L div (60L + rank_lex)"), lit(0L)))
+          .withColumn("rk", row_number().over(wf).cast("long"))
+          .filter(col("rk") <= 10)
+          .select(col("query_id"), col("rk"), col("neighbor_id"),
+            col("score_e9"), col("rank_vec"), col("rank_lex"))
+          .orderBy("query_id", "rk")
+      },
+      Some("""WITH v AS (SELECT query_id, neighbor_id, rv FROM (
+             |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             |      CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+             |                 CAST(n.embedding AS DOUBLE[])) DESC, n.vec_id)
+             |        AS BIGINT) AS rv
+             |    FROM embeddings q JOIN embeddings n ON n.vec_id != q.vec_id
+             |    WHERE q.vec_id % 50 = 0)
+             |  WHERE rv <= 20),
+             |ts AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS tset
+             |       FROM documents),
+             |l AS (SELECT query_id, neighbor_id, rl FROM (
+             |    SELECT q.doc_id AS query_id, d.doc_id AS neighbor_id,
+             |      CAST(ROW_NUMBER() OVER (PARTITION BY q.doc_id
+             |        ORDER BY (len(list_intersect(q.tset, d.tset)) * 1000000000)
+             |          // (len(q.tset) + len(d.tset) - len(list_intersect(q.tset, d.tset)))
+             |          DESC, d.doc_id) AS BIGINT) AS rl
+             |    FROM ts q JOIN ts d ON d.doc_id != q.doc_id
+             |      AND len(list_intersect(q.tset, d.tset)) > 0
+             |    WHERE q.doc_id % 50 = 0)
+             |  WHERE rl <= 20),
+             |f AS (SELECT COALESCE(v.query_id, l.query_id) AS query_id,
+             |    COALESCE(v.neighbor_id, l.neighbor_id) AS neighbor_id,
+             |    COALESCE(1000000000 // (60 + v.rv), 0) +
+             |      COALESCE(1000000000 // (60 + l.rl), 0) AS score_e9,
+             |    v.rv AS rank_vec, l.rl AS rank_lex
+             |  FROM v FULL OUTER JOIN l
+             |    ON v.query_id = l.query_id AND v.neighbor_id = l.neighbor_id)
+             |SELECT query_id, rk, neighbor_id, score_e9, rank_vec, rank_lex FROM (
+             |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             |    ORDER BY score_e9 DESC, neighbor_id) AS BIGINT) AS rk FROM f)
              |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
 
     // ---- X3 int8-quantized exact search: per-vector symmetric scalar

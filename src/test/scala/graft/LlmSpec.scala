@@ -307,4 +307,73 @@ class LlmSpec extends AnyFunSuite {
     assert(a.sameElements(b))
     assert(a.map(_._2).distinct.length > a.length * 9 / 10)
   }
+
+  test("x1_span_dedup: planted copied span is flagged, disjoint doc is clean, " +
+      "and per-doc span counts/shares are internally consistent") {
+    import spark.implicits._
+    // planted fixture: doc 30 ends with the 8-token span doc 10 ends with;
+    // doc 20 shares no token with either. Each 10-token doc has 3 windows;
+    // exactly the copied window may collide.
+    val planted = Seq(
+      (10L, "a b c d e f g h i j"),
+      (20L, "k l m n o p q r s t"),
+      (30L, "u v c d e f g h i j")).toDF("doc_id", "text")
+    val got = graft.queries.Llm.spanDedup(spark, planted)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    graft.Caches.drain(spark)
+    assert(got == Seq((10L, 3L, 1L, 3333L), (20L, 3L, 0L, 0L), (30L, 3L, 1L, 3333L)))
+    // registered query over the driver's corpus: every doc's window count
+    // equals max(tokens-7, 1), dup counts are bounded, shares recompute
+    val rows = q("x1_span_dedup")
+      .as[(Long, Long, Long, Long)].collect()
+    graft.Caches.drain(spark)
+    val nByDoc = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        greatest(size(split(col("text"), " ")) - 7, lit(1)).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(rows.nonEmpty && rows.length == nByDoc.size)
+    rows.foreach { case (id, nSpans, nDup, share) =>
+      assert(nSpans == nByDoc(id), s"doc $id window count")
+      assert(nDup >= 0 && nDup <= nSpans, s"doc $id dup bound")
+      assert(share == nDup * 10000 / nSpans, s"doc $id share")
+    }
+  }
+
+  test("x3_bm25: every hit contains a query term, ranking is monotone in the " +
+      "integer score, and term counts are sane") {
+    val rows = q("x3_bm25").collect()
+    assert(rows.nonEmpty && rows.length <= 15)
+    val scores = rows.map(_.getAs[Long]("score_e6")).toSeq
+    assert(scores == scores.sorted.reverse, "not ranked by score desc")
+    assert(scores.last > 0, "BM25 contributions must be positive")
+    rows.foreach { r =>
+      val nt = r.getAs[Long]("n_terms")
+      assert(nt >= 1 && nt <= 3, s"n_terms $nt out of range")
+    }
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    val missing = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id").isin(ids.toSeq: _*))
+      .filter(!col("text").rlike("(^| )(hash|join|table)( |$)")).count()
+    assert(missing == 0, s"$missing hits contain no query term")
+  }
+
+  test("x3_rrf_fusion: contiguous ranks, score recomputes from the leg ranks, " +
+      "every row has at least one leg") {
+    val rows = q("x3_rrf_fusion").collect()
+    graft.Caches.drain(spark)
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (qid, rs) =>
+      val rks = rs.map(_.getAs[Long]("rk")).sorted.toSeq
+      assert(rks == (1L to rs.length), s"query $qid ranks not contiguous: $rks")
+    }
+    rows.foreach { r =>
+      val rv = Option(r.get(r.fieldIndex("rank_vec"))).map(_.asInstanceOf[Long])
+      val rl = Option(r.get(r.fieldIndex("rank_lex"))).map(_.asInstanceOf[Long])
+      assert(rv.nonEmpty || rl.nonEmpty, "row from neither leg")
+      assert(rv.forall(x => x >= 1 && x <= 20) && rl.forall(x => x >= 1 && x <= 20))
+      val want = rv.map(x => 1000000000L / (60L + x)).getOrElse(0L) +
+        rl.map(x => 1000000000L / (60L + x)).getOrElse(0L)
+      assert(r.getAs[Long]("score_e9") == want, "RRF score != sum of rank contributions")
+    }
+  }
 }

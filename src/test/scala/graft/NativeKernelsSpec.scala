@@ -171,6 +171,36 @@ class NativeKernelsSpec extends AnyFunSuite {
     both.foreach { case (k, h) => assert(k == h) }
   }
 
+  test("graft_span_hashes equals the interpreted positional slice+fold form " +
+      "and projects onto graft_shingles_portable") {
+    val rng = new Random(43)
+    val docs = (1L to 30L).map { i =>
+      // lengths straddle both k values to pin the whole-doc fallback
+      (i, List.fill(1 + rng.nextInt(20))(s"t${rng.nextInt(40)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val toks = split(col("text"), " ")
+    val hws = transform(toks, hofWordHash _)
+    for (k <- Seq(3, 8)) {
+      def foldSlice(m: Long, p: Long) =
+        transform(sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))), i =>
+          aggregate(slice(hws, i, lit(k)), lit(0L), (a, h) => (a * m + h) % p))
+      val hof = zip_with(foldSlice(1000003L, 1000000007L), foldSlice(1000033L, 2147483647L),
+        (s1, s2) => s1 * lit(2147483648L) + s2)
+      val rows = docs.select(
+        call_function("graft_span_hashes", toks, lit(k)).as("got"),
+        hof.as("want"),
+        call_function("graft_shingles_portable", toks, lit(k)).as("sh"))
+        .as[(Seq[Long], Seq[Long], Seq[Long])].collect()
+      rows.foreach { case (got, want, sh) =>
+        assert(got == want, s"k=$k: positional hashes diverge from the HOF fold")
+        // the sorted-distinct projection of the positional spans IS the
+        // set signature the shingle kernel computes — one definition,
+        // two materializations
+        assert(got.distinct.sorted == sh, s"k=$k: set projection diverges")
+      }
+    }
+  }
+
   test("graft_minhash_portable equals the interpreted affine-family minima") {
     val rng = new Random(31)
     val p = 2147483647L
