@@ -252,4 +252,57 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"expected the eligibility predicate as a LeftSemi join; plan=\n$opt")
     graft.Caches.drain(spark)
   }
+
+  test("x1_span_dedup: span exchange carries digests, one scan, no pairing") {
+    // substring-level dedup's 100 TB contract: the only corpus-sized
+    // exchange is keyed on the 8-byte span hash with the text projected
+    // away, the documents scan reads exactly (doc_id, text), and there is
+    // no pairwise join anywhere — the occurrence count is a window over
+    // the digest exchange
+    val df = SparkEntry.queries("x1_span_dedup")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val offending = collectWithSubqueries(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+          if e.output.exists(_.name == "text") => e
+    }
+    assert(offending.isEmpty, s"span dedup shuffles document text:\n$plan")
+    val p = plan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")
+      && !p.contains("Join"), s"span dedup must not pair documents:\n$p")
+    val scans = collectWithSubqueries(plan) { case f: FileSourceScanExec => f }
+    assert(scans.size == 1 &&
+      scans.head.requiredSchema.fieldNames.toSet == Set("doc_id", "text"),
+      s"expected one (doc_id, text) scan; got ${scans.map(_.requiredSchema)}")
+  }
+
+  test("x3_bm25: term filter sits below the tf aggregate; top-15 is " +
+      "TakeOrderedAndProject, not a global sort") {
+    val df = SparkEntry.queries("x3_bm25")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"BM25 top-k must be a partial top-k, not a global sort:\n$p")
+    // the posting filter must run before the first aggregation: in the
+    // plan string the Filter on the query terms appears BELOW (after) the
+    // partial HashAggregate that computes tf — i.e. the aggregate never
+    // sees non-matching tokens
+    val filterIdx = p.indexOf("Filter w#")
+    val aggIdx = p.indexOf("partial_count")
+    assert(filterIdx > 0 && aggIdx > 0 && filterIdx > aggIdx,
+      s"term filter is not below the tf aggregate:\n$p")
+  }
+
+  test("x3_rrf_fusion: every per-query top-k is a WindowGroupLimit and the " +
+      "legs meet in an equi-key outer join") {
+    val df = SparkEntry.queries("x3_rrf_fusion")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"rank cutoffs must plan as WindowGroupLimit partial top-k:\n$p")
+    assert(p.contains("FullOuter"),
+      s"leg fusion must be the (query, neighbor)-keyed outer join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the fusion plan:\n$p")
+    graft.Caches.drain(spark)
+  }
 }
