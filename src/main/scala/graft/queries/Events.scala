@@ -163,6 +163,57 @@ object Events {
              |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS start_ts
              |FROM s GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin)),
 
+    // ---- SCD TYPE-2 history build (gaps-and-islands): collapse each user's
+    // consecutive runs of the same event_type into validity intervals
+    // [valid_from, valid_to) with an is_current flag — the standard
+    // slowly-changing-dimension shape a warehouse derives from a change
+    // stream (KeyedUpsert is the Type-1 latest-wins twin). Run boundaries
+    // via lag()+prefix-sum, both windows partitioned by user_id (never
+    // global); the whole query is ONE shuffle on user_id reused by every
+    // window and the run aggregation. Boundaries output as epoch seconds
+    // (second granularity is immune to the parquet ns-vs-us difference —
+    // the file-wide determinism note above).
+    Q("q_events_scd2",
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val runs = t(s, dir)
+          .withColumn("prev", lag("event_type", 1).over(byUser))
+          .withColumn("chg",
+            when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
+              .otherwise(0L))
+          .withColumn("run_id", sum("chg").over(
+            byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        val byRun = Window.partitionBy("user_id").orderBy("run_id")
+        runs.groupBy("user_id", "run_id")
+          .agg(max("event_type").as("event_type"), // constant within a run
+            min(col("ts").cast("long")).as("valid_from_s"),
+            count(lit(1)).as("n_events"))
+          .withColumn("valid_to_s", lead("valid_from_s", 1).over(byRun))
+          .withColumn("is_current", col("valid_to_s").isNull)
+          .orderBy("user_id", "run_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM events),
+             |r AS (
+             |  SELECT user_id, ts, event_type,
+             |    CAST(SUM(CASE WHEN prev IS NULL OR prev != event_type THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+             |  FROM e),
+             |g AS (
+             |  SELECT user_id, run_id, MAX(event_type) AS event_type,
+             |    MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS valid_from_s,
+             |    COUNT(*) AS n_events
+             |  FROM r GROUP BY 1, 2)
+             |SELECT user_id, run_id, event_type, valid_from_s,
+             |  LEAD(valid_from_s) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to_s,
+             |  n_events,
+             |  LEAD(valid_from_s) OVER (PARTITION BY user_id ORDER BY run_id) IS NULL
+             |    AS is_current
+             |FROM g ORDER BY user_id, run_id""".stripMargin)),
+
     // ---- J5 as-of join: for each error event, the most recent purchase by the
     // same user at-or-before it. Implemented scalably as union + last() window
     // (one shuffle by user_id, no per-row range scan).

@@ -536,6 +536,61 @@ object Llm {
     }
   }
 
+  /** Lexical token-set-Jaccard top-k retrieval (query docs vs the corpus) —
+    * the lexical leg of x3_rrf_fusion, ranked on the integer-floored e9
+    * quotient with neighbor-id tie-break so the order is engine-exact.
+    * Adaptive like the pair dispatchers: on a bounded vocabulary
+    * (<= graft.setsim.vocabThreshold) each doc becomes a bitmask and the
+    * |Q| broadcast query masks stream codegen'd popcounts over the corpus
+    * scan — |C|·|Q| cheap rows, no token fanout (a closed vocabulary makes
+    * the posting join quadratic-ish per token); on open vocabularies the
+    * term-at-a-time posting intersection (explode + equi-join on the token
+    * + partial-aggregated pair counts) is the classic sparse-retrieval
+    * shape. Both paths produce identical rows (LlmSpec pins the swap).
+    */
+  private[graft] def lexicalJaccardTopK(s: SparkSession, d: DataFrame,
+      queryPred: Column, k: Int): DataFrame = {
+    graft.functions.NativeExpressions.register(s)
+    val tok = graft.Caches.persist(d.select(col("doc_id"),
+      explode(TF.tokenSet(col("text"))).as("w"),
+      size(TF.tokenSet(col("text"))).cast("long").as("nt")))
+    val vocabSize = tok.select("w").distinct().count()
+    val scored =
+      if (vocabSize <= vocabThreshold(s)) {
+        val words = ((vocabSize + 63) / 64).toInt
+        // single-partition vocab window is fine: <= threshold rows by dispatch
+        val wv = Window.orderBy("w")
+        val idx = tok.select("w").distinct()
+          .select(col("w"), (row_number().over(wv) - 1).cast("long").as("i"))
+        val masks = graft.Caches.persist(tok.join(broadcast(idx), "w")
+          .groupBy("doc_id")
+          .agg(call_function("graft_mask", collect_list("i"), lit(words)).as("mask"),
+            count(lit(1)).as("n")))
+        val q = masks.filter(queryPred)
+          .select(col("doc_id").as("query_id"), col("mask").as("qmask"),
+            col("n").as("nq"))
+        def isect(l: Column, r: Column) = call_function("graft_mask_isect", l, r)
+        masks.join(broadcast(q), col("doc_id") =!= col("query_id"))
+          .withColumn("i", isect(col("mask"), col("qmask")))
+          .filter(col("i") > 0)
+          .select(col("query_id"), col("doc_id").as("neighbor_id"),
+            expr("i * 1000000000L div (n + nq - i)").as("jr_e9"))
+      } else {
+        val qtok = tok.filter(queryPred)
+          .select(col("doc_id").as("query_id"), col("w"), col("nt").as("nq"))
+        tok.join(broadcast(qtok), Seq("w"))
+          .filter(col("doc_id") =!= col("query_id"))
+          .groupBy(col("query_id"), col("doc_id").as("neighbor_id"))
+          .agg(count(lit(1)).as("i"), max("nt").as("nd"), max("nq").as("nq"))
+          .select(col("query_id"), col("neighbor_id"),
+            expr("i * 1000000000L div (nq + nd - i)").as("jr_e9"))
+      }
+    val wl = Window.partitionBy("query_id").orderBy(desc("jr_e9"), asc("neighbor_id"))
+    scored.withColumn("rank_lex", row_number().over(wl).cast("long"))
+      .filter(col("rank_lex") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank_lex"))
+  }
+
   /** Substring-level duplicate profile behind x1_span_dedup (exposed so
     * LlmSpec can run it on planted fixtures): per doc, how many of its
     * 8-token windows occur at >=2 positions anywhere in `d`. One
@@ -1318,23 +1373,8 @@ object Llm {
           .select(col("vec_id").as("query_id"), col("v").as("qv"))
         val vleg = graft.operators.IvfIndex.knnExact(idx, qv, k = 20, nprobe = 3)
           .select(col("query_id"), col("neighbor_id"), col("rk").as("rank_vec"))
-        val d = docs(s, dir)
-        val tok = graft.Caches.persist(
-          d.select(col("doc_id"), explode(TF.tokenSet(col("text"))).as("w"),
-            size(TF.tokenSet(col("text"))).cast("long").as("nt")))
-        val qtok = tok.filter(col("doc_id") % 50 === 0)
-          .select(col("doc_id").as("query_id"), col("w"), col("nt").as("nq"))
-        val inter = tok.join(broadcast(qtok), Seq("w"))
-          .filter(col("doc_id") =!= col("query_id"))
-          .groupBy(col("query_id"), col("doc_id").as("neighbor_id"))
-          .agg(count(lit(1)).as("i"), max("nt").as("nd"), max("nq").as("nq"))
-        val wl = Window.partitionBy("query_id")
-          .orderBy(desc("jr_e9"), asc("neighbor_id"))
-        val lleg = inter
-          .withColumn("jr_e9", expr("i * 1000000000L div (nq + nd - i)"))
-          .withColumn("rank_lex", row_number().over(wl).cast("long"))
-          .filter(col("rank_lex") <= 20)
-          .select(col("query_id"), col("neighbor_id"), col("rank_lex"))
+        val lleg = lexicalJaccardTopK(s, docs(s, dir),
+          col("doc_id") % 50 === 0, k = 20)
         val wf = Window.partitionBy("query_id")
           .orderBy(desc("score_e9"), asc("neighbor_id"))
         vleg.join(lleg, Seq("query_id", "neighbor_id"), "full_outer")

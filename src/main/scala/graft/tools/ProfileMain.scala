@@ -36,6 +36,7 @@ object ProfileMain {
       case "@lshskew" => lshSkewSweep(spark)
       case "@lshknn" => lshKnnSweep(spark)
       case "@bglm" => bigramLmPieces(spark, sfDir)
+      case "@rrf" => rrfPieces(spark, sfDir)
       // warm:<query> — 3 runs with NO cache drain between them, mimicking
       // the r01-era min-of-2 bench whose persisted frames stayed warm
       // across samples; the run2/run3 times are what those era numbers
@@ -83,6 +84,59 @@ object ProfileMain {
       time("full query e2e") {
         graft.SparkEntry.queries("x1_dedup_clusters")(spark, dir).count()
       }
+      graft.Caches.drain(spark)
+    }
+  }
+
+  /** @rrf — decompose x3_rrf_fusion into its stages: index load, dense
+    * knnExact leg, lexical token materialization / posting intersection /
+    * per-query top-k, and the fused end-to-end query.
+    */
+  private def rrfPieces(spark: SparkSession, dir: String): Unit = {
+    graft.functions.NativeExpressions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    (1 to 2).foreach { round =>
+      println(s"[profile] --- rrf round $round ---")
+      val e = graft.Tables.load(spark, dir, "embeddings").select(col("vec_id"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+      val idx = time("index load") {
+        graft.operators.IvfIndex.loadOrBuild(e, key = dir) }
+      val qv = idx.assigned.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      time("dense leg knnExact k=20") {
+        graft.operators.IvfIndex.knnExact(idx, qv, k = 20, nprobe = 3).count() }
+      val d = graft.Tables.load(spark, dir, "documents")
+      val tok = graft.Caches.persist(d.select(col("doc_id"),
+        explode(TF.tokenSet(col("text"))).as("w"),
+        size(TF.tokenSet(col("text"))).cast("long").as("nt")))
+      time("tok materialize") { tok.count() }
+      val qtok = tok.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"), col("w"), col("nt").as("nq"))
+      val inter = tok.join(broadcast(qtok), Seq("w"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("doc_id").as("neighbor_id"))
+        .agg(count(lit(1)).as("i"), max("nt").as("nd"), max("nq").as("nq"))
+      time("lexical posting intersection") { inter.count() }
+      val wl = Window.partitionBy("query_id").orderBy(desc("jr_e9"), asc("neighbor_id"))
+      time("lexical topk") {
+        inter.withColumn("jr_e9", expr("i * 1000000000L div (nq + nd - i)"))
+          .withColumn("rank_lex", row_number().over(wl).cast("long"))
+          .filter(col("rank_lex") <= 20).count() }
+      graft.Caches.drain(spark)
+      time("lexical leg: bitset dispatch") {
+        graft.queries.Llm.lexicalJaccardTopK(spark,
+          graft.Tables.load(spark, dir, "documents"),
+          col("doc_id") % 50 === 0, k = 20).count() }
+      graft.Caches.drain(spark)
+      spark.conf.set("graft.setsim.vocabThreshold", "0")
+      try time("lexical leg: posting dispatch") {
+        graft.queries.Llm.lexicalJaccardTopK(spark,
+          graft.Tables.load(spark, dir, "documents"),
+          col("doc_id") % 50 === 0, k = 20).count() }
+      finally spark.conf.unset("graft.setsim.vocabThreshold")
+      graft.Caches.drain(spark)
+      time("full query e2e") {
+        SparkEntry.queries("x3_rrf_fusion")(spark, dir).count() }
       graft.Caches.drain(spark)
     }
   }

@@ -17,7 +17,8 @@ class LlmSpec extends AnyFunSuite {
     // measured vocabulary count; overriding the threshold to 0 must swap
     // the physical algorithm (open-vocabulary prefix filtering) without
     // changing a single output row — the dispatcher is a pure plan choice
-    for (name <- Seq("x2_jaccard_exact", "x2_containment", "x1_dedup_clusters")) {
+    for (name <- Seq("x2_jaccard_exact", "x2_containment", "x1_dedup_clusters",
+        "x3_rrf_fusion")) {
       val bitset = q(name).collect().toSeq
       graft.Caches.drain(spark)
       spark.conf.set("graft.setsim.vocabThreshold", "0")
