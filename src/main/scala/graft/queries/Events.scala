@@ -401,6 +401,130 @@ object Events {
              |  CAST(ROUND(quantile_cont(value, 0.5)*1000) AS BIGINT) AS p50_mills,
              |  CAST(ROUND(quantile_cont(value, 0.9)*1000) AS BIGINT) AS p90_mills,
              |  CAST(ROUND(quantile_cont(value, 0.99)*1000) AS BIGINT) AS p99_mills
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- robust outlier report: median + MAD (median absolute deviation)
+    // per event_type — the z-score twin that a heavy-tailed value column
+    // needs (mean/stddev are themselves dragged by the outliers they are
+    // supposed to flag; the median/MAD pair is 50%-breakdown robust).
+    // Two exact-percentile passes (median, then median of |value-median|),
+    // both interpolation-identical across engines (q_events_percentiles),
+    // then the same integer-mills boundary convention as q_events_zscore:
+    // the filter reads the rounded integer both engines emit
+    // (robust z = (value-med)/(1.4826*mad), the normal-consistent scaling).
+    // Scale: two scans + one broadcast of a per-type 2-column stats table —
+    // the per-group exact median is a per-group sort, same budget as the
+    // percentile SLA report; the sketch path swaps in approx_percentile.
+    Q("q_events_mad",
+      (s, dir) => {
+        val ev = t(s, dir)
+        val med = ev.groupBy("event_type")
+          .agg(expr("percentile(value, 0.5)").as("med"))
+        val mad = ev.join(broadcast(med), "event_type")
+          .groupBy("event_type")
+          .agg(first("med").as("med"),
+               expr("percentile(abs(value - med), 0.5)").as("mad"))
+        ev.join(broadcast(mad), "event_type")
+          .filter(col("mad") > 0)
+          .withColumn("rz_mills",
+            round((col("value") - col("med")) / (col("mad") * 1.4826) * 1000)
+              .cast("long"))
+          .filter(abs(col("rz_mills")) > 3000)
+          .select(col("event_id"), col("event_type"),
+            round(col("value") * 1000).cast("long").as("value_mills"),
+            col("rz_mills"))
+          .orderBy("event_id")
+      },
+      Some("""WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+             |             FROM events GROUP BY event_type),
+             |mad AS (SELECT e.event_type, ANY_VALUE(m.med) AS med,
+             |          quantile_cont(ABS(e.value - m.med), 0.5) AS mad
+             |        FROM events e JOIN med m USING (event_type)
+             |        GROUP BY e.event_type),
+             |z AS (SELECT e.event_id, e.event_type,
+             |        CAST(ROUND(e.value * 1000) AS BIGINT) AS value_mills,
+             |        CAST(ROUND((e.value - s.med) / (s.mad * 1.4826) * 1000) AS BIGINT)
+             |          AS rz_mills
+             |      FROM events e JOIN mad s USING (event_type) WHERE s.mad > 0)
+             |SELECT event_id, event_type, value_mills, rz_mills FROM z
+             |WHERE ABS(rz_mills) > 3000 ORDER BY event_id""".stripMargin)),
+
+    // ---- trailing 7-day rolling distinct users per day (the DAU→WAU
+    // rollup). A sliding DISTINCT cannot be a window frame (COUNT(DISTINCT)
+    // over RANGE is unsupported in both engines, and would be a per-row
+    // set-union anyway) — the scalable shape is: shrink to distinct
+    // (user, day) pairs FIRST (bounds everything downstream by active
+    // user-days, not raw events), then explode each user-day into the ≤7
+    // observed report days it contributes to (a fixed ×7 expansion — at
+    // 100 TB that constant beats the range-join alternative whose per-day
+    // probe re-reads the fact), then one distinct-count per day. Report days
+    // are the days observed in the data, semi-joined before the count so
+    // the expansion never manufactures rows for absent days.
+    Q("q_events_sliding_dau",
+      (s, dir) => {
+        val ev = t(s, dir)
+        val ud = ev.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        val days = ev.select(to_date(col("ts")).as("day_w")).distinct()
+        ud.select(explode(expr("sequence(day, date_add(day, 6))")).as("day_w"),
+                  col("user_id"))
+          .join(days, "day_w")
+          .groupBy("day_w")
+          .agg(countDistinct("user_id").as("wau"))
+          .select(date_format(col("day_w"), "yyyy-MM-dd").as("day"), col("wau"))
+          .orderBy("day")
+      },
+      Some("""WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+             |days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+             |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+             |  COUNT(DISTINCT u.user_id) AS wau
+             |FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+             |GROUP BY d.day ORDER BY day""".stripMargin)),
+
+    // ---- time-series gap fill + forward fill: the hourly rollup re-gridded
+    // onto a dense per-type hour axis (the driver's events are sparse: ~175
+    // of 713 hours observed per type at sf0.001), missing hours carry the
+    // last observed value forward (`last(_, ignoreNulls)` over an unbounded-
+    // preceding frame — the LOCF resample every monitoring store performs
+    // before charting). The grid is sequence()-exploded from each type's
+    // [min,max] hour — bounded by calendar span, never by fact cardinality;
+    // the ffill window partitions by type so at scale it shuffles once on
+    // the same key as the rollup. avg uses the exact integer-div convention
+    // (q_events_hourly) so carried values are tie-safe; is_filled marks
+    // manufactured rows.
+    Q("q_events_gap_fill",
+      (s, dir) => {
+        val hourly = t(s, dir)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+          .select(col("event_type"), col("hr"),
+            (expr("CAST(ROUND(sv*100) AS BIGINT) * 100 div n").cast("double")
+              / 10000.0).as("avg_value"))
+        val grid = hourly.groupBy("event_type")
+          .agg(min("hr").as("mn"), max("hr").as("mx"))
+          .select(col("event_type"),
+            explode(expr("sequence(mn, mx, interval 1 hour)")).as("hr"))
+        val w = Window.partitionBy("event_type").orderBy("hr")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hourly, Seq("event_type", "hr"), "left")
+          .select(col("event_type"),
+            date_format(col("hr"), "yyyy-MM-dd HH").as("hour"),
+            last(col("avg_value"), ignoreNulls = true).over(w).as("value_ffill"),
+            col("avg_value").isNull.cast("int").as("is_filled"))
+          .orderBy("event_type", "hour")
+      },
+      Some("""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+             |    CAST((CAST(ROUND(SUM(value)*100) AS BIGINT) * 100) // COUNT(*) AS DOUBLE)/10000
+             |      AS avg_value
+             |  FROM events GROUP BY 1, 2),
+             |b AS (SELECT event_type, MIN(hr) AS mn, MAX(hr) AS mx FROM h GROUP BY 1),
+             |grid AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+             |         FROM b),
+             |j AS (SELECT g.event_type, g.hr, h.avg_value
+             |      FROM grid g LEFT JOIN h ON g.event_type = h.event_type AND g.hr = h.hr)
+             |SELECT event_type, strftime(hr, '%Y-%m-%d %H') AS hour,
+             |  LAST_VALUE(avg_value IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hr
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+             |  CASE WHEN avg_value IS NULL THEN 1 ELSE 0 END AS is_filled
+             |FROM j ORDER BY event_type, hour""".stripMargin))
   )
 }

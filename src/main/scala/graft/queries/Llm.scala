@@ -615,6 +615,75 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** DuckDB oracle for x5_pagerank: the same fixed-point-free 5-iteration
+    * integer PageRank, unrolled as chained CTEs (it1..it5), each iteration
+    * textually identical to the Spark loop body — both engines do the same
+    * floor divisions in the same order, so the ranks hash-match exactly.
+    */
+  private val pagerankOracle: String = {
+    val iters = (1 to 5).map { i =>
+      s"""it$i AS (SELECT d.id, d.deg, d.n,
+         |  (1000000000000 // d.n) * 15 // 100 + COALESCE(s.inc, 0) * 85 // 100 AS pr
+         |FROM it${i - 1} d LEFT JOIN (
+         |  SELECT e.dst AS id, CAST(SUM(p.pr // p.deg) AS BIGINT) AS inc
+         |  FROM edges e JOIN it${i - 1} p ON e.src = p.id GROUP BY e.dst) s USING (id))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |          CAST(b.embedding AS DOUBLE[])) >= 0.35),
+       |edges AS (SELECT va AS src, vb AS dst FROM pairs
+       |          UNION ALL SELECT vb, va FROM pairs),
+       |deg AS (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY src),
+       |it0 AS (SELECT id, deg, (SELECT COUNT(*) FROM deg) AS n,
+       |        1000000000000 // (SELECT COUNT(*) FROM deg) AS pr FROM deg),
+       |$iters
+       |SELECT id AS vec_id, pr AS pr_e12 FROM it5 ORDER BY vec_id""".stripMargin
+  }
+
+  /** DuckDB oracle for x3_mmr_rerank: the same greedy MMR selection,
+    * unrolled — sel1 is the top-relevance pick, each further pick i is one
+    * CTE that scores the not-yet-selected candidates against all{i-1} with
+    * the identical integer arithmetic and tie-break as the Spark loop body.
+    */
+  private val mmrOracle: String = {
+    val blocks = (2 to 5).map { i =>
+      s"""sel$i AS (SELECT query_id, cid, CAST($i AS BIGINT) AS pick FROM (
+         |  SELECT c.query_id, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY c.query_id
+         |      ORDER BY (7 * c.rel_e9) // 10 - (3 * m.ms) // 10 DESC, c.cid) AS rn
+         |  FROM cand c
+         |  JOIN (SELECT p.query_id, p.ca AS cid, CAST(MAX(p.sim_e9) AS BIGINT) AS ms
+         |        FROM psim p JOIN all${i - 1} s ON p.query_id = s.query_id AND p.cb = s.cid
+         |        GROUP BY 1, 2) m ON c.query_id = m.query_id AND c.cid = m.cid
+         |  WHERE NOT EXISTS (SELECT 1 FROM all${i - 1} s2
+         |                    WHERE s2.query_id = c.query_id AND s2.cid = c.cid)
+         |  ) WHERE rn = 1),
+         |all$i AS (SELECT * FROM all${i - 1} UNION ALL SELECT * FROM sel$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH cand AS (SELECT query_id, cid, rel_e9, rk FROM (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS cid,
+       |    CAST(FLOOR((list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |           CAST(n.embedding AS DOUBLE[])) + 1) * 1000000000) AS BIGINT) AS rel_e9,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |               CAST(n.embedding AS DOUBLE[])) DESC, n.vec_id) AS rk
+       |  FROM embeddings q JOIN embeddings n ON n.vec_id != q.vec_id
+       |  WHERE q.vec_id % 50 = 0) WHERE rk <= 20),
+       |psim AS (SELECT a.query_id, a.cid AS ca, b.cid AS cb,
+       |  CAST(FLOOR((list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |         CAST(eb.embedding AS DOUBLE[])) + 1) * 1000000000) AS BIGINT) AS sim_e9
+       | FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.cid != b.cid
+       | JOIN embeddings ea ON ea.vec_id = a.cid
+       | JOIN embeddings eb ON eb.vec_id = b.cid),
+       |sel1 AS (SELECT query_id, cid, CAST(1 AS BIGINT) AS pick FROM cand WHERE rk = 1),
+       |all1 AS (SELECT * FROM sel1),
+       |$blocks
+       |SELECT query_id, cid, pick FROM all5 ORDER BY query_id, pick""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- X1 exact dedup: keep-min-id per (lang, n_chars) group
@@ -1053,6 +1122,150 @@ object Llm {
              |  SELECT reach.a, e.b FROM reach JOIN edges e ON reach.b = e.a)
              |SELECT a AS vec_id, MIN(b) AS cluster_id FROM reach
              |GROUP BY a ORDER BY vec_id""".stripMargin)),
+
+    // ---- X5 graph centrality over the near-dup graph: 5-iteration PageRank
+    // (damping 0.85) on the exact similarity edges the clustering query
+    // already mines — inside a dedup cluster it ranks the most-connected
+    // member (a centrality-based representative pick, vs the min-id pick of
+    // x1/x5 clusters). ALL arithmetic is integer floor-division at e12 scale
+    // (`div` / `//` agree engine-to-engine on positives), each iteration
+    // applies the same ops in the same order as the unrolled oracle CTEs, so
+    // the ranks are EXACT — no float fixed-point tolerance. Nodes are the
+    // vectors with ≥1 edge (teleport-only isolated nodes would just hold
+    // constant mass). Each iteration is one equi-join + one sum shuffle on
+    // the edge list — O(iters · |E|) like every bulk-synchronous PageRank;
+    // the rank/degree table rides broadcast once AQE sees its size.
+    Q("x5_pagerank",
+      (s, dir) => {
+        val idx = ivfIndex(s, dir)
+        val pairs = graft.operators.IvfIndex.pairsExact(idx, 0.35)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+        val edges = graft.Caches.persist(
+          pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst"))))
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+          .withColumnRenamed("src", "id")
+        val tot = deg.agg(count(lit(1)).as("n"))
+        // deliberately NOT persisted per iteration: the rank frame is tiny
+        // (one row per node), so leaving the 5 unrolled iterations as ONE
+        // lazy plan lets AQE broadcast every contribution join and fuse the
+        // chain — measured 2.4 s at sf0.1 vs 9.5+ s with a materialization
+        // barrier per iteration (the barrier costs more than the replayed
+        // tiny aggregations it saves; the expensive frame, `edges`, IS
+        // persisted above)
+        var pr = deg.crossJoin(broadcast(tot))
+          .withColumn("pr", expr("1000000000000 div n"))
+        for (_ <- 1 to 5) {
+          val contrib = pr.select(col("id").as("src"), expr("pr div deg").as("c"))
+          val inc = edges.join(contrib, "src")
+            .groupBy(col("dst").as("id")).agg(sum("c").as("inc"))
+          pr = pr.drop("pr")
+            .join(inc, Seq("id"), "left")
+            .withColumn("pr", expr(
+              "(1000000000000 div n) * 15 div 100 + coalesce(inc, 0) * 85 div 100"))
+            .drop("inc")
+        }
+        pr.select(col("id").as("vec_id"), col("pr").as("pr_e12")).orderBy("vec_id")
+      },
+      Some(pagerankOracle)),
+
+    // ---- X3 diversity-aware rerank: greedy Maximal Marginal Relevance
+    // (Carbonell & Goldstein, SIGIR'98) over each query's top-20 exact
+    // candidates — pick 5, each pick maximizing 0.7·relevance −
+    // 0.3·max-sim-to-already-picked. The training-data angle: MMR is the
+    // standard de-redundancy step when sampling few-shot exemplars or
+    // curating a diverse subset from a near-dup-heavy retrieval pool.
+    // Determinism: similarities are shifted nonneg ((s+1)*1e9 floored to
+    // int - floor and truncation agree there, so Scala `/`, Spark `div`
+    // and DuckDB `//` all match), the greedy argmax tie-breaks on
+    // candidate id, and the oracle unrolls the same 5 steps as CTEs -
+    // full hash match, no tolerance.
+    // Shape: top-20 candidate generation is declarative (the same
+    // broadcast + WindowGroupLimit plan as x3_knn_brute; swaps to the IVF
+    // index unchanged), then the greedy selection runs per query in ONE
+    // typed mapGroups pass - a sequential k-step argmax over a k2-bounded
+    // in-memory group is genuinely imperative logic, and in-group it
+    // replaces 4 unrolled join+window+anti-join rounds (measured: the
+    // unrolled plan needed a persist per step to avoid 2^picks lineage
+    // replay and still paid ~16 tiny shuffle stages; this is one
+    // shuffle). O(q * k^2) total, never a function of corpus size.
+    Q("x3_mmr_rerank",
+      (s, dir) => {
+        graft.functions.NativeExpressions.register(s)
+        import s.implicits._
+        val e = graft.Caches.persist(
+          embs(s, dir).select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
+            .withColumn("nrm", VF.l2Norm(col("v"))))
+        val q = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+        val wTop = Window.partitionBy("query_id").orderBy(desc("s"), asc("cid"))
+        e.select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+          .join(broadcast(q), col("cid") =!= col("query_id"))
+          .withColumn("s", VF.dotNative(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .withColumn("rk", row_number().over(wTop))
+          .filter(col("rk") <= 20)
+          .select(col("query_id"), col("cid"), col("s"), col("cn"), col("cv"))
+          .as[(Long, Long, Double, Double, Array[Double])]
+          .groupByKey(_._1)
+          .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Double, Array[Double])]) =>
+            // sort by cid: group arrival order is shuffle-nondeterministic,
+            // nothing below may depend on it
+            val cs = it.toArray.sortBy(_._2)
+            val nc = cs.length
+            def dot(a: Array[Double], b: Array[Double]): Double = {
+              var i = 0; var acc = 0.0
+              while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+            }
+            val rel = cs.map(c => math.floor((c._3 + 1) * 1.0e9).toLong)
+            val picked = new Array[Boolean](nc)
+            val maxSim = Array.fill(nc)(Long.MinValue)
+            // pick 1: best raw relevance (s desc, cid asc) - the oracle\'s
+            // rk=1 row, ranked on the unfloored cosine like the candidate
+            // window itself
+            var lastPick = {
+              var best = 0; var i = 1
+              while (i < nc) {
+                if (cs(i)._3 > cs(best)._3 ||
+                    (cs(i)._3 == cs(best)._3 && cs(i)._2 < cs(best)._2)) best = i
+                i += 1
+              }; best
+            }
+            picked(lastPick) = true
+            val out = scala.collection.mutable.ArrayBuffer((qid, cs(lastPick)._2, 1L))
+            var step = 2
+            while (step <= 5 && step <= nc) {
+              // fold the newest pick into every unselected candidate\'s
+              // max-sim, then argmax the integer MMR score
+              var j = 0
+              while (j < nc) {
+                if (!picked(j)) {
+                  val sim = dot(cs(j)._5, cs(lastPick)._5) / (cs(j)._4 * cs(lastPick)._4)
+                  val simE9 = math.floor((sim + 1) * 1.0e9).toLong
+                  if (simE9 > maxSim(j)) maxSim(j) = simE9
+                }
+                j += 1
+              }
+              var best = -1; var bestScore = Long.MinValue
+              j = 0
+              while (j < nc) {
+                if (!picked(j)) {
+                  val score = (7 * rel(j)) / 10 - (3 * maxSim(j)) / 10
+                  if (best < 0 || score > bestScore ||
+                      (score == bestScore && cs(j)._2 < cs(best)._2)) {
+                    best = j; bestScore = score
+                  }
+                }
+                j += 1
+              }
+              picked(best) = true; lastPick = best
+              out += ((qid, cs(best)._2, step.toLong))
+              step += 1
+            }
+            out.iterator
+          }
+          .toDF("query_id", "cid", "pick")
+          .orderBy("query_id", "pick")
+      },
+      Some(mmrOracle)),
 
     // ---- X3 brute-force top-k cosine similarity search: every 50th vector is
     // a query; queries are broadcast against the full corpus; per-query top-k

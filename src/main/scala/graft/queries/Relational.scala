@@ -286,6 +286,71 @@ object Relational {
              |  1 AS approx_ok
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // ---- A6 approx percentile (the quantile-sketch twin of
+    // q_approx_distinct). approx_percentile is a GK/KLL-style sketch:
+    // deterministic, but implementation-specific — Spark's returned element
+    // and DuckDB's approx_quantile never agree bit-for-bit — so the
+    // driver-checked output pins the sketch's CONTRACT instead of its value:
+    // with accuracy=1000 the returned element's rank interval
+    // [count(<ap)+1, count(<=ap)] must intersect the target rank n/2 within
+    // ±(n/100 + 1) — a 10× relaxation of the documented 1/accuracy rank
+    // error, so the check never flakes while still catching a broken sketch.
+    // One extra scan computes the rank brackets; both engines agree on n and
+    // on the expected verdict. Scale note: like the HLL twin, pairing the
+    // sketch with its rank audit is the VERIFICATION surface; at 100 TB the
+    // production form is approx_percentile alone — constant memory per
+    // group, one pass, no per-group sort (the exact percentile path of
+    // q_events_percentiles is the thing this replaces at scale).
+    Q("q_approx_percentile",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val ap = li.groupBy("l_returnflag")
+          .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap"),
+               count(lit(1)).as("n"))
+        li.join(broadcast(ap), "l_returnflag")
+          .groupBy("l_returnflag")
+          .agg(first("n").as("n"),
+               sum(when(col("l_extendedprice") < col("ap"), 1L).otherwise(0L)).as("rk_lo"),
+               sum(when(col("l_extendedprice") <= col("ap"), 1L).otherwise(0L)).as("rk_hi"))
+          .select(col("l_returnflag"), col("n"),
+            ((col("rk_lo") + 1 <= col("n") / 2.0 + col("n") / 100.0 + 1) &&
+             (col("rk_hi") >= col("n") / 2.0 - col("n") / 100.0 - 1))
+              .cast("int").as("approx_ok"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n, 1 AS approx_ok
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- frequent-pair mining (the support-counting core of market-basket
+    // / co-occurrence analysis): parts that ship together in ≥2 orders,
+    // top-100 by support. Shape for scale: distinct-shrink to (order, part)
+    // FIRST, then the within-order self-join — the blow-up is Σ items²/order
+    // (bounded by basket size, never corpus size; a mega-basket at 100 TB
+    // gets a per-order item cap or salting — same guard as the LSH hot-band
+    // cap), then one pair-keyed count shuffle and a TakeOrderedAndProject
+    // top-k tail (partial top-k per partition, no global sort).
+    Q("q_basket_pairs",
+      (s, dir) => {
+        val items = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct()
+        val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+        val b = items.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+        a.join(b, Seq("l_orderkey"))
+          .filter(col("part_a") < col("part_b"))
+          .groupBy("part_a", "part_b")
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+          .orderBy(desc("support"), asc("part_a"), asc("part_b"))
+          .limit(100)
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+             |          FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+             |           AND a.l_partkey < b.l_partkey)
+             |SELECT part_a, part_b, COUNT(*) AS support FROM pairs
+             |GROUP BY part_a, part_b HAVING COUNT(*) >= 2
+             |ORDER BY support DESC, part_a, part_b LIMIT 100""".stripMargin)),
+
     // ---- O3 + W1: top-k per group via ranking window.
     // Tie-break note: (l_orderkey, l_linenumber) is NOT unique in this
     // synthetic lineitem — the unique key is (l_orderkey, l_linenumber,
