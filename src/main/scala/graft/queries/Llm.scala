@@ -1686,6 +1686,82 @@ object Llm {
              |  WHERE q.vec_id % 50 = 0)
              |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
 
+    // ---- X3 cascaded retrieval: the production two-stage ANN shape —
+    // stage 1 scans the 4×-smaller int8 index for a generous top-50
+    // candidate pool (memory-bandwidth-bound, x3_knn_int8's exact integer
+    // arithmetic), stage 2 reranks ONLY those candidates with full-precision
+    // cosine and keeps the top-10. At 100 TB the corpus-sized scan touches
+    // only quantized vectors; the float vectors are fetched for 50·q rows —
+    // the cascade is the standard first recall/compute trade of a deployed
+    // vector store. Both stages are engine-replayable (int8 dots are exact
+    // in doubles; the float rerank is the same cosine the brute oracle
+    // uses), so the cascade output hash-matches end-to-end — recall vs the
+    // uncascaded exact search is pinned in LlmSpec.
+    Q("x3_knn_cascade",
+      (s, dir) => {
+        graft.functions.NativeExpressions.register(s)
+        val maxabs = array_max(transform(col("v"), x => abs(x)))
+        val ef = graft.Caches.persist(
+          embs(s, dir).select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
+            .withColumn("nrm", VF.l2Norm(col("v"))))
+        val e8 = graft.Caches.persist(
+          ef.withColumn("ma", when(maxabs === 0.0, 1.0).otherwise(maxabs))
+            .withColumn("q8", transform(col("v"),
+              x => floor(x * lit(127.0) / col("ma") + lit(0.5)).cast("double")))
+            .withColumn("n8", VF.l2Norm(col("q8")))
+            .select("vec_id", "q8", "n8"))
+        val q8 = e8.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"), col("q8").as("qv"), col("n8").as("qn"))
+        val w8 = Window.partitionBy("query_id").orderBy(desc("s8"), asc("neighbor_id"))
+        val pool = e8
+          .select(col("vec_id").as("neighbor_id"), col("q8").as("nv"), col("n8").as("nn"))
+          .join(broadcast(q8), col("neighbor_id") =!= col("query_id"))
+          .withColumn("s8", VF.dotNative(col("qv"), col("nv")) / (col("qn") * col("nn")))
+          .withColumn("rk8", row_number().over(w8))
+          .filter(col("rk8") <= 50)
+          .select("query_id", "neighbor_id")
+        val qf = ef.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"), col("v").as("fqv"), col("nrm").as("fqn"))
+        val w = Window.partitionBy("query_id").orderBy(desc("s"), asc("neighbor_id"))
+        pool
+          .join(ef.select(col("vec_id").as("neighbor_id"),
+            col("v").as("fnv"), col("nrm").as("fnn")), Seq("neighbor_id"))
+          .join(broadcast(qf), Seq("query_id"))
+          .withColumn("s", VF.dotNative(col("fqv"), col("fnv")) / (col("fqn") * col("fnn")))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 10)
+          .select(col("query_id"), col("rk"), col("neighbor_id"),
+            round(col("s"), 4).as("sim"))
+          .orderBy("query_id", "rk")
+      },
+      Some("""WITH qe AS (
+             |  SELECT vec_id,
+             |    list_transform(CAST(embedding AS DOUBLE[]),
+             |      x -> floor(x * 127.0 /
+             |             (CASE WHEN m = 0 THEN 1 ELSE m END) + 0.5)) AS q8
+             |  FROM (SELECT vec_id, embedding,
+             |          list_max(list_transform(CAST(embedding AS DOUBLE[]),
+             |            x -> abs(x))) AS m
+             |        FROM embeddings)),
+             |pool AS (SELECT query_id, neighbor_id FROM (
+             |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             |        ORDER BY list_cosine_similarity(q.q8, n.q8) DESC,
+             |                 n.vec_id) AS rk8
+             |    FROM qe q JOIN qe n ON n.vec_id != q.vec_id
+             |    WHERE q.vec_id % 50 = 0)
+             |  WHERE rk8 <= 50),
+             |r AS (SELECT p.query_id, p.neighbor_id,
+             |    list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+             |                           CAST(en.embedding AS DOUBLE[])) AS s
+             |  FROM pool p
+             |  JOIN embeddings eq ON eq.vec_id = p.query_id
+             |  JOIN embeddings en ON en.vec_id = p.neighbor_id)
+             |SELECT query_id, rk, neighbor_id, ROUND(s, 4) AS sim FROM (
+             |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             |    ORDER BY s DESC, neighbor_id) AS BIGINT) AS rk FROM r)
+             |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+
     // ---- A7: per-label centroid, flattened to (label, pos, value) rows so the
     // aggregation is fully distributed and the oracle is engine-neutral
     Q("q_label_centroids",

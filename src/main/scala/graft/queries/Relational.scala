@@ -351,6 +351,66 @@ object Relational {
              |GROUP BY part_a, part_b HAVING COUNT(*) >= 2
              |ORDER BY support DESC, part_a, part_b LIMIT 100""".stripMargin)),
 
+    // ---- pairwise Pearson correlation matrix per group (the numeric-
+    // profiling step before feature selection / drift checks): one scan,
+    // three co-moment aggregates per group, stack-unpivoted to
+    // (group, pair, corr) rows like q_table_profile. corr is the one
+    // statistic here that cannot be made exact-integer (it divides by a
+    // sqrt product), so the output rounds to e4 — coarse enough that the
+    // engines' co-moment summation-order ulps cannot flip a digit (same
+    // accepted tolerance class as q_stats_funcs' stddev).
+    Q("q_corr_matrix",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(corr("l_quantity", "l_extendedprice").as("c_qp"),
+               corr("l_quantity", "l_discount").as("c_qd"),
+               corr("l_extendedprice", "l_discount").as("c_pd"))
+          .select(col("l_returnflag"), expr(
+            """stack(3, 'qty_price', c_qp, 'qty_disc', c_qd,
+              |'price_disc', c_pd) AS (pair, r)""".stripMargin))
+          .select(col("l_returnflag"), col("pair"),
+            round(col("r") * 10000).cast("long").as("corr_e4"))
+          .orderBy("l_returnflag", "pair"),
+      Some("""WITH c AS (SELECT l_returnflag,
+             |    corr(l_quantity, l_extendedprice) AS c_qp,
+             |    corr(l_quantity, l_discount) AS c_qd,
+             |    corr(l_extendedprice, l_discount) AS c_pd
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, pair, CAST(ROUND(r * 10000) AS BIGINT) AS corr_e4
+             |FROM (
+             |  SELECT l_returnflag, 'qty_price' AS pair, c_qp AS r FROM c
+             |  UNION ALL SELECT l_returnflag, 'qty_disc', c_qd FROM c
+             |  UNION ALL SELECT l_returnflag, 'price_disc', c_pd FROM c)
+             |ORDER BY l_returnflag, pair""".stripMargin)),
+
+    // ---- join-key skew audit (the pre-flight for every big shuffle join:
+    // the top-10 hottest keys, their share of the fact, and their heat
+    // relative to the mean key — the exact numbers that decide whether
+    // operators.SaltedJoin / AQE skew thresholds are needed BEFORE a
+    // 100 TB shuffle is launched). One count shuffle on the join key, a
+    // 2-row totals broadcast, partial top-k tail; shares in exact integer
+    // units (cnt·10⁴ div total), no float division.
+    Q("q_skew_profile",
+      (s, dir) => {
+        val cnts = t(s, dir, "lineitem")
+          .groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+        val tot = cnts.agg(sum("cnt").as("tot"), count(lit(1)).as("nkeys"))
+        cnts.crossJoin(broadcast(tot))
+          .select(col("l_partkey"), col("cnt"),
+            expr("cnt * 10000 div tot").as("share_e4"),
+            expr("cnt * nkeys * 100 div tot").as("hot_x_mean_e2"),
+            col("nkeys"), col("tot"))
+          .orderBy(desc("cnt"), asc("l_partkey"))
+          .limit(10)
+      },
+      Some("""WITH c AS (SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+             |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot, COUNT(*) AS nkeys FROM c)
+             |SELECT l_partkey, cnt, cnt * 10000 // tot AS share_e4,
+             |  cnt * nkeys * 100 // tot AS hot_x_mean_e2, nkeys, tot
+             |FROM c CROSS JOIN t
+             |ORDER BY cnt DESC, l_partkey LIMIT 10""".stripMargin)),
+
     // ---- O3 + W1: top-k per group via ranking window.
     // Tie-break note: (l_orderkey, l_linenumber) is NOT unique in this
     // synthetic lineitem — the unique key is (l_orderkey, l_linenumber,
@@ -632,6 +692,56 @@ object Relational {
       Some("""SELECT o_orderkey, ROUND(o_totalprice,2) AS price,
              |  NTILE(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS quartile
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- RFM customer segmentation (recency / frequency / monetary
+    // quintiles — the standard warehouse cohorting derivation): one
+    // customer-keyed aggregation, then three RangedNtile passes (each a
+    // range-partitioned two-pass rank — never a single-partition NTILE
+    // window; at 100 TB each pass is one range exchange of the customer
+    // frame). Monetary sums in exact integer cents — ordering by a float
+    // SUM would be summation-order tie-unstable across engines.
+    Q("q_rfm_segment",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val maxd = o.agg(max("o_orderdate").as("maxd"))
+        val cust = o.groupBy("o_custkey").agg(
+            max("o_orderdate").as("lastd"),
+            count(lit(1)).as("freq"),
+            sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).as("monetary_cents"))
+          .crossJoin(broadcast(maxd))
+          .withColumn("recency_days", datediff(col("maxd"), col("lastd")).cast("long"))
+          .select("o_custkey", "recency_days", "freq", "monetary_cents")
+        val tiled = Seq[(String, Seq[org.apache.spark.sql.Column])](
+          ("r_tile", Seq(desc("recency_days"), asc("o_custkey"))),
+          ("f_tile", Seq(asc("freq"), asc("o_custkey"))),
+          ("m_tile", Seq(asc("monetary_cents"), asc("o_custkey"))))
+          .foldLeft(cust) { case (df, (out, ord)) =>
+            graft.operators.RangedNtile(df, tiles = 5, orderCols = ord, out = out)
+          }
+        tiled.select(col("o_custkey"), col("recency_days"), col("freq"),
+            col("monetary_cents"), col("r_tile"), col("f_tile"), col("m_tile"),
+            (col("r_tile") * 100 + col("f_tile") * 10 + col("m_tile"))
+              .cast("long").as("rfm"))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH c AS (SELECT o_custkey, MAX(o_orderdate) AS lastd, COUNT(*) AS freq,
+             |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |      AS monetary_cents
+             |  FROM orders GROUP BY 1),
+             |m AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+             |t AS (SELECT o_custkey,
+             |    CAST(date_diff('day', lastd, maxd) AS BIGINT) AS recency_days,
+             |    freq, monetary_cents
+             |  FROM c CROSS JOIN m),
+             |n AS (SELECT *,
+             |    NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r_tile,
+             |    NTILE(5) OVER (ORDER BY freq, o_custkey) AS f_tile,
+             |    NTILE(5) OVER (ORDER BY monetary_cents, o_custkey) AS m_tile
+             |  FROM t)
+             |SELECT o_custkey, recency_days, freq, monetary_cents,
+             |  r_tile, f_tile, m_tile,
+             |  CAST(r_tile * 100 + f_tile * 10 + m_tile AS BIGINT) AS rfm
+             |FROM n ORDER BY o_custkey""".stripMargin)),
 
     // ---- pivot: order counts per priority x status, expressed as Spark
     // pivot() and oracled with FILTER aggregation (engine-neutral twin)

@@ -19,7 +19,10 @@ object PlanDump {
     "x1_dedup_clusters", "x2_jaccard_bigram", "x4_ngram_topk", "x2_containment",
     // round-7 additions: the end-to-end funnel (most expensive query) and
     // the banded LSH candidate join
-    "x4_pipeline_funnel", "x3_knn_lsh")
+    "x4_pipeline_funnel", "x3_knn_lsh",
+    // round-7 batch 2: the other bench top-5 resident (rrf), the iterative
+    // graph query, and the mapGroups greedy rerank
+    "x3_rrf_fusion", "x5_pagerank", "x3_mmr_rerank")
 
   private val preamble =
     """# PLANS — executed (AQE-final) physical plans of headline queries
@@ -72,6 +75,17 @@ object PlanDump {
       |  O(k) map-side, the full per-lang sort never materializes.
       |- x2_containment: the bitset containment join — popcount predicate
       |  inside the join condition, qualifying pairs only.
+      |- x3_rrf_fusion: two k-bounded legs (IVF dense, token-Jaccard lexical)
+      |  each ending in WindowGroupLimit, fused by one outer join on
+      |  (query, neighbor) — no full-corpus exchange after the legs.
+      |- x5_pagerank: the persisted symmetric edge list reused by all 5
+      |  iterations (one InMemoryRelation, 5 consumers); every contribution
+      |  join broadcast (rank frame is node-sized), one sum shuffle per
+      |  iteration, no materialization barriers between iterations.
+      |- x3_mmr_rerank: the candidate window (broadcast NL join +
+      |  WindowGroupLimit, x3_knn_brute's shape) feeding ONE
+      |  MapGroups/SerializeFromObject stage — the greedy selection is a
+      |  single shuffle on query_id, no per-step exchanges.
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {

@@ -158,7 +158,7 @@ object ProfileMain {
         "x2_minhash_lsh", "x2_simhash_neardup", "x3_knn_ivf",
         "x5_neardup_ivf", "x4_tfidf", "x4_decontam", "x4_pack",
         "x3_knn_filtered", "x4_ngram_topk", "x4_dedup_weight",
-        "x4_vocab_coverage"))
+        "x4_vocab_coverage", "x5_pagerank", "x3_mmr_rerank"))
 
   /** @prefix — scaling sweep for the OPEN-VOCABULARY prefix-filtered path,
     * on a corpus actually shaped like that regime: G topic groups, each

@@ -149,6 +149,65 @@ class LlmSpec extends AnyFunSuite {
     assert(maxErr <= 0.02, s"max |cos_float - cos_int8| = $maxErr")
   }
 
+  test("x3_knn_cascade recalls >= 0.95 of the exact float top-10; overlap sims exact") {
+    // the int8 stage keeps a 5x-oversized pool (50 for a final 10), so the
+    // O(1/127) quantization noise would have to displace a true neighbor
+    // past 40 spurious candidates for the cascade to miss it — recall
+    // should be near-perfect, strictly better than the raw int8 top-10.
+    // Where a (query, neighbor) appears in both, the cascade's sim is the
+    // FULL-PRECISION cosine, so it must equal brute's bit-for-bit.
+    val brute = q("x3_knn_brute").collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    graft.Caches.drain(spark)
+    val casc = q("x3_knn_cascade").collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    graft.Caches.drain(spark)
+    assert(brute.nonEmpty)
+    val recall = brute.keySet.intersect(casc.keySet).size.toDouble / brute.size
+    assert(recall >= 0.95, s"cascade recall $recall")
+    val overlap = brute.keySet.intersect(casc.keySet)
+    assert(overlap.forall(k => brute(k) == casc(k)),
+      "cascade rerank sims must be the exact float cosines")
+  }
+
+  test("x3_mmr_rerank picks are less redundant than the top-5 by relevance") {
+    // the point of MMR: among each query's 5 picks, the max pairwise
+    // cosine must not exceed the max pairwise cosine of the plain
+    // relevance top-5 (averaged over queries it must be strictly lower on
+    // clustered data) — and pick 1 must be the relevance top-1.
+    import graft.functions.{VectorFunctions => VF}
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def maxPairSim(ids: Seq[Long]): Double =
+      (for (i <- ids.indices; j <- i + 1 until ids.size)
+        yield cos(e(ids(i)), e(ids(j)))).max
+    val mmr = q("x3_mmr_rerank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (qid, rows) =>
+        qid -> rows.sortBy(_._3).map(_._2).toSeq }
+    graft.Caches.drain(spark)
+    val top5 = q("x3_knn_brute").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._2 <= 5)
+      .groupBy(_._1).map { case (qid, rows) =>
+        qid -> rows.sortBy(_._2).map(_._3).toSeq }
+    graft.Caches.drain(spark)
+    assert(mmr.nonEmpty && mmr.keySet == top5.keySet)
+    for (qid <- mmr.keySet) {
+      assert(mmr(qid).head == top5(qid).head, s"query $qid: pick 1 must be top-1")
+      assert(mmr(qid).size == 5)
+    }
+    val mmrRed = mmr.keySet.toSeq.map(qid => maxPairSim(mmr(qid))).sum
+    val topRed = mmr.keySet.toSeq.map(qid => maxPairSim(top5(qid))).sum
+    assert(mmrRed <= topRed,
+      s"MMR picks are MORE redundant than plain top-5: $mmrRed > $topRed")
+  }
+
   test("x5_neardup_ivf is EXACT: identical to the x5_embedding_neardup twin") {
     val exact = q("x5_embedding_neardup").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
