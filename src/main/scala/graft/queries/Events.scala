@@ -480,6 +480,41 @@ object Events {
              |FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
              |GROUP BY d.day ORDER BY day""".stripMargin)),
 
+    // ---- behavioral transition matrix (the first-order Markov summary of
+    // user journeys): per user, each event's successor via lead() over
+    // (ts, event_id) — the repo's total-order tie-break convention — then
+    // transition counts and per-source-row probabilities in exact integer
+    // e4 units (n·10⁴ div row-total, no float division). One user_id
+    // window shuffle + one (from,to)-keyed count; the 25-row transition
+    // matrix broadcasts back for the probability join. At 100 TB the lead
+    // window rides the same user_id partitioning as sessions/retention.
+    Q("q_events_markov",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val trans = t(s, dir)
+          .withColumn("next_type", lead("event_type", 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val rowTot = trans.groupBy("from_type").agg(sum("n").as("row_n"))
+        trans.join(broadcast(rowTot), "from_type")
+          .select(col("from_type"), col("to_type"), col("n"),
+            expr("n * 10000 div row_n").as("p_e4"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type,
+             |    LEAD(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS next_type
+             |  FROM events),
+             |t AS (SELECT event_type AS from_type, next_type AS to_type,
+             |    COUNT(*) AS n
+             |  FROM e WHERE next_type IS NOT NULL GROUP BY 1, 2),
+             |r AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_n
+             |  FROM t GROUP BY 1)
+             |SELECT t.from_type, t.to_type, t.n, t.n * 10000 // r.row_n AS p_e4
+             |FROM t JOIN r USING (from_type)
+             |ORDER BY from_type, to_type""".stripMargin)),
+
     // ---- time-series gap fill + forward fill: the hourly rollup re-gridded
     // onto a dense per-type hour axis (the driver's events are sparse: ~175
     // of 713 hours observed per type at sf0.001), missing hours carry the

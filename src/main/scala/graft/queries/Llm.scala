@@ -938,6 +938,68 @@ object Llm {
              |FROM ver WHERE CAST(i AS DOUBLE)/(na+nb-i) >= 0.5
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // ---- X1 dedup clustering on the LSH CANDIDATE graph — the 100 TB form
+    // of x1_dedup_clusters: edges come from the banded MinHash join
+    // (verified >= 0.5 Jaccard), never from exact pair enumeration, so edge
+    // generation is sub-quadratic band-bucket work end-to-end; the
+    // pairs -> ConnectedComponents -> representative-label step is the
+    // shared labelClusters path. Every hash is the portable mod-prime
+    // family, so the oracle replays the candidate generation bit-for-bit
+    // and a recursive CTE replays the clustering.
+    Q("x1_lsh_clusters",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val pairs = minhashLshPairsUnsorted(s, d, 0.5)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        labelClusters(d.select(col("doc_id").as("id")), pairs, "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE
+             |w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+             |wh AS (SELECT doc_id, [
+             |    (list_reduce([CAST(0 AS BIGINT)] ||
+             |       [CAST(unicode(c) AS BIGINT) FOR c IN string_split(x,'')],
+             |       (a,b) -> (a*31+b) % 1000000007) * 2147483648 +
+             |     list_reduce([CAST(0 AS BIGINT)] ||
+             |       [CAST(unicode(c) AS BIGINT) FOR c IN string_split(x,'')],
+             |       (a,b) -> (a*131+b) % 2147483647)) FOR x IN ws] AS hws FROM w),
+             |sh AS (SELECT doc_id, list_distinct([
+             |    (list_reduce([CAST(0 AS BIGINT)] ||
+             |       list_slice(hws, i, least(i+2, len(hws))),
+             |       (a,h) -> (a*1000003+h) % 1000000007) * 2147483648 +
+             |     list_reduce([CAST(0 AS BIGINT)] ||
+             |       list_slice(hws, i, least(i+2, len(hws))),
+             |       (a,h) -> (a*1000033+h) % 2147483647))
+             |    FOR i IN range(1, greatest(len(hws)-1, 2))]) AS hs FROM wh),
+             |shing AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+             |fam AS (SELECT doc_id, k,
+             |    MIN((((506952114*(k+1)+1) % 2147483647) * (h % 2147483647)
+             |         + ((40503*(k+1)+17) % 2147483647)) % 2147483647) AS sig
+             |  FROM shing CROSS JOIN (SELECT unnest(range(0,32)) AS k) ks
+             |  GROUP BY doc_id, k),
+             |band AS (SELECT f0.doc_id, f0.k // 2 AS b,
+             |    f0.sig * 2147483647 + f1.sig AS bk
+             |  FROM fam f0 JOIN fam f1
+             |    ON f0.doc_id = f1.doc_id AND f1.k = f0.k + 1
+             |  WHERE f0.k % 2 = 0),
+             |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+             |  FROM band a JOIN band b2
+             |    ON a.b = b2.b AND a.bk = b2.bk AND a.doc_id < b2.doc_id),
+             |ver AS (SELECT doc_a, doc_b, len(list_intersect(x.hs, y.hs)) AS i,
+             |    len(x.hs) AS na, len(y.hs) AS nb
+             |  FROM cand JOIN sh x ON x.doc_id = doc_a
+             |            JOIN sh y ON y.doc_id = doc_b),
+             |p AS (SELECT doc_a, doc_b FROM ver
+             |  WHERE CAST(i AS DOUBLE)/(na+nb-i) >= 0.5),
+             |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+             |          UNION ALL SELECT doc_b, doc_a FROM p),
+             |reach(a, b) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT reach.a, e.b FROM reach JOIN edges e ON reach.b = e.a)
+             |SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach
+             |GROUP BY a ORDER BY doc_id""".stripMargin)),
+
     // ---- X2 SimHash fingerprints: 62-bit, from distinct-token PORTABLE
     // word-hash bit votes, computed in ONE native pass per document
     // (graft_simhash over graft_wordhash62). The explode formulation ((doc,

@@ -693,6 +693,47 @@ object Relational {
              |  NTILE(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS quartile
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // ---- interval counting via sweep-line deltas (orders in flight per
+    // day, from order date to last line shipment): each interval becomes a
+    // +1/−1 delta pair, one day-keyed sum shuffle, then a running prefix
+    // sum over the DAY axis. The scale point: the naive form is a
+    // day×fact range join that re-probes the fact per report day; the
+    // sweep-line form touches the fact once and the only unpartitioned
+    // window runs over the day-level aggregate (calendar-bounded rows,
+    // like RangedNtile's P-row offset pass — never the table). Orders with
+    // no lineitems have no shipment and are excluded by the inner join.
+    Q("q_orders_inflight",
+      (s, dir) => {
+        val shipped = t(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(max(to_date(col("l_shipdate"))).as("shipd"))
+        val iv = t(s, dir, "orders")
+          .join(shipped, col("o_orderkey") === col("l_orderkey"))
+        val deltas = iv.select(col("o_orderdate").as("day"), lit(1L).as("d"))
+          .union(iv.select(date_add(col("shipd"), 1).as("day"), lit(-1L).as("d")))
+          .groupBy("day").agg(sum("d").as("delta"))
+        val w = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        deltas
+          .withColumn("open_orders", sum("delta").over(w))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("delta"), col("open_orders"))
+          .orderBy("day")
+      },
+      Some("""WITH s AS (SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS shipd
+             |  FROM lineitem GROUP BY 1),
+             |iv AS (SELECT o.o_orderkey, o.o_orderdate, s.shipd
+             |  FROM orders o JOIN s ON s.l_orderkey = o.o_orderkey),
+             |d AS (SELECT day, CAST(SUM(dd) AS BIGINT) AS delta FROM (
+             |    SELECT o_orderdate AS day, 1 AS dd FROM iv
+             |    UNION ALL SELECT shipd + 1, -1 FROM iv)
+             |  GROUP BY day)
+             |SELECT strftime(day, '%Y-%m-%d') AS day, delta,
+             |  CAST(SUM(delta) OVER (ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |    AS open_orders
+             |FROM d ORDER BY day""".stripMargin)),
+
     // ---- RFM customer segmentation (recency / frequency / monetary
     // quintiles — the standard warehouse cohorting derivation): one
     // customer-keyed aggregation, then three RangedNtile passes (each a

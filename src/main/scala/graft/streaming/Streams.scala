@@ -104,6 +104,27 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("status"), col("n"))
 
+  /** T6 (sliding + distinct): rolling distinct users per sliding window —
+    * the streaming twin of the batch q_events_sliding_dau (trailing-7-day
+    * DAU→WAU rollup). A sliding DISTINCT count needs two stateful steps,
+    * and both are state-BOUNDED: `window()` assigns each event to its
+    * length/slide windows (the same bounded ×7 expansion the batch query
+    * does with explode — never a range join), watermark-scoped
+    * dropDuplicates((window, user)) holds one state row per ACTIVE-window
+    * user (exactly the batch query's distinct-shrink, expiring as the
+    * watermark passes), then a per-window count. Append mode emits each
+    * window once, when it finalizes.
+    */
+  def slidingDau(events: DataFrame, length: String = "7 days",
+      slide: String = "1 day", watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(window(col("ts"), length, slide).as("w"), col("user_id"))
+      .dropDuplicates("w", "user_id")
+      .groupBy("w")
+      .agg(count(lit(1)).as("wau"))
+      .select(col("w.start").as("window_start"), col("wau"))
+
   /** T5 (sessions): per-device session windows with an inactivity gap. */
   def deviceSessions(readings: DataFrame, gap: String = "30 seconds",
       watermark: String = "1 minute"): DataFrame =

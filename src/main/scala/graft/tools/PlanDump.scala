@@ -101,7 +101,14 @@ object PlanDump {
     val sections = headliners.map { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.collect() // drive to completion so AQE finalizes every stage
-      s"## $name\n\n```\n${df.queryExecution.executedPlan}```\n"
+      // iterative queries (pagerank) unroll to plans with 2^iters repeated
+      // subtrees — cap each dump at 400 lines; drift still shows in the head
+      val full = df.queryExecution.executedPlan.toString
+      val lines = full.linesIterator.toSeq
+      val plan = if (lines.size <= 400) full
+        else lines.take(400).mkString("\n") +
+          s"\n... [truncated: ${lines.size - 400} more lines of repeated iteration subtrees]\n"
+      s"## $name\n\n```\n$plan```\n"
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
       preamble + "\n" + sections.mkString("\n"))

@@ -125,6 +125,30 @@ class StreamingSpec extends AnyFunSuite {
       (ts(0), "operational", 2L), (ts(0), "error", 1L), (ts(60), "operational", 1L)))
   }
 
+  test("T6 sliding distinct users matches the batch window computation") {
+    // 4-second windows sliding by 1 s; u1 at 0 s and 2 s must count ONCE in
+    // every window covering both (the distinct), twice nowhere; golden
+    // cross-check: the same rows through the identical batch expression
+    val in = MemoryStream[(Long, Timestamp)](spark)
+    val df = in.toDF().toDF("user_id", "ts")
+    val data = Seq((1L, ts(0)), (1L, ts(2)), (2L, ts(1)), (3L, ts(5)))
+    in.addData(data: _*)
+    val q = Streams.slidingDau(df, "4 seconds", "1 second", "0 seconds")
+    runToMemory(q, "sdau_out", mode = "complete")
+    val got = spark.table("sdau_out")
+      .select("window_start", "wau").as[(Timestamp, Long)].collect().toSet
+    val expected = data.toDF("user_id", "ts")
+      .select(org.apache.spark.sql.functions.window(
+        org.apache.spark.sql.functions.col("ts"), "4 seconds", "1 second").as("w"),
+        org.apache.spark.sql.functions.col("user_id"))
+      .distinct()
+      .groupBy("w").count()
+      .select("w.start", "count").as[(Timestamp, Long)].collect().toSet
+    assert(got.nonEmpty && got == expected)
+    // spot-check one window: [ts(-1), ts(3)) covers u1 (twice), u2 -> wau 2
+    assert(got.contains((ts(-1), 2L)))
+  }
+
   test("T5 session windows split on the inactivity gap") {
     val in2 = MemoryStream[(String, Timestamp)](spark)
     val df2 = in2.toDF().toDF("device_id", "timestamp")
