@@ -279,6 +279,30 @@ object Multimodal {
     })
   }
 
+  /** Row-gradient perceptual hash of a decoded PPM raster: per-row
+    * brightness sums (all channels, full row — generic in width), then
+    * dHash-style gradient bits (bit y = row y brighter than row y+1),
+    * capped at 62 bits so the hash rides a Spark LongType exactly like
+    * SimHash. Pure integer arithmetic end-to-end — byte sums and
+    * comparisons — so an oracle can replay it from the payload-writer's
+    * source bytes bit-for-bit.
+    */
+  private[graft] def ppmRowHash(id: Long, b: Array[Byte]): (Long, Long, Int) = {
+    val (w, h, _, off) = parsePpmHeader(id, b)
+    val rowBytes = w * 3
+    val nRows = math.min(h, 63)
+    val sums = new Array[Long](nRows)
+    var y = 0
+    while (y < nRows) {
+      var s = 0L; var j = off + y * rowBytes; val end = j + rowBytes
+      while (j < end) { s += b(j) & 0xff; j += 1 }
+      sums(y) = s; y += 1
+    }
+    var hash = 0L; var k = 0
+    while (k < nRows - 1) { if (sums(k) > sums(k + 1)) hash |= (1L << k); k += 1 }
+    (id, hash, h)
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- binary metadata surface over the REAL image payload: byte
@@ -447,6 +471,104 @@ object Multimodal {
              |  CAST((SUM(k)*100) // (COUNT(*)*10000) AS DOUBLE)/100 AS avg_gray,
              |  CAST(MAX(h) AS INT) AS max_height,
              |  CAST(SUM(4*h) AS BIGINT) AS total_pixels
-             |FROM g GROUP BY 1, 2 ORDER BY width, maxval""".stripMargin))
+             |FROM g GROUP BY 1, 2 ORDER BY width, maxval""".stripMargin)),
+
+    // ---- perceptual image hash: every payload decoded by the REAL parser,
+    // then the row-gradient dHash (62-bit, integer-exact). The oracle
+    // replays the identical row sums + gradient bits from the writer's
+    // source bytes, so the hashes match bit-for-bit. img_rows rides along
+    // because the hash's information content is (rows-1) bits — consumers
+    // (the near-dup query below) gate on it.
+    Q("x5_image_phash",
+      (s, dir) => {
+        val withP = withPpmPayload(Tables.load(s, dir, "documents"))
+        import s.implicits._
+        withP.select("doc_id", "ppm").as[(Long, Array[Byte])]
+          .mapPartitions(rows => rows.map { case (id, bytes) => ppmRowHash(id, bytes) })
+          .toDF("doc_id", "phash", "img_rows")
+          .select(col("doc_id"), col("phash"), col("img_rows"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text, LENGTH(text) AS len,
+             |    greatest(CAST(ceil(LENGTH(text)/12.0) AS INT), 1) AS h
+             |  FROM documents),
+             |rs AS (SELECT doc_id, CAST(y AS BIGINT) AS y,
+             |    SUM(CASE WHEN 12*y + j < len
+             |        THEN unicode(substring(text, CAST(12*y + j + 1 AS INT), 1))
+             |        ELSE 0 END) AS s
+             |  FROM d, unnest(range(0, least(h, 63))) AS ty(y),
+             |          unnest(range(0, 12)) AS tj(j)
+             |  GROUP BY doc_id, y),
+             |nx AS (SELECT a.doc_id, a.y, a.s AS sa, b.s AS sb
+             |  FROM rs a JOIN rs b ON a.doc_id = b.doc_id AND b.y = a.y + 1),
+             |ph AS (SELECT doc_id,
+             |    CAST(SUM(CASE WHEN sa > sb THEN (CAST(1 AS BIGINT) << CAST(y AS INT))
+             |         ELSE 0 END) AS BIGINT) AS phash
+             |  FROM nx GROUP BY doc_id)
+             |SELECT d.doc_id, COALESCE(ph.phash, 0) AS phash, CAST(d.h AS INT) AS img_rows
+             |FROM d LEFT JOIN ph ON ph.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- perceptual near-dup pairs over the image hashes — visual dedup,
+    // the image-modality twin of x2_simhash_neardup. Short images carry too
+    // few gradient bits to be discriminative (an h-row raster has h−1 hash
+    // bits), so only images with ≥17 rows (≥16 bits) participate — the
+    // min-information gate any perceptual-dedup deployment applies. EXACT
+    // hamming ≤ 2 enumeration via the 3-block pigeonhole join
+    // (21/21/20 bits: ≤2 flips leave ≥1 block untouched), popcount verify,
+    // first-agreeing-block emission (stateless exactly-once, no candidate
+    // dedup shuffle). Oracle: brute-force over the replayed hashes.
+    Q("x5_phash_neardup",
+      (s, dir) => {
+        val withP = withPpmPayload(Tables.load(s, dir, "documents"))
+        import s.implicits._
+        val ph = graft.Caches.persist(
+          withP.select("doc_id", "ppm").as[(Long, Array[Byte])]
+            .mapPartitions(rows => rows.map { case (id, bytes) => ppmRowHash(id, bytes) })
+            .toDF("doc_id", "phash", "img_rows")
+            .filter(col("img_rows") >= 17))
+        val blocks = ph.select(col("doc_id"), col("phash"),
+            explode(sequence(lit(0), lit(2))).as("blk"))
+          .withColumn("key", expr(
+            "CASE WHEN blk = 2 THEN (phash >> 42) & 1048575 " +
+            "ELSE (phash >> (blk * 21)) & 2097151 END"))
+        val a = blocks.select(col("blk"), col("key"),
+          col("doc_id").as("doc_a"), col("phash").as("ha"))
+        val b = blocks.select(col("blk"), col("key"),
+          col("doc_id").as("doc_b"), col("phash").as("hb"))
+        a.join(b, Seq("blk", "key"))
+          .filter(col("doc_a") < col("doc_b"))
+          .withColumn("x", expr("ha ^ hb"))
+          .filter(col("blk") === when(expr("x & 2097151") === 0, 0)
+            .when(expr("(x >> 21) & 2097151") === 0, 1)
+            .otherwise(2))
+          .select(col("doc_a"), col("doc_b"),
+            expr("bit_count(x)").cast("long").as("hamming"))
+          .filter(col("hamming") <= 2)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH d AS (SELECT doc_id, text, LENGTH(text) AS len,
+             |    greatest(CAST(ceil(LENGTH(text)/12.0) AS INT), 1) AS h
+             |  FROM documents),
+             |rs AS (SELECT doc_id, CAST(y AS BIGINT) AS y,
+             |    SUM(CASE WHEN 12*y + j < len
+             |        THEN unicode(substring(text, CAST(12*y + j + 1 AS INT), 1))
+             |        ELSE 0 END) AS s
+             |  FROM d, unnest(range(0, least(h, 63))) AS ty(y),
+             |          unnest(range(0, 12)) AS tj(j)
+             |  GROUP BY doc_id, y),
+             |nx AS (SELECT a.doc_id, a.y, a.s AS sa, b.s AS sb
+             |  FROM rs a JOIN rs b ON a.doc_id = b.doc_id AND b.y = a.y + 1),
+             |ph0 AS (SELECT doc_id,
+             |    CAST(SUM(CASE WHEN sa > sb THEN (CAST(1 AS BIGINT) << CAST(y AS INT))
+             |         ELSE 0 END) AS BIGINT) AS phash
+             |  FROM nx GROUP BY doc_id),
+             |ph AS (SELECT d.doc_id, COALESCE(ph0.phash, 0) AS phash
+             |  FROM d LEFT JOIN ph0 ON ph0.doc_id = d.doc_id WHERE d.h >= 17)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+             |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.phash, b.phash)) <= 2
+             |ORDER BY doc_a, doc_b""".stripMargin))
   )
 }

@@ -25,6 +25,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(bright.mean_gray == 255.0)
   }
 
+  test("row-gradient phash on golden rasters: widths the oracle can't cover") {
+    // 2-wide, 4-row raster with known row sums 60, 330, 60, 330:
+    // gradients (60>330)=0, (330>60)=1, (60>330)=0 -> hash 0b010 = 2
+    val h4 = "P6\n2 4\n255\n".getBytes("US-ASCII")
+    val r4 = Array[Byte](
+      10, 10, 10,   10, 10, 10, // row 0 sum 60
+      55, 55, 55,   55, 55, 55, // row 1 sum 330
+      10, 10, 10,   10, 10, 10, // row 2 sum 60
+      55, 55, 55,   55, 55, 55) // row 3 sum 330
+    val (_, hash, rows) = Multimodal.ppmRowHash(1L, h4 ++ r4)
+    assert(rows == 4 && hash == 2L, s"hash $hash rows $rows")
+    // single-row image: no gradients, hash 0
+    val h1 = "P6\n3 1\n255\n".getBytes("US-ASCII")
+    val r1 = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9)
+    assert(Multimodal.ppmRowHash(2L, h1 ++ r1) == ((2L, 0L, 1)))
+    // unsigned read: a 0xFF row must outweigh a 0x01 row
+    val h2 = "P6\n1 2\n255\n".getBytes("US-ASCII")
+    val r2 = Array[Byte](-1, -1, -1, 1, 1, 1)
+    assert(Multimodal.ppmRowHash(3L, h2 ++ r2)._2 == 1L)
+  }
+
   test("PPM writer emits valid P6 that the decoder round-trips") {
     val docs = Tables.load(spark, sfDir, "documents")
     val feats = Multimodal.decodePpm(
