@@ -369,6 +369,61 @@ object Streams {
       .select(col("doc_id"), col("corpus_id").as("dup_of"), col("hamming"))
   }
 
+  final case class PhashIndex(blocks: DataFrame)
+
+  /** 3-block pigeonhole index of the corpus' perceptual image hashes
+    * (x5_image_phash's row-gradient dHash), gated to ≥17-row rasters —
+    * the same ≥16-gradient-bit information floor as x5_phash_neardup.
+    */
+  def phashIndex(corpusWithPpm: DataFrame): PhashIndex = {
+    import corpusWithPpm.sparkSession.implicits._
+    val ph = corpusWithPpm.select("doc_id", "ppm").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        graft.queries.Multimodal.ppmRowHash(id, b) })
+      .toDF("corpus_id", "corpus_fp", "img_rows")
+      .filter(col("img_rows") >= 17)
+    PhashIndex(ph.select(col("corpus_id"), col("corpus_fp"),
+        explode(sequence(lit(0), lit(2))).as("blk"))
+      .withColumn("key", expr(
+        "CASE WHEN blk = 2 THEN (corpus_fp >> 42) & 1048575 " +
+        "ELSE (corpus_fp >> (blk * 21)) & 2097151 END")))
+  }
+
+  /** Streaming VISUAL near-dup screen: flag every incoming image payload
+    * within hamming `maxHamming` (<= 2 for the 3-block index) of a corpus
+    * image hash — the image-modality ingest gate beside [[simhashScreen]]
+    * (text) and [[embeddingScreen]] (vectors). Same stateless contract:
+    * the REAL decoder runs per partition on the binary column, candidates
+    * come from a stream-static equi-join on (block, bits), the popcount
+    * verifies, and first-agreeing-block emission keeps the screen pure
+    * append — no foreachBatch, no state store, no watermark.
+    */
+  def phashScreen(incoming: DataFrame, index: PhashIndex,
+      maxHamming: Int = 2): DataFrame = {
+    require(maxHamming <= 2, "3-block pigeonhole is complete only to hamming 2")
+    import incoming.sparkSession.implicits._
+    val hashed = incoming.select("doc_id", "ppm").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        graft.queries.Multimodal.ppmRowHash(id, b) })
+      .toDF("doc_id", "fp", "img_rows")
+      .filter(col("img_rows") >= 17)
+    hashed.select(col("doc_id"), col("fp"),
+        explode(sequence(lit(0), lit(2))).as("blk"))
+      .withColumn("key", expr(
+        "CASE WHEN blk = 2 THEN (fp >> 42) & 1048575 " +
+        "ELSE (fp >> (blk * 21)) & 2097151 END"))
+      .join(broadcast(index.blocks), Seq("blk", "key"))
+      .withColumn("x", expr("fp ^ corpus_fp"))
+      .withColumn("first_agree",
+        when(expr("x & 2097151") === 0, 0)
+          .when(expr("(x >> 21) & 2097151") === 0, 1)
+          .otherwise(2))
+      .filter(col("blk") === col("first_agree"))
+      .withColumn("hamming", expr("bit_count(x)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_id"), col("corpus_id").as("dup_of"), col("hamming"))
+  }
+
   /** Streaming COUNT-MIN SKETCH over incoming `(doc_id, text)` rows: every
     * token occurrence increments its cell in each of the 4 hash rows, so
     * the streaming aggregation state IS the sketch — at most 4×1024 keys

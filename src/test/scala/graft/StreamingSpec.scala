@@ -340,6 +340,44 @@ class StreamingSpec extends AnyFunSuite {
       s"expected only the planted near-dup flagged, got $flagged")
   }
 
+  test("streaming phash screen flags a visually identical payload, " +
+      "matches its batch twin, stays appendable") {
+    import graft.streaming.Streams
+    import graft.queries.Multimodal
+    val docs = graft.Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val corpusPpm = Multimodal.withPpmPayload(docs)
+    val index = Streams.phashIndex(corpusPpm)
+    // pick a corpus doc long enough to clear the >= 17-row gate
+    val (srcId, srcText) = docs.filter(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")) >= 300)
+      .select("doc_id", "text").as[(Long, String)].head()
+    val incoming = Seq((9000000L, srcText),
+      (9000001L, "short novel caption"))
+    val in = MemoryStream[(Long, String)](spark)
+    val inPpm = Multimodal.withPpmPayload(
+      in.toDF().toDF("doc_id", "text")
+        .withColumn("lang", org.apache.spark.sql.functions.lit("en")))
+    val screened = Streams.phashScreen(inPpm, index)
+    assert(screened.isStreaming, "screen must stay a streaming plan")
+    val q = screened.writeStream.format("memory")
+      .queryName("phash_screen").outputMode("append").start()
+    in.addData(incoming: _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("phash_screen")
+      .select("doc_id", "dup_of", "hamming").as[(Long, Long, Long)]
+      .collect().toSet
+    // the byte-identical payload must flag against its source at hamming 0
+    assert(got.contains((9000000L, srcId, 0L)), s"planted dup missing from $got")
+    // decision parity with the batch form of the same screen
+    val batchPpm = Multimodal.withPpmPayload(
+      incoming.toDF("doc_id", "text")
+        .withColumn("lang", org.apache.spark.sql.functions.lit("en")))
+    val batch = Streams.phashScreen(batchPpm, index)
+      .select("doc_id", "dup_of", "hamming").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got == batch, s"stream $got != batch $batch")
+  }
+
   test("streaming simhash screen is appendable, matches its batch twin, " +
       "flags boilerplate, admits novel docs") {
     import graft.streaming.Streams
