@@ -303,6 +303,31 @@ object Multimodal {
     (id, hash, h)
   }
 
+  /** Energy-gradient audio fingerprint over decoded PCM16: contiguous
+    * frameLen-sample windows reduced to integer energy sums (Σ s²), then
+    * gradient bits (frame f louder than frame f+1), capped at 62 bits —
+    * the audio analog of [[ppmRowHash]], same exact-integer contract.
+    */
+  private[graft] def wavEnergyHash(id: Long, b: Array[Byte],
+      frameLen: Int = 16): (Long, Long, Int) = {
+    val (bb, _, _, _, dataOff, dataLen) = wavChunks(id, b)
+    val n = dataLen / 2
+    val totalFrames = (math.max(n, 1) + frameLen - 1) / frameLen
+    val nFrames = math.min(totalFrames, 63)
+    val e = new Array[Long](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      var s2 = 0L; var i = f * frameLen; val end = math.min(i + frameLen, n)
+      while (i < end) {
+        val s = bb.getShort(dataOff + 2 * i).toLong; s2 += s * s; i += 1
+      }
+      e(f) = s2; f += 1
+    }
+    var hash = 0L; var k = 0
+    while (k < nFrames - 1) { if (e(k) > e(k + 1)) hash |= (1L << k); k += 1 }
+    (id, hash, totalFrames)
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- binary metadata surface over the REAL image payload: byte
@@ -569,6 +594,46 @@ object Multimodal {
              |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
              |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
              |WHERE bit_count(xor(a.phash, b.phash)) <= 2
-             |ORDER BY doc_a, doc_b""".stripMargin))
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ---- audio fingerprint: every WAV payload decoded by the REAL RIFF
+    // chunk walker, then the energy-gradient hash over contiguous 16-sample
+    // frames (integer Σs² energies, 62-bit gradient — the audio analog of
+    // the image row-gradient hash, and the same shape a spectral-peak
+    // fingerprint takes once an FFT codec is swapped in). Exact integers
+    // end-to-end, so the oracle replays it from the payload writer's
+    // source bytes bit-for-bit; dedup over these hashes reuses the
+    // pigeonhole block join the image and SimHash screens demonstrate.
+    Q("x5_audio_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        withWavPayload(Tables.load(s, dir, "documents"))
+          .mapPartitions(rows => rows.map { case (id, bytes) =>
+            wavEnergyHash(id, bytes) })
+          .toDF("doc_id", "afp", "n_frames")
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
+             |f AS (SELECT doc_id, text, n,
+             |    unnest(range(0, CAST(least((greatest(n,1)+15)//16, 63) AS INT)))
+             |      AS fno FROM d),
+             |pos AS (SELECT doc_id, fno,
+             |    unnest(range(CAST(fno*16+1 AS INT),
+             |                 CAST(least(fno*16+16, n)+1 AS INT))) AS p,
+             |    text FROM f),
+             |en AS (SELECT doc_id, fno,
+             |    SUM(CAST(((unicode(substring(text,p,1))-128)*256)
+             |           * ((unicode(substring(text,p,1))-128)*256) AS BIGINT)) AS e
+             |  FROM pos GROUP BY doc_id, fno),
+             |nx AS (SELECT a.doc_id, a.fno, a.e AS ea, b.e AS eb
+             |  FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.fno = a.fno + 1),
+             |h AS (SELECT doc_id,
+             |    CAST(SUM(CASE WHEN ea > eb THEN (CAST(1 AS BIGINT) << CAST(fno AS INT))
+             |         ELSE 0 END) AS BIGINT) AS afp
+             |  FROM nx GROUP BY doc_id)
+             |SELECT d.doc_id, COALESCE(h.afp, 0) AS afp,
+             |  CAST((greatest(d.n,1)+15)//16 AS INT) AS n_frames
+             |FROM d LEFT JOIN h ON h.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin))
   )
 }
