@@ -305,4 +305,58 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(!p.contains("CartesianProduct"), s"cartesian in the fusion plan:\n$p")
     graft.Caches.drain(spark)
   }
+
+  test("q_basket_pairs: top-100 is TakeOrderedAndProject; the self-join is " +
+      "equi-keyed on the order") {
+    val p = planOf("q_basket_pairs")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"support top-k must be a partial top-k, not a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the within-order pair join must stay equi-keyed:\n$p")
+  }
+
+  test("q_skew_profile: the 1-row totals ride a broadcast, top-10 is a " +
+      "partial top-k") {
+    val p = planOf("q_skew_profile")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"totals frame should broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must be a partial top-k:\n$p")
+  }
+
+  test("q_events_markov: one user_id exchange feeds the lead window; the " +
+      "25-row matrix broadcasts back") {
+    val df = SparkEntry.queries("q_events_markov")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    val userExchanges = collectWithSubqueries(p) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("user_id") => e
+    }
+    assert(userExchanges.size == 1,
+      s"expected exactly one user_id shuffle, got ${userExchanges.size}:\n$p")
+    assert(p.toString.contains("BroadcastHashJoin"),
+      s"row-total join should broadcast:\n$p")
+  }
+
+  test("x5_phash_neardup: candidates come from an equi-key block join, " +
+      "never an all-pairs join") {
+    val p = planOf("x5_phash_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"phash pairing must stay on the pigeonhole equi-join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), s"no equi-join found:\n$p")
+    graft.Caches.drain(spark)
+  }
+
+  test("x3_mmr_rerank: the greedy selection is ONE MapGroups stage over a " +
+      "single query_id shuffle; candidates broadcast against the corpus") {
+    val df = SparkEntry.queries("x3_mmr_rerank")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("MapGroups"), s"greedy step must be mapGroups:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"candidate top-20 must be a WindowGroupLimit partial top-k:\n$p")
+    graft.Caches.drain(spark)
+  }
 }
