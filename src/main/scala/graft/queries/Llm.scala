@@ -2082,6 +2082,77 @@ object Llm {
              |    AS n_masked
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- X4 feature hashing (the hashing trick): every token folds into
+    // one of 32 buckets via the PORTABLE word hash, per-doc bucket counts
+    // are the document's fixed-dimension count vector — the vocab-free
+    // text-to-vector bridge that needs no dictionary broadcast and no
+    // vocabulary-sized state at any corpus size (the property that makes
+    // it the default featurizer at 100 TB). Emitted unpivoted as
+    // (doc_id, pos, cnt) rows like q_label_centroids, integer-exact, one
+    // (doc, bucket)-keyed count shuffle with map-side partial aggregation.
+    Q("x4_hash_embed",
+      (s, dir) => {
+        graft.functions.NativeExpressions.register(s)
+        docs(s, dir)
+          .select(col("doc_id"),
+            explode(call_function("graft_wordhash62", TF.tokens(col("text"))))
+              .as("h"))
+          .select(col("doc_id"), expr("pmod(h, 32)").as("pos"))
+          .groupBy("doc_id", "pos").agg(count(lit(1)).as("cnt"))
+          .orderBy("doc_id", "pos")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
+             |  FROM documents),
+             |th AS (SELECT doc_id,
+             |    (list_reduce([CAST(0 AS BIGINT)] ||
+             |       [CAST(unicode(c) AS BIGINT) FOR c IN string_split(w,'')],
+             |       (a,b) -> (a*31+b) % 1000000007) * 2147483648 +
+             |     list_reduce([CAST(0 AS BIGINT)] ||
+             |       [CAST(unicode(c) AS BIGINT) FOR c IN string_split(w,'')],
+             |       (a,b) -> (a*131+b) % 2147483647)) AS h
+             |  FROM tok)
+             |SELECT doc_id, h % 32 AS pos, COUNT(*) AS cnt
+             |FROM th GROUP BY doc_id, pos ORDER BY doc_id, pos""".stripMargin)),
+
+    // ---- X4 training-example construction: BERT-style masked-LM example
+    // building — 15% of token positions (selected by a PORTABLE per-
+    // (doc, position) LCG gate, independent of the split/mixture hashes)
+    // are replaced by a sentinel in the input text, and the masked-out
+    // tokens become the target sequence. Everything is array arithmetic on
+    // the token vector (one scan, no shuffle at all until the output sort),
+    // and the gate is pure integer, so both engines build IDENTICAL
+    // examples — the determinism every resumable data loader needs.
+    Q("x4_mlm_mask",
+      (s, dir) =>
+        docs(s, dir)
+          .withColumn("tok", TF.tokens(col("text")))
+          .select(
+            col("doc_id"),
+            expr("""array_join(zip_with(tok, sequence(0, size(tok) - 1),
+                   |  (t, i) -> IF((doc_id * 2654435761 + i * 40503) % 2147483647 % 100 < 15,
+                   |            '<mask>', t)), ' ')""".stripMargin).as("masked_text"),
+            expr("""array_join(filter(zip_with(tok, sequence(0, size(tok) - 1),
+                   |  (t, i) -> IF((doc_id * 2654435761 + i * 40503) % 2147483647 % 100 < 15,
+                   |            t, NULL)), x -> x IS NOT NULL), ' ')""".stripMargin)
+              .as("targets"),
+            expr("""CAST(size(filter(sequence(0, size(tok) - 1),
+                   |  i -> (doc_id * 2654435761 + i * 40503) % 2147483647 % 100 < 15))
+                   |  AS BIGINT)""".stripMargin).as("n_masked"))
+          .orderBy("doc_id"),
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |pos AS (SELECT doc_id, ws,
+             |    unnest(range(0, len(ws))) AS i FROM tok),
+             |m AS (SELECT doc_id, i, ws[CAST(i + 1 AS INT)] AS t,
+             |    ((doc_id * 2654435761 + i * 40503) % 2147483647) % 100 < 15 AS hit
+             |  FROM pos)
+             |SELECT doc_id,
+             |  string_agg(CASE WHEN hit THEN '<mask>' ELSE t END, ' ' ORDER BY i)
+             |    AS masked_text,
+             |  COALESCE(string_agg(CASE WHEN hit THEN t END, ' ' ORDER BY i), '')
+             |    AS targets,
+             |  CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
+             |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- X4 quality: unigram language-model score (the CCNet/Gopher-style
     // LM filter): per-doc mean token log-probability under the corpus's own
     // unigram distribution — low scores flag gibberish / outlier docs.
