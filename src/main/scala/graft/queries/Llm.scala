@@ -1204,6 +1204,10 @@ object Llm {
           .select(col("id_a").as("src"), col("id_b").as("dst"))
         val edges = graft.Caches.persist(
           pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst"))))
+        // deg deliberately NOT persisted either — A/B profiled: caching it
+        // measured 3.5 s steady vs 2.1-2.8 s lazy (the InMemoryRelation
+        // blocks AQE's broadcast of the re-aggregated node frame; the
+        // replayed aggregations over the persisted edge cache are cheaper)
         val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
           .withColumnRenamed("src", "id")
         val tot = deg.agg(count(lit(1)).as("n"))

@@ -323,20 +323,26 @@ object Relational {
 
     // ---- frequent-pair mining (the support-counting core of market-basket
     // / co-occurrence analysis): parts that ship together in ≥2 orders,
-    // top-100 by support. Shape for scale: distinct-shrink to (order, part)
-    // FIRST, then the within-order self-join — the blow-up is Σ items²/order
-    // (bounded by basket size, never corpus size; a mega-basket at 100 TB
-    // gets a per-order item cap or salting — same guard as the LSH hot-band
-    // cap), then one pair-keyed count shuffle and a TakeOrderedAndProject
-    // top-k tail (partial top-k per partition, no global sort).
+    // top-100 by support. Shape for scale: ONE order-keyed shuffle builds
+    // each basket's sorted distinct part array (collect_set dedups in the
+    // aggregation buffer), then pairs expand IN-ROW via a HOF — vs the
+    // self-join formulation, which shuffles the item list twice and joins;
+    // both profiled equal locally, but the in-row form halves shuffle
+    // volume, which is what matters at 100 TB. The blow-up stays bounded
+    // by basket size (a mega-basket at 100 TB gets a per-order item cap or
+    // salting — same guard as the LSH hot-band cap); the tail is one
+    // pair-keyed count shuffle + a TakeOrderedAndProject partial top-k.
     Q("q_basket_pairs",
       (s, dir) => {
-        val items = t(s, dir, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct()
-        val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-        val b = items.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-        a.join(b, Seq("l_orderkey"))
-          .filter(col("part_a") < col("part_b"))
+        val baskets = t(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        baskets.select(explode(expr(
+            """flatten(transform(ps, (a, i) ->
+              |  transform(slice(ps, i + 2, size(ps)),
+              |            b -> struct(a AS part_a, b AS part_b))))""".stripMargin))
+            .as("pr"))
+          .select(col("pr.part_a"), col("pr.part_b"))
           .groupBy("part_a", "part_b")
           .agg(count(lit(1)).as("support"))
           .filter(col("support") >= 2)

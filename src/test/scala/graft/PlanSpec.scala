@@ -306,13 +306,13 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     graft.Caches.drain(spark)
   }
 
-  test("q_basket_pairs: top-100 is TakeOrderedAndProject; the self-join is " +
-      "equi-keyed on the order") {
+  test("q_basket_pairs: top-100 is TakeOrderedAndProject; pair expansion is " +
+      "in-row (no join at all)") {
     val p = planOf("q_basket_pairs")
     assert(p.contains("TakeOrderedAndProject"),
       s"support top-k must be a partial top-k, not a global sort:\n$p")
-    assert(!p.contains("CartesianProduct"),
-      s"the within-order pair join must stay equi-keyed:\n$p")
+    assert(!p.contains("Join"),
+      s"pairs must expand in-row from the basket array, not via a join:\n$p")
   }
 
   test("q_skew_profile: the 1-row totals ride a broadcast, top-10 is a " +
