@@ -52,6 +52,34 @@ class SourcesSpec extends AnyFunSuite {
     assert(out == Set(("d1", 2L, 11.0), ("d2", 1L, 20.0), ("d3", 1L, 30.0)))
   }
 
+  test("Forget: targeted deletion rewrites the table minus the keys, " +
+      "atomically, with an exact audit count") {
+    val dir = Files.createTempDirectory("graft-forget").toString + "/t"
+    flat.write.mode("overwrite").parquet(dir)
+    val total = flat.count()
+    val victims = flat.select("device_id").distinct()
+      .orderBy("device_id").limit(2)
+      .collect().map(_.getString(0)).toSeq
+    val expectDropped = flat.filter(col("device_id").isin(victims: _*)).count()
+    val (kept, dropped) = graft.sources.Forget(spark, dir, "device_id", victims)
+    assert(dropped == expectDropped && kept == total - expectDropped,
+      s"audit (kept=$kept dropped=$dropped) vs expected " +
+        s"(${total - expectDropped}, $expectDropped)")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == kept)
+    assert(back.filter(col("device_id").isin(victims: _*)).count() == 0,
+      "forgotten keys must not survive the rewrite")
+    // surviving rows are untouched — same set as a plain filter
+    val survivors = flat.filter(!col("device_id").isin(victims: _*))
+      .select("device_id", "timestamp").collect().map(_.toString).sorted.toSeq
+    val after = back.select("device_id", "timestamp")
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == survivors)
+    // no leftover scratch directories from the swap
+    assert(!new java.io.File(dir + ".forget").exists())
+    assert(!new java.io.File(dir + ".old").exists())
+  }
+
   test("Compact: many small files rewrite to the computed file count") {
     import graft.sources.Compact
     val dir = Files.createTempDirectory("graft-compact").toString + "/t"
