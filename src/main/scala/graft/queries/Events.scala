@@ -480,6 +480,49 @@ object Events {
              |FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
              |GROUP BY d.day ORDER BY day""".stripMargin)),
 
+    // ---- differentially-private count release (the governance twin of
+    // sources.Forget): per-type event counts plus two-sided-geometric noise
+    // (the discrete Laplace mechanism, ε=0.5) — noise = G1 − G2 with
+    // G = floor(−2·ln(U)), U drawn from a PORTABLE seeded LCG on the
+    // group key's mod-prime hash, so the "randomness" is replayable and
+    // both engines release identical values (ln on identical doubles is
+    // cross-engine stable — the x4_lm_score precedent). The raw count
+    // rides along as the VERIFICATION surface (like q_approx_distinct's
+    // exact twin); a production release publishes only the noised column.
+    // One count shuffle; the noise is per-group scalar arithmetic.
+    Q("q_dp_counts",
+      (s, dir) =>
+        t(s, dir).groupBy("event_type").agg(count(lit(1)).as("n"))
+          .withColumn("h", expr(
+            """aggregate(transform(split(event_type, ''),
+              |  c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT),
+              |  (a, x) -> (a * 31 + x) % 1000000007)""".stripMargin))
+          .withColumn("u1", expr(
+            "(CAST((h * 2654435761 + 12345) % 2147483647 AS DOUBLE) + 1.0) / 2147483648.0"))
+          .withColumn("u2", expr(
+            "(CAST((h * 40503 + 17) % 2147483647 AS DOUBLE) + 1.0) / 2147483648.0"))
+          .withColumn("noise", expr(
+            "CAST(floor(-2.0 * ln(u1)) - floor(-2.0 * ln(u2)) AS BIGINT)"))
+          .select(col("event_type"), col("n"),
+            (col("n") + col("noise")).as("released"))
+          .orderBy("event_type"),
+      Some("""WITH c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+             |h AS (SELECT event_type, n,
+             |    list_reduce([CAST(0 AS BIGINT)] ||
+             |      [CAST(unicode(x) AS BIGINT) FOR x IN string_split(event_type, '')],
+             |      (a, b) -> (a * 31 + b) % 1000000007) AS hv
+             |  FROM c),
+             |u AS (SELECT event_type, n,
+             |    (CAST((hv * 2654435761 + 12345) % 2147483647 AS DOUBLE) + 1.0)
+             |      / 2147483648.0 AS u1,
+             |    (CAST((hv * 40503 + 17) % 2147483647 AS DOUBLE) + 1.0)
+             |      / 2147483648.0 AS u2
+             |  FROM h)
+             |SELECT event_type, n,
+             |  n + CAST(floor(-2.0 * ln(u1)) - floor(-2.0 * ln(u2)) AS BIGINT)
+             |    AS released
+             |FROM u ORDER BY event_type""".stripMargin)),
+
     // ---- behavioral transition matrix (the first-order Markov summary of
     // user journeys): per user, each event's successor via lead() over
     // (ts, event_id) — the repo's total-order tie-break convention — then
