@@ -699,6 +699,42 @@ object Relational {
              |  NTILE(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS quartile
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // ---- W1/W3 completion: nth_value over an explicit full-partition
+    // frame (the default running frame would yield nulls before row n) +
+    // cume_dist, emitted for each group's top-5 rows only — the rank
+    // cutoff plans as WindowGroupLimit... for the ROW_NUMBER leg; the
+    // full-partition nth_value/cume_dist legs still need the whole group,
+    // which is the point of the explicit-frame demonstration. cume_dist is
+    // one division of identical integers in both engines — bit-stable.
+    Q("q_nth_window",
+      (s, dir) => {
+        val ord = Seq(desc("l_extendedprice"), asc("l_orderkey"),
+          asc("l_linenumber"), asc("l_partkey"), asc("l_suppkey"))
+        val w = Window.partitionBy("l_returnflag").orderBy(ord: _*)
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "lineitem")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("third_price",
+            nth_value(col("l_extendedprice"), 3).over(wf))
+          .withColumn("cd", cume_dist().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("l_returnflag"), col("rn"), col("l_orderkey"),
+            col("l_extendedprice"), col("third_price"),
+            round(col("cd") * 1000000).cast("long").as("cd_e6"))
+          .orderBy("l_returnflag", "rn")
+      },
+      Some("""SELECT l_returnflag, rn, l_orderkey, l_extendedprice, third_price, cd_e6
+             |FROM (SELECT l_returnflag, l_orderkey, l_extendedprice,
+             |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+             |  NTH_VALUE(l_extendedprice, 3) OVER (PARTITION BY l_returnflag
+             |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey, l_suppkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_price,
+             |  CAST(ROUND(CUME_DIST() OVER w * 1000000) AS BIGINT) AS cd_e6
+             |  FROM lineitem
+             |  WINDOW w AS (PARTITION BY l_returnflag
+             |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey, l_suppkey))
+             |WHERE rn <= 5 ORDER BY l_returnflag, rn""".stripMargin)),
+
     // ---- interval counting via sweep-line deltas (orders in flight per
     // day, from order date to last line shipment): each interval becomes a
     // +1/−1 delta pair, one day-keyed sum shuffle, then a running prefix

@@ -158,7 +158,9 @@ object ProfileMain {
         "x2_minhash_lsh", "x2_simhash_neardup", "x3_knn_ivf",
         "x5_neardup_ivf", "x4_tfidf", "x4_decontam", "x4_pack",
         "x3_knn_filtered", "x4_ngram_topk", "x4_dedup_weight",
-        "x4_vocab_coverage", "x5_pagerank", "x3_mmr_rerank"))
+        "x4_vocab_coverage", "x5_pagerank", "x3_mmr_rerank",
+        "x1_lsh_clusters", "x4_mlm_mask", "x4_hash_embed",
+        "x5_image_phash", "x5_phash_neardup", "x5_audio_fingerprint"))
 
   /** @prefix — scaling sweep for the OPEN-VOCABULARY prefix-filtered path,
     * on a corpus actually shaped like that regime: G topic groups, each
