@@ -2086,6 +2086,47 @@ object Llm {
              |    AS n_masked
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- X4 corpus encoding: build the frequency-ranked vocabulary
+    // (top-1000 tokens, id = rank) and re-emit every document as its id
+    // sequence with OOV→0 — the tokenizer-apply step that turns curated
+    // text into model input. Scale shape: the vocab is k-BOUNDED (the
+    // single-partition ranking window runs over the LIMITED 1000-row
+    // frame, RangedNtile's P-row pattern — never the token table), rides
+    // a broadcast into the position-exploded token stream, and each doc's
+    // ids reassemble order-safely via array_sort on (pos, id) structs —
+    // no order-dependent aggregation.
+    Q("x4_encode",
+      (s, dir) => {
+        val tok = docs(s, dir)
+          .select(col("doc_id"), posexplode(TF.tokens(col("text"))).as(Seq("pos", "w")))
+        val vocab = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), asc("w")).limit(1000)
+          .withColumn("id",
+            row_number().over(Window.orderBy(desc("cnt"), asc("w"))).cast("long"))
+          .select("w", "id")
+        tok.join(broadcast(vocab), Seq("w"), "left")
+          .withColumn("id", coalesce(col("id"), lit(0L)))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("id") === 0L, 1L).otherwise(0L)).as("n_oov"),
+            array_join(expr("transform(array_sort(collect_list(struct(pos, id))), x -> x.id)"),
+              " ").as("ids"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ww FROM documents),
+             |tok AS (SELECT doc_id, ww[CAST(i AS INT)] AS w, CAST(i AS BIGINT) AS pos
+             |  FROM ws, unnest(range(1, len(ww) + 1)) AS t(i)),
+             |vocab AS (SELECT w, CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w)
+             |    AS BIGINT) AS id
+             |  FROM tok GROUP BY w ORDER BY COUNT(*) DESC, w LIMIT 1000)
+             |SELECT tok.doc_id, COUNT(*) AS n_tokens,
+             |  CAST(SUM(CASE WHEN vocab.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_oov,
+             |  string_agg(CAST(COALESCE(vocab.id, 0) AS VARCHAR), ' ' ORDER BY tok.pos)
+             |    AS ids
+             |FROM tok LEFT JOIN vocab USING (w)
+             |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin)),
+
     // ---- X4 feature hashing (the hashing trick): every token folds into
     // one of 32 buckets via the PORTABLE word hash, per-doc bucket counts
     // are the document's fixed-dimension count vector — the vocab-free
