@@ -634,6 +634,67 @@ object Multimodal {
              |SELECT d.doc_id, COALESCE(h.afp, 0) AS afp,
              |  CAST((greatest(d.n,1)+15)//16 AS INT) AS n_frames
              |FROM d LEFT JOIN h ON h.doc_id = d.doc_id
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- audio near-dup pairs over the energy fingerprints — the third
+    // modality of the pigeonhole dedup family (text SimHash, image phash,
+    // now audio): hamming ≤2 via the same 3-block join, gated to clips
+    // with ≥17 frames (≥16 gradient bits). Brute-force oracle over the
+    // replayed fingerprints.
+    Q("x5_afp_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val ph = graft.Caches.persist(
+          withWavPayload(Tables.load(s, dir, "documents"))
+            .mapPartitions(rows => rows.map { case (id, bytes) =>
+              wavEnergyHash(id, bytes) })
+            .toDF("doc_id", "afp", "n_frames")
+            .filter(col("n_frames") >= 17))
+        val blocks = ph.select(col("doc_id"), col("afp"),
+            explode(sequence(lit(0), lit(2))).as("blk"))
+          .withColumn("key", expr(
+            "CASE WHEN blk = 2 THEN (afp >> 42) & 1048575 " +
+            "ELSE (afp >> (blk * 21)) & 2097151 END"))
+        val a = blocks.select(col("blk"), col("key"),
+          col("doc_id").as("doc_a"), col("afp").as("ha"))
+        val b = blocks.select(col("blk"), col("key"),
+          col("doc_id").as("doc_b"), col("afp").as("hb"))
+        a.join(b, Seq("blk", "key"))
+          .filter(col("doc_a") < col("doc_b"))
+          .withColumn("x", expr("ha ^ hb"))
+          .filter(col("blk") === when(expr("x & 2097151") === 0, 0)
+            .when(expr("(x >> 21) & 2097151") === 0, 1)
+            .otherwise(2))
+          .select(col("doc_a"), col("doc_b"),
+            expr("bit_count(x)").cast("long").as("hamming"))
+          .filter(col("hamming") <= 2)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH d AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
+             |f AS (SELECT doc_id, text, n,
+             |    unnest(range(0, CAST(least((greatest(n,1)+15)//16, 63) AS INT)))
+             |      AS fno FROM d),
+             |pos AS (SELECT doc_id, fno,
+             |    unnest(range(CAST(fno*16+1 AS INT),
+             |                 CAST(least(fno*16+16, n)+1 AS INT))) AS p,
+             |    text FROM f),
+             |en AS (SELECT doc_id, fno,
+             |    SUM(CAST(((unicode(substring(text,p,1))-128)*256)
+             |           * ((unicode(substring(text,p,1))-128)*256) AS BIGINT)) AS e
+             |  FROM pos GROUP BY doc_id, fno),
+             |nx AS (SELECT a.doc_id, a.fno, a.e AS ea, b.e AS eb
+             |  FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.fno = a.fno + 1),
+             |h0 AS (SELECT doc_id,
+             |    CAST(SUM(CASE WHEN ea > eb THEN (CAST(1 AS BIGINT) << CAST(fno AS INT))
+             |         ELSE 0 END) AS BIGINT) AS afp
+             |  FROM nx GROUP BY doc_id),
+             |ph AS (SELECT d.doc_id, COALESCE(h0.afp, 0) AS afp
+             |  FROM d LEFT JOIN h0 ON h0.doc_id = d.doc_id
+             |  WHERE (greatest(d.n,1)+15)//16 >= 17)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+             |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.afp, b.afp)) <= 2
+             |ORDER BY doc_a, doc_b""".stripMargin))
   )
 }
