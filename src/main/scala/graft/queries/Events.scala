@@ -558,6 +558,41 @@ object Events {
              |FROM t JOIN r USING (from_type)
              |ORDER BY from_type, to_type""".stripMargin)),
 
+    // ---- engagement stickiness (DAU/WAU): daily active users over the
+    // trailing-7-day active users, the standard engagement ratio — built
+    // from the SAME distinct-shrunk (user, day) frame as the sliding
+    // rollup (one distinct pass feeds both legs), ratio in exact integer
+    // e4 units (dau·10⁴ div wau, no float division).
+    Q("q_events_stickiness",
+      (s, dir) => {
+        val ev = t(s, dir)
+        val ud = graft.Caches.persist(
+          ev.select(to_date(col("ts")).as("day"), col("user_id")).distinct())
+        val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+        val days = ud.select(col("day").as("day_w")).distinct()
+        val wau = ud
+          .select(explode(expr("sequence(day, date_add(day, 6))")).as("day_w"),
+            col("user_id"))
+          .join(days, "day_w")
+          .groupBy("day_w")
+          .agg(countDistinct("user_id").as("wau"))
+        dau.join(wau, col("day") === col("day_w"))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("dau"), col("wau"),
+            expr("dau * 10000 div wau").as("stickiness_e4"))
+          .orderBy("day")
+      },
+      Some("""WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+             |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+             |days AS (SELECT DISTINCT day FROM ud),
+             |wau AS (SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+             |  FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+             |  GROUP BY d.day)
+             |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+             |  dau.dau * 10000 // wau.wau AS stickiness_e4
+             |FROM dau JOIN wau ON dau.day = wau.day
+             |ORDER BY day""".stripMargin)),
+
     // ---- time-series gap fill + forward fill: the hourly rollup re-gridded
     // onto a dense per-type hour axis (the driver's events are sparse: ~175
     // of 713 hours observed per type at sf0.001), missing hours carry the

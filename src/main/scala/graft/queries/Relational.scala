@@ -699,6 +699,58 @@ object Relational {
              |  NTILE(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS quartile
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // ---- association-rule LIFT over the frequent pairs: how much more
+    // often parts co-ship than independence predicts —
+    // lift = support·N / (cnt_a·cnt_b), in exact integer e4 units
+    // (numerator scaled BEFORE the single floor division). Builds on the
+    // q_basket_pairs shape: in-row pair expansion, then the per-part
+    // order counts broadcast back onto the bounded pair list, totals as a
+    // 1-row broadcast. Top-100 by lift with full tie-break.
+    Q("q_basket_lift",
+      (s, dir) => {
+        val items = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct()
+        val itemsP = graft.Caches.persist(items)
+        val baskets = itemsP.groupBy("l_orderkey")
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        val pairs = baskets.select(explode(expr(
+            """flatten(transform(ps, (a, i) ->
+              |  transform(slice(ps, i + 2, size(ps)),
+              |            b -> struct(a AS part_a, b AS part_b))))""".stripMargin))
+            .as("pr"))
+          .select(col("pr.part_a"), col("pr.part_b"))
+          .groupBy("part_a", "part_b")
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+        val cnt = itemsP.groupBy("l_partkey").agg(count(lit(1)).as("c"))
+        val tot = itemsP.select("l_orderkey").distinct().agg(count(lit(1)).as("n"))
+        pairs
+          .join(broadcast(cnt.select(col("l_partkey").as("part_a"), col("c").as("ca"))),
+            Seq("part_a"))
+          .join(broadcast(cnt.select(col("l_partkey").as("part_b"), col("c").as("cb"))),
+            Seq("part_b"))
+          .crossJoin(broadcast(tot))
+          .select(col("part_a"), col("part_b"), col("support"),
+            expr("support * n * 10000 div (ca * cb)").as("lift_e4"))
+          .orderBy(desc("lift_e4"), asc("part_a"), asc("part_b"))
+          .limit(100)
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             |    COUNT(*) AS support
+             |  FROM items a JOIN items b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |cnt AS (SELECT l_partkey, COUNT(*) AS c FROM items GROUP BY 1),
+             |tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items)
+             |SELECT p.part_a, p.part_b, p.support,
+             |  p.support * t.n * 10000 // (ca.c * cb.c) AS lift_e4
+             |FROM pairs p
+             |JOIN cnt ca ON ca.l_partkey = p.part_a
+             |JOIN cnt cb ON cb.l_partkey = p.part_b
+             |CROSS JOIN tot t
+             |ORDER BY lift_e4 DESC, part_a, part_b LIMIT 100""".stripMargin)),
+
     // ---- W1/W3 completion: nth_value over an explicit full-partition
     // frame (the default running frame would yield nulls before row n) +
     // cume_dist, emitted for each group's top-5 rows only — the rank
