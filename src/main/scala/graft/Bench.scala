@@ -64,7 +64,39 @@ object Bench {
     val fs = strList(failed.toSeq.filterNot(results.contains))
     val fl = strList(failed.toSeq.filter(results.contains))
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"flaky":$fl,"sf":"$sfDir"}""")
+    // Per-query budget gate: BUDGETS.json (repo root; flat {"query": sec})
+    // pins a quiet-window min-of-3 per query. A query >2× its budget lands
+    // in "over_budget" — the driver-gate analog at per-query granularity,
+    // so a plan regression is caught by name, not buried in the total.
+    // Budgets and the current run both measure min-of-3 interleaved on the
+    // same box, so the ratio cancels host speed but NOT a noise burst that
+    // hits all three of one query's samples; over_budget is a flag to
+    // re-profile isolated, not yet proof of a regression.
+    val budgets: Map[String, Double] = {
+      val f = new java.io.File("BUDGETS.json")
+      if (!f.exists()) Map.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+    val overBudget = results.toSeq
+      .flatMap { case (name, t) =>
+        budgets.get(name).collect { case b if t > 2.0 * b => name -> (t / b) } }
+      .sortBy(-_._2)
+    val ob = overBudget
+      .map { case (n, r) => "\"" + n + "\":" + (math.round(r * 100) / 100.0) }
+      .mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""failed":$fs,"flaky":$fl,"over_budget":$ob,""" +
+        s""""budgeted":${budgets.size},"sf":"$sfDir"}"""
+    println(line)
+    // the harness keeps only a tail of stdout — persist the full record so
+    // round-over-round per-query comparison never depends on prose
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes("UTF-8"))
     graft.queries.Dashboard.clearCache(spark)
     graft.queries.Llm.clearCache(spark)
     spark.catalog.clearCache()

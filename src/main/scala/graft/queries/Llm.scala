@@ -536,6 +536,82 @@ object Llm {
     }
   }
 
+  /** The curation funnel's three gates over `d` (doc_id, text, ...), shared
+    * by the x4_pipeline_funnel query and [[graft.tools.CurateMain]] so the
+    * curated corpus a run writes can never diverge from the funnel counts
+    * it reports beside it. Returns (quality survivors, exact-dedup keepers,
+    * near-dup cluster representatives); each stage consumes the previous
+    * stage's survivors. qual/keepers are persisted via [[graft.Caches]] —
+    * callers drain after consuming.
+    */
+  private[graft] def curationStages(s: SparkSession,
+      d: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val toks = TF.tokens(col("text"))
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    val qual = graft.Caches.persist(d.filter(size(toks) >= 5 &&
+      size(filter(toks, x => x.isin(stop: _*))) >= 1))
+    // keeper per digest, text riding the SAME digest-keyed shuffle as the
+    // aggregation payload (first() is deterministic: every text in an md5
+    // group is identical) — vs groupBy+join-back, which would shuffle the
+    // corpus a second time on doc_id. The cluster stage consumes survivor
+    // text, so one text movement is inherent here.
+    val keepers = graft.Caches.persist(
+      qual.groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("doc_id"), first("text").as("text")))
+    val reps = dedupClusters(s, keepers.select("doc_id", "text"))
+      .filter(col("doc_id") === col("cluster_id"))
+    (qual, keepers, reps)
+  }
+
+  /** BPE merge training (Sennrich et al., ACL'16) over a `(w, freq)` word
+    * table: `iters` rounds of (count adjacent symbol pairs weighted by word
+    * frequency → argmax with (count desc, pair) tie-break → greedy
+    * left-to-right non-overlapping merge apply). Returns the merge table
+    * (merge_no, left_sym, right_sym, pair_count) — the artifact a tokenizer
+    * trainer persists. The merge apply is relational (windows over word
+    * partitions), never a driver loop: within each maximal run of
+    * consecutive matching positions (possible only when left==right, e.g.
+    * "aaaa" under (a,a)), greedy keeps the even offsets — gaps-and-islands.
+    * The argmax rides a 1-row broadcast; per-iteration state is persisted
+    * (Caches) so lineage never replans the whole chain. State size is the
+    * VOCABULARY's total symbol count, independent of corpus size.
+    */
+  private[graft] def bpeMerges(words: DataFrame, iters: Int): DataFrame = {
+    var syms = graft.Caches.persist(words.select(
+      col("w").as("word_id"), col("freq"),
+      posexplode(split(col("w"), ""))).toDF("word_id", "freq", "pos0", "sym")
+      .select(col("word_id"), col("freq"),
+        (col("pos0") + 1).as("pos"), col("sym")))
+    val byPos = Window.partitionBy("word_id").orderBy("pos")
+    var merges: DataFrame = null
+    for (k <- 1 to iters) {
+      val p = syms.withColumn("nxt", lead("sym", 1).over(byPos))
+      val best = p.filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("a"), col("nxt").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+      val m = p.crossJoin(broadcast(best))
+        .withColumn("hit",
+          when(col("sym") === col("a") && col("nxt") === col("b"), 1)
+            .otherwise(0))
+        .withColumn("island", col("pos") - row_number().over(
+          Window.partitionBy("word_id", "hit").orderBy("pos")))
+        .withColumn("mh", when(col("hit") === 1 &&
+          (row_number().over(Window.partitionBy("word_id", "hit", "island")
+            .orderBy("pos")) - 1) % 2 === 0, 1).otherwise(0))
+        .withColumn("consumed", lag("mh", 1, 0).over(byPos))
+      syms = graft.Caches.persist(m.filter(col("consumed") === 0)
+        .select(col("word_id"), col("freq"),
+          row_number().over(byPos).as("pos"),
+          when(col("mh") === 1, concat(col("a"), col("b")))
+            .otherwise(col("sym")).as("sym")))
+      val step = best.select(lit(k).as("merge_no"), col("a").as("left_sym"),
+        col("b").as("right_sym"), col("cnt").as("pair_count"))
+      merges = if (merges == null) step else merges.unionAll(step)
+    }
+    merges
+  }
+
   /** Lexical token-set-Jaccard top-k retrieval (query docs vs the corpus) —
     * the lexical leg of x3_rrf_fusion, ranked on the integer-floored e9
     * quotient with neighbor-id tie-break so the order is engine-exact.
@@ -1218,9 +1294,16 @@ object Llm {
         // barrier per iteration (the barrier costs more than the replayed
         // tiny aggregations it saves; the expensive frame, `edges`, IS
         // persisted above)
+        // pr appears TWICE per unrolled iteration, so the lazy logical plan
+        // roughly doubles each round (~2^iters repeated subtrees). Fine at
+        // 5; beyond ~8 the PLANNING itself blows up — if this count is ever
+        // raised, localCheckpoint the rank frame each iteration instead.
+        val PagerankIters = 5
+        require(PagerankIters <= 8,
+          "unrolled-lineage pagerank: localCheckpoint per iteration beyond 8")
         var pr = deg.crossJoin(broadcast(tot))
           .withColumn("pr", expr("1000000000000 div n"))
-        for (_ <- 1 to 5) {
+        for (_ <- 1 to PagerankIters) {
           val contrib = pr.select(col("id").as("src"), expr("pr div deg").as("c"))
           val inc = edges.join(contrib, "src")
             .groupBy(col("dst").as("id")).agg(sum("c").as("inc"))
@@ -2822,20 +2905,7 @@ object Llm {
     Q("x4_pipeline_funnel",
       (s, dir) => {
         val d = docs(s, dir)
-        val toks = TF.tokens(col("text"))
-        val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
-        val qual = graft.Caches.persist(d.filter(size(toks) >= 5 &&
-          size(filter(toks, x => x.isin(stop: _*))) >= 1))
-        // keeper per digest, text riding the SAME digest-keyed shuffle as
-        // the aggregation payload (first() is deterministic: every text in
-        // an md5 group is identical) — vs groupBy+join-back, which would
-        // shuffle the corpus a second time on doc_id. The cluster stage
-        // consumes survivor text, so one text movement is inherent here.
-        val keepers = graft.Caches.persist(
-          qual.groupBy(md5(col("text")).as("h"))
-            .agg(min("doc_id").as("doc_id"), first("text").as("text")))
-        val reps = dedupClusters(s, keepers.select("doc_id", "text"))
-          .filter(col("doc_id") === col("cluster_id"))
+        val (qual, keepers, reps) = curationStages(s, d)
         def stage(no: Int, name: String, df: DataFrame): DataFrame =
           df.agg(count(lit(1)).as("docs"))
             .select(lit(no).as("stage_no"), lit(name).as("stage"), col("docs"))
@@ -2877,6 +2947,67 @@ object Llm {
              |UNION ALL SELECT 4, 'neardup_dedup',
              |       (SELECT COUNT(*) FROM clus WHERE doc_id = cluster_id)
              |ORDER BY stage_no""".stripMargin)),
+
+    // ---- X4 BPE MERGE TRAINING: the byte-pair-encoding merge loop
+    // (Sennrich et al., ACL'16) run as bounded relational iterations —
+    // closing the tokenizer loop x4_ngram_topk (merge candidates) and
+    // x4_encode (vocab application) left open. State is the positional
+    // symbol table (word, pos, sym); each of the 5 unrolled iterations is
+    // (1) pair counts via lead() over word partitions, (2) argmax pair
+    // with (count desc, pair) tie-break, broadcast as a 1-row frame —
+    // never a collect — and (3) the greedy left-to-right non-overlapping
+    // merge apply, done relationally: within each maximal run of
+    // consecutive matching positions, keep the even offsets
+    // (gaps-and-islands over two word-partitioned windows), drop the
+    // consumed successor, renumber. The per-iteration frame is persisted
+    // (Caches) so the 2×-per-iteration lineage growth never replans the
+    // whole chain. Scale: state is Σ|distinct word| symbols — the VOCAB,
+    // not the corpus — so iterations cost O(vocab) shuffles regardless of
+    // corpus size; the only corpus-sized pass is the initial word count.
+    // The DuckDB oracle unrolls the identical five iterations as CTEs —
+    // full hash match, integer counts, no tolerance.
+    Q("x4_bpe_merges",
+      (s, dir) => {
+        val words = docs(s, dir)
+          .select(explode(TF.tokens(col("text"))).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy("w").agg(count(lit(1)).as("freq"))
+        bpeMerges(words, iters = 5).orderBy("merge_no")
+      },
+      Some {
+        val init = """WITH words AS (SELECT w AS word_id, CAST(COUNT(*) AS BIGINT) AS freq
+                     |  FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)
+                     |  WHERE w <> '' GROUP BY w),
+                     |s0 AS (SELECT word_id, freq, pos, string_split(word_id,'')[pos] AS sym
+                     |  FROM (SELECT word_id, freq,
+                     |      unnest(range(1, len(string_split(word_id,'')) + 1)) AS pos
+                     |    FROM words))""".stripMargin
+        val iters = (0 until 5).map { k =>
+          s"""p$k AS (SELECT word_id, freq, pos, sym,
+             |    lead(sym) OVER (PARTITION BY word_id ORDER BY pos) AS nxt FROM s$k),
+             |best$k AS (SELECT sym AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+             |  FROM p$k WHERE nxt IS NOT NULL GROUP BY 1, 2
+             |  ORDER BY cnt DESC, a, b LIMIT 1),
+             |m$k AS (SELECT p.*, best.a, best.b,
+             |    CASE WHEN p.sym = best.a AND p.nxt = best.b THEN 1 ELSE 0 END AS hit
+             |  FROM p$k p CROSS JOIN best$k best),
+             |i$k AS (SELECT *, pos - row_number() OVER (
+             |    PARTITION BY word_id, hit ORDER BY pos) AS island FROM m$k),
+             |e$k AS (SELECT *, CASE WHEN hit = 1 AND (row_number() OVER (
+             |    PARTITION BY word_id, hit, island ORDER BY pos) - 1) % 2 = 0
+             |    THEN 1 ELSE 0 END AS mh FROM i$k),
+             |c$k AS (SELECT *, COALESCE(lag(mh) OVER (
+             |    PARTITION BY word_id ORDER BY pos), 0) AS consumed FROM e$k),
+             |s${k + 1} AS (SELECT word_id, freq,
+             |    row_number() OVER (PARTITION BY word_id ORDER BY pos) AS pos,
+             |    CASE WHEN mh = 1 THEN a || b ELSE sym END AS sym
+             |  FROM c$k WHERE consumed = 0)""".stripMargin
+        }.mkString(",\n", ",\n", "\n")
+        val tail = (0 until 5).map { k =>
+          s"SELECT ${k + 1} AS merge_no, a AS left_sym, b AS right_sym, cnt AS pair_count FROM best$k"
+        }.mkString("", "\nUNION ALL ", "\nORDER BY merge_no")
+        init + iters + tail
+      }),
 
     // ---- F4/F5 array-function surface (scalar outputs only — array-valued
     // result columns would make the parquet/pandas compare ambiguous)

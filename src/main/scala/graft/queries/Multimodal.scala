@@ -328,6 +328,54 @@ object Multimodal {
     (id, hash, totalFrames)
   }
 
+  /** SPECTRAL audio fingerprint: per 16-sample frame, a radix-2 FFT
+    * ([[graft.functions.Fft]]) finds the dominant low-band frequency (peak
+    * of |X_k|² over bins 1..8 — DC excluded, it's just the frame mean), and
+    * the fingerprint bit k records whether the pitch ROSE between frames k
+    * and k+1 — a melody-contour hash. Unlike [[wavEnergyHash]] (loudness
+    * gradient) this is invariant to amplitude envelope: a volume-faded or
+    * re-normalized copy keeps its pitch track and so its fingerprint, which
+    * is exactly the case energy hashing misses (MultimodalSpec pins a
+    * fixture of such copies).
+    *
+    * Exactness contract for the DuckDB oracle (which replays an O(n²) DFT
+    * — no FFT in SQL): peaks are argmaxed over floor(|X_k|²/1024) with
+    * lowest-bin tie-break. |X_k|² ≤ (16·32768)² ≈ 2^38, so double rounding
+    * noise (FFT vs naive DFT vs libm differences) is ≤ ~1e-4 absolute —
+    * six orders below the 1024 quantum — and mathematically-zero bins
+    * (constant frames) floor to exactly 0 in both engines.
+    */
+  private[graft] def wavSpectralHash(id: Long, b: Array[Byte],
+      frameLen: Int = 16, maxBin: Int = 8): (Long, Long, Int) = {
+    val (bb, _, _, _, dataOff, dataLen) = wavChunks(id, b)
+    val n = dataLen / 2
+    val totalFrames = (math.max(n, 1) + frameLen - 1) / frameLen
+    val nFrames = math.min(totalFrames, 63)
+    val peaks = new Array[Int](nFrames)
+    val frame = new Array[Double](frameLen)
+    var f = 0
+    while (f < nFrames) {
+      java.util.Arrays.fill(frame, 0.0)
+      var i = f * frameLen; val end = math.min(i + frameLen, n)
+      while (i < end) {
+        frame(i - f * frameLen) = bb.getShort(dataOff + 2 * i).toDouble
+        i += 1
+      }
+      val spec = graft.functions.Fft.powerSpectrum(frame, frameLen)
+      var best = 1; var bestQ = java.lang.Math.floorDiv(spec(1).toLong, 1024L)
+      var k = 2
+      while (k <= maxBin) {
+        val q = java.lang.Math.floorDiv(spec(k).toLong, 1024L)
+        if (q > bestQ) { best = k; bestQ = q }
+        k += 1
+      }
+      peaks(f) = best; f += 1
+    }
+    var hash = 0L; var k = 0
+    while (k < nFrames - 1) { if (peaks(k + 1) > peaks(k)) hash |= (1L << k); k += 1 }
+    (id, hash, totalFrames)
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- binary metadata surface over the REAL image payload: byte
@@ -553,10 +601,9 @@ object Multimodal {
             .toDF("doc_id", "phash", "img_rows")
             .filter(col("img_rows") >= 17))
         val blocks = ph.select(col("doc_id"), col("phash"),
-            explode(sequence(lit(0), lit(2))).as("blk"))
-          .withColumn("key", expr(
-            "CASE WHEN blk = 2 THEN (phash >> 42) & 1048575 " +
-            "ELSE (phash >> (blk * 21)) & 2097151 END"))
+            graft.operators.Pigeonhole.blockIds.as("blk"))
+          .withColumn("key",
+            graft.operators.Pigeonhole.blockKey(col("phash"), col("blk")))
         val a = blocks.select(col("blk"), col("key"),
           col("doc_id").as("doc_a"), col("phash").as("ha"))
         val b = blocks.select(col("blk"), col("key"),
@@ -564,9 +611,7 @@ object Multimodal {
         a.join(b, Seq("blk", "key"))
           .filter(col("doc_a") < col("doc_b"))
           .withColumn("x", expr("ha ^ hb"))
-          .filter(col("blk") === when(expr("x & 2097151") === 0, 0)
-            .when(expr("(x >> 21) & 2097151") === 0, 1)
-            .otherwise(2))
+          .filter(col("blk") === graft.operators.Pigeonhole.firstAgree(col("x")))
           .select(col("doc_a"), col("doc_b"),
             expr("bit_count(x)").cast("long").as("hamming"))
           .filter(col("hamming") <= 2)
@@ -651,10 +696,9 @@ object Multimodal {
             .toDF("doc_id", "afp", "n_frames")
             .filter(col("n_frames") >= 17))
         val blocks = ph.select(col("doc_id"), col("afp"),
-            explode(sequence(lit(0), lit(2))).as("blk"))
-          .withColumn("key", expr(
-            "CASE WHEN blk = 2 THEN (afp >> 42) & 1048575 " +
-            "ELSE (afp >> (blk * 21)) & 2097151 END"))
+            graft.operators.Pigeonhole.blockIds.as("blk"))
+          .withColumn("key",
+            graft.operators.Pigeonhole.blockKey(col("afp"), col("blk")))
         val a = blocks.select(col("blk"), col("key"),
           col("doc_id").as("doc_a"), col("afp").as("ha"))
         val b = blocks.select(col("blk"), col("key"),
@@ -662,9 +706,7 @@ object Multimodal {
         a.join(b, Seq("blk", "key"))
           .filter(col("doc_a") < col("doc_b"))
           .withColumn("x", expr("ha ^ hb"))
-          .filter(col("blk") === when(expr("x & 2097151") === 0, 0)
-            .when(expr("(x >> 21) & 2097151") === 0, 1)
-            .otherwise(2))
+          .filter(col("blk") === graft.operators.Pigeonhole.firstAgree(col("x")))
           .select(col("doc_a"), col("doc_b"),
             expr("bit_count(x)").cast("long").as("hamming"))
           .filter(col("hamming") <= 2)
@@ -695,6 +737,56 @@ object Multimodal {
              |  CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
              |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
              |WHERE bit_count(xor(a.afp, b.afp)) <= 2
-             |ORDER BY doc_a, doc_b""".stripMargin))
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ---- SPECTRAL audio fingerprint: radix-2 FFT per 16-sample frame,
+    // dominant low-band bin (1..8) per frame, melody-contour bits (pitch
+    // rose between adjacent frames). The oracle replays an O(n²) DFT per
+    // frame in SQL — a 16-row twiddle table (the only trig calls) joined on
+    // (k·i) mod 16 — and argmaxes the same floor(|X|²/1024)-quantized
+    // magnitudes (see wavSpectralHash's exactness contract). The FFT-vs-DFT
+    // float gap is ~1e-4 against a 1024 quantum, so the hash is portable.
+    Q("x5_audio_spectral",
+      (s, dir) => {
+        import s.implicits._
+        withWavPayload(Tables.load(s, dir, "documents"))
+          .mapPartitions(rows => rows.map { case (id, bytes) =>
+            wavSpectralHash(id, bytes) })
+          .toDF("doc_id", "sfp", "n_frames")
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
+             |tw AS (SELECT j, cos(2*pi()*j/16.0) AS c, sin(2*pi()*j/16.0) AS sn
+             |  FROM (SELECT unnest(range(0, 16)) AS j)),
+             |f AS (SELECT doc_id, text, n,
+             |    unnest(range(0, CAST(least((greatest(n,1)+15)//16, 63) AS INT)))
+             |      AS fno FROM d),
+             |pos AS (SELECT doc_id, fno,
+             |    unnest(range(CAST(fno*16+1 AS INT),
+             |                 CAST(least(fno*16+16, n)+1 AS INT))) AS p,
+             |    text FROM f),
+             |terms AS (SELECT doc_id, fno, k.k,
+             |    CAST((unicode(substring(text,p,1))-128)*256 AS DOUBLE) AS s,
+             |    ((p-1-fno*16)*k.k) % 16 AS j
+             |  FROM pos CROSS JOIN (SELECT unnest(range(1, 9)) AS k) k),
+             |spec AS (SELECT doc_id, fno, k,
+             |    SUM(s*tw.c) AS re, SUM(s*tw.sn) AS im
+             |  FROM terms JOIN tw ON tw.j = terms.j
+             |  GROUP BY doc_id, fno, k),
+             |pk AS (SELECT doc_id, fno, k AS peak FROM (
+             |    SELECT doc_id, fno, k, row_number() OVER (
+             |        PARTITION BY doc_id, fno
+             |        ORDER BY CAST(FLOOR((re*re+im*im)/1024.0) AS BIGINT) DESC, k
+             |      ) AS rn FROM spec) WHERE rn = 1),
+             |nx AS (SELECT a.doc_id, a.fno, a.peak AS pa, b.peak AS pb
+             |  FROM pk a JOIN pk b ON a.doc_id = b.doc_id AND b.fno = a.fno + 1),
+             |h AS (SELECT doc_id,
+             |    CAST(SUM(CASE WHEN pb > pa THEN (CAST(1 AS BIGINT) << CAST(fno AS INT))
+             |         ELSE 0 END) AS BIGINT) AS sfp
+             |  FROM nx GROUP BY doc_id)
+             |SELECT d.doc_id, COALESCE(h.sfp, 0) AS sfp,
+             |  CAST((greatest(d.n,1)+15)//16 AS INT) AS n_frames
+             |FROM d LEFT JOIN h ON h.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin))
   )
 }

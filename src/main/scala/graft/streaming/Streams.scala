@@ -383,10 +383,9 @@ object Streams {
       .toDF("corpus_id", "corpus_fp", "img_rows")
       .filter(col("img_rows") >= 17)
     PhashIndex(ph.select(col("corpus_id"), col("corpus_fp"),
-        explode(sequence(lit(0), lit(2))).as("blk"))
-      .withColumn("key", expr(
-        "CASE WHEN blk = 2 THEN (corpus_fp >> 42) & 1048575 " +
-        "ELSE (corpus_fp >> (blk * 21)) & 2097151 END")))
+        graft.operators.Pigeonhole.blockIds.as("blk"))
+      .withColumn("key",
+        graft.operators.Pigeonhole.blockKey(col("corpus_fp"), col("blk"))))
   }
 
   /** Streaming VISUAL near-dup screen: flag every incoming image payload
@@ -408,17 +407,12 @@ object Streams {
       .toDF("doc_id", "fp", "img_rows")
       .filter(col("img_rows") >= 17)
     hashed.select(col("doc_id"), col("fp"),
-        explode(sequence(lit(0), lit(2))).as("blk"))
-      .withColumn("key", expr(
-        "CASE WHEN blk = 2 THEN (fp >> 42) & 1048575 " +
-        "ELSE (fp >> (blk * 21)) & 2097151 END"))
+        graft.operators.Pigeonhole.blockIds.as("blk"))
+      .withColumn("key",
+        graft.operators.Pigeonhole.blockKey(col("fp"), col("blk")))
       .join(broadcast(index.blocks), Seq("blk", "key"))
       .withColumn("x", expr("fp ^ corpus_fp"))
-      .withColumn("first_agree",
-        when(expr("x & 2097151") === 0, 0)
-          .when(expr("(x >> 21) & 2097151") === 0, 1)
-          .otherwise(2))
-      .filter(col("blk") === col("first_agree"))
+      .filter(col("blk") === graft.operators.Pigeonhole.firstAgree(col("x")))
       .withColumn("hamming", expr("bit_count(x)").cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_id"), col("corpus_id").as("dup_of"), col("hamming"))

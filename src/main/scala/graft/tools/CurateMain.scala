@@ -34,20 +34,12 @@ object CurateMain {
     funnel.show(truncate = false)
     funnel.write.mode("overwrite").parquet(s"$outDir/funnel")
 
-    // the survivors themselves: same three verified gates the funnel counts
+    // the survivors themselves: the SAME shared stage pipeline the funnel
+    // query counts (Llm.curationStages) — the corpus and the report can't
+    // diverge because they are one code path
     val d = graft.Tables.load(spark, sfDir, "documents")
-    val toks = graft.functions.TextFunctions.tokens(col("text"))
-    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
-    val qual = graft.Caches.persist(d.filter(size(toks) >= 5 &&
-      size(filter(toks, x => x.isin(stop: _*))) >= 1))
-    val keepers = graft.Caches.persist(
-      qual.groupBy(md5(col("text")).as("h"))
-        .agg(min("doc_id").as("doc_id"), first("text").as("text")))
-    val reps = graft.queries.Llm.dedupClusters(spark,
-        keepers.select("doc_id", "text"))
-      .filter(col("doc_id") === col("cluster_id"))
-      .select("doc_id")
-    val curated = d.join(reps, "doc_id")
+    val (_, _, reps) = graft.queries.Llm.curationStages(spark, d)
+    val curated = d.join(reps.select("doc_id"), "doc_id")
     curated.write.mode("overwrite").parquet(s"$outDir/corpus")
     println(s"curated corpus: ${spark.read.parquet(s"$outDir/corpus").count()} docs -> $outDir/corpus")
 

@@ -368,6 +368,25 @@ class LlmSpec extends AnyFunSuite {
     assert(a.map(_._2).distinct.length > a.length * 9 / 10)
   }
 
+  test("bpeMerges: greedy non-overlap on runs, frequency weighting, " +
+      "(count desc, pair) tie-breaks — the Sennrich walkthrough plus an " +
+      "overlapping-run trap") {
+    import spark.implicits._
+    // hand-computed: (a,a) 3 pairs x freq 10 = 30 wins round 1 and the
+    // greedy left-to-right apply turns "aaaa" into [aa, aa] (NOT [aa, a, a]
+    // or three overlapping merges); round 2 merges (aa, aa); rounds 3-5
+    // exercise the lexicographic tie-break at equal counts (e<s at 9,
+    // l<o at 7)
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L), ("aaaa", 10L)).toDF("w", "freq")
+    val got = graft.queries.Llm.bpeMerges(words, 5)
+      .orderBy("merge_no").as[(Int, String, String, Long)].collect().toSeq
+    graft.Caches.drain(spark)
+    assert(got == Seq(
+      (1, "a", "a", 30L), (2, "aa", "aa", 10L), (3, "e", "s", 9L),
+      (4, "es", "t", 9L), (5, "l", "o", 7L)), s"merge table: $got")
+  }
+
   test("x1_span_dedup: planted copied span is flagged, disjoint doc is clean, " +
       "and per-doc span counts/shares are internally consistent") {
     import spark.implicits._

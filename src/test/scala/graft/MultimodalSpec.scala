@@ -144,4 +144,87 @@ class MultimodalSpec extends AnyFunSuite {
       .collect()
     assert(empty.length == 1 && empty(0).n_samples == 0 && empty(0).rms == 0.0)
   }
+
+  test("radix-2 FFT: impulse, pure tones, naive-DFT agreement, Parseval") {
+    import graft.functions.Fft
+    // impulse -> flat spectrum of 1s
+    val re = new Array[Double](16); val im = new Array[Double](16)
+    re(0) = 1.0
+    Fft.transform(re, im)
+    (0 until 16).foreach { k =>
+      assert(math.abs(re(k) - 1.0) < 1e-12 && math.abs(im(k)) < 1e-12)
+    }
+    // pure tone at bin b of an n-point frame peaks exactly at bin b
+    for (n <- Seq(16, 64, 256); b <- Seq(1, 3, n / 4)) {
+      val x = Array.tabulate(n)(i => math.cos(2 * math.Pi * b * i / n) * 1000)
+      val spec = Fft.powerSpectrum(x, n)
+      val peak = (1 until n / 2).maxBy(k => spec(k))
+      assert(peak == b, s"n=$n tone at $b peaked at $peak")
+      // |X_b|^2 = (A*n/2)^2 for an exact-bin cosine
+      assert(math.abs(spec(b) - math.pow(1000.0 * n / 2, 2)) < 1e-3 * spec(b))
+    }
+    // agreement with the naive O(n^2) DFT on a fixed pseudo-random signal
+    val n = 64
+    var seed = 12345L
+    val sig = Array.fill(n) {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 33).toInt % 32768).toDouble
+    }
+    val fft = Fft.powerSpectrum(sig, n)
+    val dft = Array.tabulate(n / 2 + 1) { k =>
+      var sr = 0.0; var si = 0.0
+      for (i <- 0 until n) {
+        sr += sig(i) * math.cos(2 * math.Pi * k * i / n)
+        si += sig(i) * math.sin(2 * math.Pi * k * i / n)
+      }
+      sr * sr + si * si
+    }
+    (0 to n / 2).foreach { k =>
+      assert(math.abs(fft(k) - dft(k)) <= 1e-9 * (dft(k) + 1.0),
+        s"bin $k fft=${fft(k)} dft=${dft(k)}")
+    }
+    // Parseval: sum|x|^2 == (1/n) sum|X|^2
+    val reP = sig.clone(); val imP = new Array[Double](n)
+    Fft.transform(reP, imP)
+    val lhs = sig.map(v => v * v).sum
+    val rhs = (0 until n).map(k => reP(k) * reP(k) + imP(k) * imP(k)).sum / n
+    assert(math.abs(lhs - rhs) < 1e-6 * lhs)
+  }
+
+  test("spectral fingerprint catches amplitude-enveloped copies that the " +
+      "energy hash misses, and separates a different melody") {
+    // a melody: per-16-sample-frame pure tones at these bins (2..7)
+    val melody = Seq(2, 5, 3, 7, 4, 6, 2, 7, 3, 5, 6, 2, 4, 7, 5, 3, 6, 4, 2, 5)
+    def toneWav(bins: Seq[Int], amps: Seq[Int]): Array[Byte] = {
+      val samples = bins.zip(amps).flatMap { case (b, a) =>
+        (0 until 16).map(i =>
+          math.round(a * math.cos(2 * math.Pi * b * i / 16)).toShort)
+      }.toArray
+      Multimodal.wavBytes(samples, 8000)
+    }
+    // A: zig-zag loudness; B: the same melody at constant loudness — the
+    // "re-normalized copy" a curation dedup must still catch
+    val ampsA = melody.indices.map(i => if (i % 2 == 0) 9000 else 3000)
+    val ampsB = melody.indices.map(_ => 6000)
+    // C: a different melody, same loudness pattern as A
+    val melodyC = Seq(7, 2, 6, 3, 5, 4, 7, 2, 6, 3, 4, 5, 7, 2, 3, 6, 4, 5, 7, 2)
+    val wavA = toneWav(melody, ampsA)
+    val wavB = toneWav(melody, ampsB)
+    val wavC = toneWav(melodyC, ampsA)
+    val (_, sfpA, nfA) = Multimodal.wavSpectralHash(1L, wavA)
+    val (_, sfpB, _) = Multimodal.wavSpectralHash(2L, wavB)
+    val (_, sfpC, _) = Multimodal.wavSpectralHash(3L, wavC)
+    val (_, afpA, _) = Multimodal.wavEnergyHash(1L, wavA)
+    val (_, afpB, _) = Multimodal.wavEnergyHash(2L, wavB)
+    assert(nfA == melody.length)
+    // spectral: the enveloped copy keeps its pitch contour -> identical
+    assert(sfpA == sfpB, s"spectral fp should ignore amplitude: $sfpA vs $sfpB")
+    // energy: the zig-zag vs flat envelope scrambles the loudness contour
+    val energyHamming = java.lang.Long.bitCount(afpA ^ afpB)
+    assert(energyHamming > 2,
+      s"fixture should defeat the energy hash (hamming $energyHamming)")
+    // and a genuinely different melody is far from A spectrally
+    val specHamming = java.lang.Long.bitCount(sfpA ^ sfpC)
+    assert(specHamming > 2, s"different melody too close: hamming $specHamming")
+  }
 }
