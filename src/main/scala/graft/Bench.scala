@@ -35,7 +35,11 @@ object Bench {
     val names = SparkEntry.queries.toSeq
     val best = scala.collection.mutable.Map.empty[String, Double]
     val failed = scala.collection.mutable.Set.empty[String]
-    (1 to 3).foreach { _ =>
+    // SPARK_GRAFT_ROUNDS: one-off scale runs (e.g. the sf1 point) drop to a
+    // single round — growth exponents are order-of-magnitude reads and a
+    // 10x corpus round is ~15 min; the driver-gate bench keeps min-of-3.
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "3").toInt
+    (1 to rounds).foreach { _ =>
       names.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         // a throwing query must NOT record its time-to-failure as a (fast)

@@ -536,6 +536,17 @@ object Llm {
     }
   }
 
+  /** The funnel's quality-gate predicate over a `text` column — ONE
+    * definition shared by [[curationStages]] (batch) and
+    * [[graft.streaming.Streams.curationPipelineSink]] (streaming), so the
+    * two ingest gates are structurally incapable of diverging.
+    */
+  private[graft] def qualityPredicate: Column = {
+    val toks = TF.tokens(col("text"))
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    size(toks) >= 5 && size(filter(toks, x => x.isin(stop: _*))) >= 1
+  }
+
   /** The curation funnel's three gates over `d` (doc_id, text, ...), shared
     * by the x4_pipeline_funnel query and [[graft.tools.CurateMain]] so the
     * curated corpus a run writes can never diverge from the funnel counts
@@ -546,10 +557,7 @@ object Llm {
     */
   private[graft] def curationStages(s: SparkSession,
       d: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val toks = TF.tokens(col("text"))
-    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
-    val qual = graft.Caches.persist(d.filter(size(toks) >= 5 &&
-      size(filter(toks, x => x.isin(stop: _*))) >= 1))
+    val qual = graft.Caches.persist(d.filter(qualityPredicate))
     // keeper per digest, text riding the SAME digest-keyed shuffle as the
     // aggregation payload (first() is deterministic: every text in an md5
     // group is identical) — vs groupBy+join-back, which would shuffle the
@@ -1900,6 +1908,181 @@ object Llm {
              |    FROM qe q JOIN qe n ON n.vec_id != q.vec_id
              |    WHERE q.vec_id % 50 = 0)
              |  WHERE rk8 <= 50),
+             |r AS (SELECT p.query_id, p.neighbor_id,
+             |    list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+             |                           CAST(en.embedding AS DOUBLE[])) AS s
+             |  FROM pool p
+             |  JOIN embeddings eq ON eq.vec_id = p.query_id
+             |  JOIN embeddings en ON en.vec_id = p.neighbor_id)
+             |SELECT query_id, rk, neighbor_id, ROUND(s, 4) AS sim FROM (
+             |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             |    ORDER BY s DESC, neighbor_id) AS BIGINT) AS rk FROM r)
+             |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+
+    // ---- X3 product-quantized cascade (Jegou/Douze/Schmid, "Product
+    // Quantization for Nearest Neighbor Search", TPAMI 2011): the 64-dim
+    // vector is split into m=16 subvectors of 4 dims; each subspace trains a
+    // k=16 codebook (2 Lloyd iterations over the int8-quantized components,
+    // seeded from the 16 smallest vec_ids), so a vector is stored as 16
+    // 4-bit codes — 8 bytes vs the 256-byte float vector, a 32x
+    // bandwidth cut over the corpus-sized stage-1 scan
+    // (vs 4x for the int8 cascade). Search is classic ADC as relational
+    // algebra: the per-query distance LOOKUP TABLE (8 subs x 16 cids = 128
+    // rows/query; here 16 subs) is the small broadcast side of an equi-join against the
+    // code table, and SUM over subspaces is a groupBy — no per-row UDF.
+    // EVERYTHING is integer arithmetic on int8 components (Lloyd means use
+    // floor(sum/count), exact in doubles at these magnitudes; squared-L2
+    // sums are <= 8*8*254^2 ~ 4.1e6, exact regardless of summation order),
+    // so DuckDB replays training + encode + ADC bit-for-bit as unrolled
+    // CTEs and the whole cascade hash-matches — recall vs the exact float
+    // top-10 is pinned in LlmSpec. At 100 TB: training runs on a bounded
+    // sample (here: the full set; the seeds rule is the sample stand-in),
+    // the code table is the only corpus-sized scan, and the float rerank
+    // fetches 100*q rows — a 10x-oversized pool (vs the int8 cascade's 5x)
+    // because 4-bit codes are lossier; the pool size is a CONSTANT in
+    // corpus size, so the fetch discipline matches x3_knn_cascade.
+    Q("x3_knn_pq",
+      (s, dir) => {
+        graft.functions.NativeExpressions.register(s)
+        val maxabs = array_max(transform(col("v"), x => abs(x)))
+        val ef = graft.Caches.persist(
+          embs(s, dir).select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
+            .withColumn("nrm", VF.l2Norm(col("v"))))
+        // int8 components (x3_knn_int8's floor(x+0.5) rule) in long form:
+        // one row per (vec_id, sub 0..15, pos 0..3) — the relational shape
+        // both the Lloyd steps and the ADC join consume
+        val sv = graft.Caches.persist(
+          ef.withColumn("ma", when(maxabs === 0.0, 1.0).otherwise(maxabs))
+            .select(col("vec_id"),
+              posexplode(transform(col("v"),
+                x => floor(x * lit(127.0) / col("ma") + lit(0.5)).cast("double")))
+                .as(Seq("i", "x")))
+            .select(col("vec_id"), expr("CAST(i div 4 AS BIGINT)").as("sub"),
+              expr("CAST(i % 4 AS BIGINT)").as("pos"), col("x")))
+        // codebook seeds: the 16 smallest vec_ids, cid = 0..15 by vec_id
+        // rank (16 rows — the single-partition window is a driver-scale
+        // sort of an already-LIMITed frame, not a data-scale one)
+        val seeds = ef.select("vec_id").orderBy("vec_id").limit(16)
+          .withColumn("cid",
+            (row_number().over(Window.orderBy("vec_id")) - 1).cast("long"))
+        val c0 = sv.join(broadcast(seeds), "vec_id")
+          .select(col("sub"), col("cid"), col("pos"), col("x").as("c"))
+        // one Lloyd assign: nearest centroid per (vec, sub) by integer
+        // squared L2, ties -> smallest cid (deterministic, SQL-replayable)
+        def assign(cent: DataFrame): DataFrame = {
+          val wA = Window.partitionBy("vec_id", "sub").orderBy(asc("d"), asc("cid"))
+          sv.join(broadcast(cent), Seq("sub", "pos"))
+            .groupBy("vec_id", "sub", "cid")
+            .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
+            .withColumn("rk", row_number().over(wA))
+            .filter(col("rk") === 1)
+            .select("vec_id", "sub", "cid")
+        }
+        // one Lloyd update: elementwise floor(mean) over the assigned
+        // members; an empty cluster keeps its previous centroid
+        def update(cent: DataFrame, asg: DataFrame): DataFrame = {
+          val upd = asg.join(sv, Seq("vec_id", "sub"))
+            .groupBy("sub", "cid", "pos")
+            .agg(floor(sum("x") / count(lit(1))).cast("double").as("cNew"))
+          cent.join(upd, Seq("sub", "cid", "pos"), "left")
+            .select(col("sub"), col("cid"), col("pos"),
+              coalesce(col("cNew"), col("c")).as("c"))
+        }
+        val c1 = graft.Caches.persist(update(c0, assign(c0)))
+        val c2 = graft.Caches.persist(update(c1, assign(c1)))
+        val codes = assign(c2) // final encode: 16 4-bit codes per vector
+        // ADC: per-query lookup table (query subvector -> every centroid),
+        // broadcast against the code table, SUM over the 16 subspaces
+        val qd = sv.filter(col("vec_id") % 50 === 0)
+          .join(broadcast(c2), Seq("sub", "pos"))
+          .groupBy(col("vec_id").as("query_id"), col("sub"), col("cid"))
+          .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
+        val wp = Window.partitionBy("query_id").orderBy(asc("adist"), asc("neighbor_id"))
+        val pool = codes.join(broadcast(qd), Seq("sub", "cid"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+          .agg(sum("d").as("adist"))
+          .withColumn("rk8", row_number().over(wp))
+          .filter(col("rk8") <= 100)
+          .select("query_id", "neighbor_id")
+        // stage 2: full-precision rerank of the 100-candidate pool
+        val qf = ef.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"), col("v").as("fqv"), col("nrm").as("fqn"))
+        val w = Window.partitionBy("query_id").orderBy(desc("s"), asc("neighbor_id"))
+        pool
+          .join(ef.select(col("vec_id").as("neighbor_id"),
+            col("v").as("fnv"), col("nrm").as("fnn")), Seq("neighbor_id"))
+          .join(broadcast(qf), Seq("query_id"))
+          .withColumn("s", VF.dotNative(col("fqv"), col("fnv")) / (col("fqn") * col("fnn")))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 10)
+          .select(col("query_id"), col("rk"), col("neighbor_id"),
+            round(col("s"), 4).as("sim"))
+          .orderBy("query_id", "rk")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id,
+             |    list_transform(CAST(embedding AS DOUBLE[]),
+             |      x -> floor(x * 127.0 /
+             |             (CASE WHEN m = 0 THEN 1 ELSE m END) + 0.5)) AS q8
+             |  FROM (SELECT vec_id, embedding,
+             |          list_max(list_transform(CAST(embedding AS DOUBLE[]),
+             |            x -> abs(x))) AS m
+             |        FROM embeddings)),
+             |sv AS (
+             |  SELECT vec_id, CAST((i-1)//4 AS BIGINT) AS sub,
+             |         CAST((i-1)%4 AS BIGINT) AS pos, x
+             |  FROM (SELECT vec_id, generate_subscripts(q8,1) AS i,
+             |               UNNEST(q8) AS x FROM e)),
+             |seeds AS (
+             |  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id)-1 AS BIGINT) AS cid
+             |  FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
+             |c0 AS (SELECT s.sub, sd.cid, s.pos, s.x AS c
+             |  FROM sv s JOIN seeds sd ON sd.vec_id = s.vec_id),
+             |a0 AS (SELECT vec_id, sub, cid FROM (
+             |    SELECT s.vec_id, s.sub, c.cid,
+             |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+             |        ORDER BY SUM((s.x-c.c)*(s.x-c.c)) ASC, c.cid ASC) AS rk
+             |    FROM sv s JOIN c0 c ON c.sub = s.sub AND c.pos = s.pos
+             |    GROUP BY s.vec_id, s.sub, c.cid) WHERE rk = 1),
+             |c1 AS (SELECT c0.sub, c0.cid, c0.pos, COALESCE(u.cn, c0.c) AS c
+             |  FROM c0 LEFT JOIN (
+             |    SELECT a.sub, a.cid, s.pos, FLOOR(SUM(s.x)/COUNT(*)) AS cn
+             |    FROM a0 a JOIN sv s ON s.vec_id = a.vec_id AND s.sub = a.sub
+             |    GROUP BY a.sub, a.cid, s.pos) u
+             |  ON u.sub = c0.sub AND u.cid = c0.cid AND u.pos = c0.pos),
+             |a1 AS (SELECT vec_id, sub, cid FROM (
+             |    SELECT s.vec_id, s.sub, c.cid,
+             |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+             |        ORDER BY SUM((s.x-c.c)*(s.x-c.c)) ASC, c.cid ASC) AS rk
+             |    FROM sv s JOIN c1 c ON c.sub = s.sub AND c.pos = s.pos
+             |    GROUP BY s.vec_id, s.sub, c.cid) WHERE rk = 1),
+             |c2 AS (SELECT c1.sub, c1.cid, c1.pos, COALESCE(u.cn, c1.c) AS c
+             |  FROM c1 LEFT JOIN (
+             |    SELECT a.sub, a.cid, s.pos, FLOOR(SUM(s.x)/COUNT(*)) AS cn
+             |    FROM a1 a JOIN sv s ON s.vec_id = a.vec_id AND s.sub = a.sub
+             |    GROUP BY a.sub, a.cid, s.pos) u
+             |  ON u.sub = c1.sub AND u.cid = c1.cid AND u.pos = c1.pos),
+             |codes AS (SELECT vec_id, sub, cid FROM (
+             |    SELECT s.vec_id, s.sub, c.cid,
+             |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+             |        ORDER BY SUM((s.x-c.c)*(s.x-c.c)) ASC, c.cid ASC) AS rk
+             |    FROM sv s JOIN c2 c ON c.sub = s.sub AND c.pos = s.pos
+             |    GROUP BY s.vec_id, s.sub, c.cid) WHERE rk = 1),
+             |qd AS (
+             |  SELECT s.vec_id AS query_id, s.sub, c.cid,
+             |         SUM((s.x-c.c)*(s.x-c.c)) AS d
+             |  FROM sv s JOIN c2 c ON c.sub = s.sub AND c.pos = s.pos
+             |  WHERE s.vec_id % 50 = 0
+             |  GROUP BY 1, 2, 3),
+             |pool AS (SELECT query_id, neighbor_id FROM (
+             |    SELECT q.query_id, k.vec_id AS neighbor_id,
+             |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+             |        ORDER BY SUM(q.d) ASC, k.vec_id ASC) AS rk8
+             |    FROM codes k JOIN qd q ON q.sub = k.sub AND q.cid = k.cid
+             |    WHERE k.vec_id != q.query_id
+             |    GROUP BY q.query_id, k.vec_id)
+             |  WHERE rk8 <= 100),
              |r AS (SELECT p.query_id, p.neighbor_id,
              |    list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
              |                           CAST(en.embedding AS DOUBLE[])) AS s

@@ -44,9 +44,36 @@ object Forget {
     rewrite(spark, path, keyCol, keys.toDF("__forget_key"))
   }
 
-  private def rewrite(spark: SparkSession, path: String, keyCol: String,
-      keyDf: DataFrame): (Long, Long) = {
-    val df = spark.read.parquet(path)
+  /** Snapshot-isolated variant over a [[Snapshot]] table: the rewrite lands
+    * as the next generation and flips the pointer, so concurrent readers of
+    * the live generation finish their own consistent snapshot untouched
+    * (the dir-swap `apply` assumes an exclusive writer). Same typed-key
+    * validation and single-scan audit; returns (kept, dropped).
+    */
+  def inSnapshot(spark: SparkSession, path: String, keyCol: String,
+      keys: Seq[Any]): (Long, Long) = {
+    import spark.implicits._
+    require(!keys.contains(null), "Forget: null deletion keys match nothing")
+    val keyDf = keys.map(String.valueOf).toDF("__forget_key")
+    var audit = (0L, 0L)
+    Snapshot.update(spark, path) { df =>
+      val marked = graft.Caches.persist(markHits(df, keyCol, keyDf))
+      val counts = marked.agg(
+          count(lit(1)).as("total"),
+          count(col("__forget_hit")).as("dropped"))
+        .head()
+      audit = (counts.getLong(0) - counts.getLong(1), counts.getLong(1))
+      marked.filter(col("__forget_hit").isNull).drop("__forget_hit")
+    }
+    graft.Caches.drain(spark)
+    audit
+  }
+
+  /** Validate+type the deletion set against `keyCol` and mark each row of
+    * `df`: `__forget_hit` is 1 on rows to drop, null on rows to keep.
+    */
+  private def markHits(df: DataFrame, keyCol: String,
+      keyDf: DataFrame): DataFrame = {
     val keyType = df.schema(keyCol).dataType
     // typed deletion set, validated: every key must survive the cast to the
     // column's native type — a null (explicit or cast-failure) key would
@@ -65,12 +92,17 @@ object Forget {
     // user) must not duplicate its matched rows through the left join
     val keySet = typed.select("__forget_typed").distinct()
       .withColumn("__forget_hit", lit(1))
+    df.join(broadcast(keySet),
+        col(keyCol) === col("__forget_typed"), "left")
+      .drop("__forget_typed")
+  }
+
+  private def rewrite(spark: SparkSession, path: String, keyCol: String,
+      keyDf: DataFrame): (Long, Long) = {
+    val df = spark.read.parquet(path)
     // ONE scan: mark each row hit/kept, persist, derive both audit counts
     // and the rewrite from the same pass
-    val marked = graft.Caches.persist(
-      df.join(broadcast(keySet),
-        col(keyCol) === col("__forget_typed"), "left")
-        .drop("__forget_typed"))
+    val marked = graft.Caches.persist(markHits(df, keyCol, keyDf))
     val tmp = new java.io.File(path + ".forget")
     try {
       val hitCol: Column = col("__forget_hit")

@@ -696,4 +696,178 @@ object Streams {
         if (onBatchAudit != null) onBatchAudit(batchId, m)
       }
       .start()
+
+  /** Read a parquet-backed state table, or an empty frame with `schema` if
+    * the directory does not exist yet (batch 0 of a fresh pipeline).
+    */
+  private def readStateOr(s: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) s.read.schema(schema).parquet(path)
+    else s.createDataFrame(s.sparkContext
+      .emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** COMPOSED streaming curation pipeline — the streaming twin of the batch
+    * `x4_pipeline_funnel` query, all four stages as ONE StreamingQuery over
+    * `(doc_id, text)` rows:
+    *
+    *   quality gate  -> exact dedup  -> near-dup dedup -> survivor index
+    *   (stateless)      (digest set)    (token index + cluster map)
+    *
+    * Stage contracts are the FUNNEL'S OWN, not re-implementations: the
+    * quality gate is [[graft.queries.Llm.qualityPredicate]] (the shared
+    * Column), exact dedup keeps the min-doc_id keeper per md5(text) digest
+    * against a cumulative digest registry, and near-dup runs ONE connected-
+    * components step per batch — the funnel's own clustering operator
+    * ([[graft.operators.ConnectedComponents]]) over the batch's keepers
+    * plus every existing cluster a keeper touches (token-set Jaccard >= t
+    * against ANY prior keeper, matched through the member->rep map). By
+    * induction the per-batch CC over contracted prior clusters equals the
+    * funnel's CC over the whole prefix graph — INCLUDING chains through
+    * dropped members and merges OF existing clusters. A merge demotes
+    * every absorbed representative: since an append-only stream cannot
+    * un-admit it, the batch emits a `retracted_near_dup` TOMBSTONE row for
+    * it (the standard compaction/tombstone reconciliation of streaming
+    * dedup stores), so current survivors = admitted − retracted, exactly.
+    *
+    * State is parquet-backed under `path/_state`: the digest registry
+    * (16-byte keys — at 100 TB the same GB-scale digest shuffle as
+    * x1_dedup_exact; on a cluster a compacted keyed store), the keepers'
+    * token inversion (w -> member) for the candidate join (grows by
+    * distinct texts — the post-exact-dedup corpus), and the member->rep
+    * cluster map (one row per keeper, rewritten as a snapshot per batch —
+    * rep-level, small; the object-store analog is a compacted changelog).
+    * Candidate generation via the shared-token inverted join is the
+    * funnel's own sub-quadratic prefix shape; the scale path swaps in the
+    * banded MinHash index ([[corpusIndex]]/[[nearDupScreen]]) with
+    * identical verify semantics. State appends are idempotent under
+    * foreachBatch retries: digests dedup through the anti-join, token rows
+    * through dropDuplicates on read, and the cluster map is a snapshot.
+    *
+    * Decision parity with the batch funnel (pinned in StreamingSpec): at
+    * EVERY batch, the cumulative survivor sets of all three gates equal
+    * `curationStages` run on the prefix of rows seen so far — exactly, for
+    * any similarity topology (chains, merges) — provided doc_ids arrive in
+    * increasing order across batches (so first-seen == min-id).
+    *
+    * Per batch, `path/decisions/batch_id=N` receives one (doc_id, outcome)
+    * row per input doc — admitted | rejected_quality | rejected_exact_dup |
+    * rejected_near_dup — plus a retracted_near_dup row per demoted earlier
+    * rep; exactly-once via overwrite-by-batch-directory.
+    */
+  def curationPipelineSink(stream: DataFrame, path: String,
+      checkpoint: String, t: Double = 0.9)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val digestSchema = StructType(Seq(StructField("h", StringType)))
+    val tokSchema = StructType(Seq(StructField("member_id", LongType),
+      StructField("nb", LongType), StructField("w", StringType)))
+    val repSchema = StructType(Seq(StructField("member_id", LongType),
+      StructField("rep_id", LongType)))
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val TF = graft.functions.TextFunctions
+        val in = batch.select("doc_id", "text").persist()
+        // stage 1: quality — the funnel's own predicate
+        val qual = in.filter(graft.queries.Llm.qualityPredicate)
+          .withColumn("h", md5(col("text"))).persist()
+        // stage 2: exact dedup — min-id keeper per digest within the batch,
+        // then anti-join against the cumulative registry.
+        // EAGER localCheckpoint, not persist, on every state-derived frame:
+        // the stage-4 writes to _state/* trigger Spark's recacheByPath,
+        // which would re-evaluate a merely-cached plan against the NEW file
+        // listing — the batch would anti-join away its own just-appended
+        // digests. Checkpointing truncates the lineage so the pre-write
+        // read is what every later consumer sees.
+        val wD = org.apache.spark.sql.expressions.Window
+          .partitionBy("h").orderBy("doc_id")
+        val seen = readStateOr(s, s"$path/_state/digests", digestSchema)
+        val keepers = qual
+          .withColumn("rn", row_number().over(wD)).filter(col("rn") === 1)
+          .join(seen, Seq("h"), "left_anti")
+          .select("doc_id", "text", "h").localCheckpoint(true)
+        // stage 3: near-dup — candidates from the shared-token inverted
+        // join, exact Jaccard >= t verify, then ONE CC step over the
+        // batch keepers + the reps of every prior cluster they touch
+        val stateToks = readStateOr(s, s"$path/_state/toks", tokSchema)
+          .dropDuplicates("member_id", "w") // idempotent under retries
+        val memRep = readStateOr(s, s"$path/_state/memrep", repSchema)
+          .localCheckpoint(true)
+        val newToks = keepers.select(col("doc_id"),
+          explode(TF.tokenSet(col("text"))).as("w")).persist()
+        val newCnt = newToks.groupBy("doc_id").agg(count(lit(1)).as("na"))
+          .persist()
+        // (batch doc, prior cluster rep) edges via the member->rep map
+        val repHits = newToks.join(stateToks, "w")
+          .groupBy("doc_id", "member_id", "nb").agg(count(lit(1)).as("i"))
+          .join(newCnt, "doc_id")
+          .filter(col("i").cast("double") /
+            (col("na") + col("nb") - col("i")).cast("double") >= t)
+          .join(memRep, "member_id")
+          .select(col("doc_id").as("src"), col("rep_id").as("dst"))
+          .distinct()
+        // in-batch (keeper, keeper) edges, same verify
+        val pairs = newToks.toDF("a", "w")
+          .join(newToks.toDF("b", "w"), "w")
+          .filter(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("i"))
+          .join(newCnt.toDF("a", "na"), "a")
+          .join(newCnt.toDF("b", "nb2"), "b")
+          .filter(col("i").cast("double") /
+            (col("na") + col("nb2") - col("i")).cast("double") >= t)
+          .select(col("a").as("src"), col("b").as("dst"))
+        // contracted-graph CC: prior clusters are single nodes (their
+        // reps); component label = min id = the funnel's representative
+        val nodes = keepers.select(col("doc_id").as("id"))
+          .union(repHits.select(col("dst").as("id"))).distinct()
+        val comp = graft.operators.ConnectedComponents(
+          nodes, repHits.union(pairs)).localCheckpoint(true)
+        val admitted = comp.filter(col("id") === col("component"))
+          .join(keepers.select(col("doc_id").as("id")), "id")
+          .select(col("id").as("doc_id"))
+        // a prior rep absorbed into a lower-id component is DEMOTED —
+        // tombstone it (appended decisions cannot be unwritten)
+        val retracted = comp.filter(col("id") =!= col("component"))
+          .join(keepers.select(col("doc_id").as("id")), Seq("id"), "left_anti")
+          .select(col("id").as("doc_id"),
+            lit("retracted_near_dup").as("outcome"))
+        // stage 4: extend state — ALL new keeper digests + token rows
+        // (cluster membership must stay matchable through dropped members),
+        // and the member->rep snapshot remapped through this batch's CC
+        keepers.select("h").write.mode("append")
+          .parquet(s"$path/_state/digests")
+        newToks.join(newCnt, "doc_id")
+          .select(col("doc_id").as("member_id"), col("na").as("nb"), col("w"))
+          .write.mode("append").parquet(s"$path/_state/toks")
+        val remapped = memRep
+          .join(comp.toDF("rep_id", "newrep"), Seq("rep_id"), "left")
+          .select(col("member_id"),
+            coalesce(col("newrep"), col("rep_id")).as("rep_id"))
+          .union(keepers.select(col("doc_id").as("member_id"))
+            .join(comp.toDF("member_id", "rep_id"), "member_id")
+            .select("member_id", "rep_id"))
+          .localCheckpoint(true) // sever lineage before overwriting its source
+        remapped.write.mode("overwrite").parquet(s"$path/_state/memrep")
+        // decisions: one row per input doc (+ tombstones), exactly-once
+        val out = in.select("doc_id")
+          .join(qual.select(col("doc_id"), lit(1).as("q")), Seq("doc_id"), "left")
+          .join(keepers.select(col("doc_id"), lit(1).as("k")), Seq("doc_id"), "left")
+          .join(admitted.select(col("doc_id"), lit(1).as("a")), Seq("doc_id"), "left")
+          .withColumn("outcome",
+            when(col("q").isNull, "rejected_quality")
+              .when(col("k").isNull, "rejected_exact_dup")
+              .when(col("a").isNull, "rejected_near_dup")
+              .otherwise("admitted"))
+          .select("doc_id", "outcome")
+          .union(retracted)
+        out.write.mode("overwrite").parquet(s"$path/decisions/batch_id=$batchId")
+        Seq(newToks, newCnt, qual, in).foreach(_.unpersist(blocking = false))
+        graft.Caches.drain(s) // operators' query-local persists
+      }
+      .start()
+  }
 }

@@ -1,0 +1,104 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Build a k×-scaled replica of a testdata directory (default k=10: the
+  * sf1 point from sf0.1) for full-bench scale runs — every table, not just
+  * the LLM corpus (ProfileMain @scale covers that pair).
+  *
+  * Replication preserves the QUERY-RELEVANT structure instead of
+  * manufacturing artifacts:
+  *   - fact/entity keys are offset per replica (disjoint id spaces: join
+  *     fan-outs, distinct counts, and group cardinalities grow k×, exactly
+  *     like a larger TPC-H scale factor);
+  *   - nation/region stay single-copy (they are fixed-cardinality
+  *     dimensions at every TPC-H scale factor — customers-per-nation is
+  *     what grows);
+  *   - timestamps are untouched (rows-per-time-bucket grows k×, so
+  *     windowed/sessionized plans feel the growth in group SIZE);
+  *   - document tokens are suffixed `_r` per replica (disjoint vocabularies
+  *     — no manufactured cross-replica near-dups) and embeddings are
+  *     circularly shifted (within-replica geometry exact), the same remaps
+  *     as ProfileMain's sweep.
+  *
+  * Usage: runMain graft.tools.ScaleCorpus [baseDir] [outDir] [k]
+  * then:  SPARK_GRAFT_SF_DIR=<outDir> runMain graft.Bench
+  */
+object ScaleCorpus {
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outDir = args.drop(1).headOption.getOrElse("/tmp/graft-sf1")
+    val k = args.drop(2).headOption.map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    build(spark, baseDir, outDir, k)
+    spark.stop()
+  }
+
+  /** Per-replica key offset — far above any base id, so replica id spaces
+    * never collide; divisible by every small modulus the queries use
+    * (e.g. `vec_id % 50 == 0` query sampling picks k× queries, matching
+    * the k× corpus).
+    */
+  private val Off = 100000000L
+
+  def build(spark: SparkSession, baseDir: String, outDir: String,
+      k: Int): Unit = {
+    def replicate(name: String)(remap: (DataFrame, Int) => DataFrame): Unit = {
+      val path = s"$outDir/$name.parquet"
+      if (!new java.io.File(s"$path/_SUCCESS").isFile) {
+        val base = graft.Tables.load(spark, baseDir, name)
+        (0 until k).map(r => remap(base, r))
+          .reduce(_.unionAll(_)).write.mode("overwrite").parquet(path)
+        println(s"[scalecorpus] built $path (x$k)")
+      } else println(s"[scalecorpus] reusing $path")
+    }
+    def id(r: Int)(c: String) = (col(c) + lit(r * Off)).as(c)
+
+    // fixed-cardinality dimensions: single copy
+    Seq("region", "nation").foreach(n =>
+      replicate(n)((d, r) => if (r == 0) d else d.limit(0)))
+    replicate("customer")((d, r) =>
+      d.select(id(r)("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment")))
+    replicate("supplier")((d, r) =>
+      d.select(id(r)("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("s_acctbal")))
+    replicate("part")((d, r) =>
+      d.select(id(r)("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_type"), col("p_size"), col("p_retailprice")))
+    replicate("orders")((d, r) =>
+      d.select(id(r)("o_orderkey"), id(r)("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority")))
+    replicate("lineitem")((d, r) =>
+      d.select(id(r)("l_orderkey"), id(r)("l_partkey"), id(r)("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate")))
+    replicate("events")((d, r) =>
+      d.select(id(r)("event_id"), col("ts"), id(r)("user_id"),
+        col("event_type"), col("value"), col("props")))
+    // LLM corpus: ProfileMain @scale's exact remaps
+    replicate("documents")((d, r) =>
+      if (r == 0) d
+      else d.select(
+        (col("doc_id") + lit(r * Off)).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          x => concat(x, lit(s"_$r")))).as("text"),
+        col("lang"), col("source"), col("n_chars")))
+    replicate("embeddings")((e, r) =>
+      if (r == 0) e
+      else e.select(
+        (col("vec_id") + lit(r * Off)).as("vec_id"),
+        concat(slice(col("embedding"), r + 1, 64 - r),
+          slice(col("embedding"), 1, r)).as("embedding"),
+        col("label")))
+  }
+}

@@ -170,6 +170,27 @@ class LlmSpec extends AnyFunSuite {
       "cascade rerank sims must be the exact float cosines")
   }
 
+  test("x3_knn_pq recalls >= 0.9 of the exact float top-10; overlap sims exact") {
+    // PQ compresses 256-byte vectors to 8 4-bit codes (64x) — far lossier
+    // than int8 — but the ADC stage only has to land true neighbors in a
+    // 5x-oversized 50-candidate pool on clustered data; the float rerank
+    // then restores exact sims. Recall target 0.9 (the judged PQ contract);
+    // overlap sims must equal brute's bit-for-bit (same full-precision
+    // cosine).
+    val brute = q("x3_knn_brute").collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    graft.Caches.drain(spark)
+    val pq = q("x3_knn_pq").collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    graft.Caches.drain(spark)
+    assert(brute.nonEmpty)
+    val recall = brute.keySet.intersect(pq.keySet).size.toDouble / brute.size
+    assert(recall >= 0.9, s"pq recall $recall")
+    val overlap = brute.keySet.intersect(pq.keySet)
+    assert(overlap.forall(k => brute(k) == pq(k)),
+      "pq rerank sims must be the exact float cosines")
+  }
+
   test("x3_mmr_rerank picks are less redundant than the top-5 by relevance") {
     // the point of MMR: among each query's 5 picks, the max pairwise
     // cosine must not exceed the max pairwise cosine of the plain

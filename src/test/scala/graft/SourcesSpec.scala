@@ -80,6 +80,41 @@ class SourcesSpec extends AnyFunSuite {
     assert(!new java.io.File(dir + ".old").exists())
   }
 
+  test("Snapshot: a reader mid-scan survives a concurrent Forget/Compact " +
+      "swap and sees ITS generation; vacuum is the explicit boundary") {
+    import graft.sources.{Compact, Forget, Snapshot}
+    val dir = Files.createTempDirectory("graft-snap").toString + "/t"
+    Snapshot.init(spark, dir, flat)
+    val total = flat.count()
+    // reader pins its snapshot at DEFINITION (pointer resolved, file list
+    // taken) — everything below happens "mid-scan" from its point of view
+    val reader = Snapshot.read(spark, dir)
+    val victims = flat.select("device_id").distinct()
+      .orderBy("device_id").limit(2)
+      .collect().map(_.getString(0)).toSeq
+    val expectDropped = flat.filter(col("device_id").isin(victims: _*)).count()
+    val (kept, dropped) = Forget.inSnapshot(spark, dir, "device_id", victims)
+    assert(dropped == expectDropped && kept == total - expectDropped)
+    Compact.inSnapshot(spark, dir) // a second swap on top
+    // the old reader still completes against its own immutable generation
+    assert(reader.count() == total,
+      "mid-scan reader must finish its pinned pre-delete snapshot")
+    assert(reader.filter(col("device_id").isin(victims: _*)).count()
+      == expectDropped, "pinned snapshot still contains the deleted keys")
+    // a NEW reader resolves the flipped pointer
+    val after = Snapshot.read(spark, dir)
+    assert(after.count() == kept)
+    assert(after.filter(col("device_id").isin(victims: _*)).count() == 0)
+    assert(Snapshot.currentGen(dir).contains(2L), "init + forget + compact")
+    // vacuum reclaims the superseded generations — the one operation that
+    // invalidates old readers (retention policy belongs to the operator)
+    val removed = Snapshot.vacuum(spark, dir)
+    assert(removed == Seq(0L, 1L), s"got $removed")
+    assert(!new java.io.File(dir, "gen-0").exists())
+    assert(new java.io.File(dir, "gen-2").exists())
+    assert(Snapshot.read(spark, dir).count() == kept, "live gen intact")
+  }
+
   test("Compact: many small files rewrite to the computed file count") {
     import graft.sources.Compact
     val dir = Files.createTempDirectory("graft-compact").toString + "/t"

@@ -340,6 +340,89 @@ class StreamingSpec extends AnyFunSuite {
       s"expected only the planted near-dup flagged, got $flagged")
   }
 
+  test("composed curation pipeline: per-stage survivor sets match the batch " +
+      "funnel at every batch") {
+    import graft.streaming.Streams
+    import org.apache.spark.sql.functions.col
+    // the driver's documents table, fed in doc_id order over 3 micro-batches;
+    // after EVERY batch the cumulative decisions must reproduce the batch
+    // funnel (Llm.curationStages) run on the prefix seen so far — quality
+    // survivors, exact-dedup keepers, and near-dup representatives alike
+    val docs = graft.Tables.load(spark, SparkTestSession.sfDir, "documents")
+      .select(col("doc_id"), col("text")).orderBy("doc_id")
+      .as[(Long, String)].collect()
+    assert(docs.length >= 30)
+    val dir = java.nio.file.Files.createTempDirectory("graft_curation").toString
+    val in = MemoryStream[(Long, String)](spark)
+    val q = Streams.curationPipelineSink(
+      in.toDF().toDF("doc_id", "text"), s"$dir/out", s"$dir/ckpt", t = 0.9)
+    val chunks = docs.grouped((docs.length + 2) / 3).toSeq
+    var seen = Vector.empty[(Long, String)]
+    try {
+      chunks.foreach { chunk =>
+        in.addData(chunk.toSeq)
+        q.processAllAvailable()
+        seen ++= chunk
+        // batch funnel over the prefix
+        val prefix = seen.toDF("doc_id", "text")
+        val (qual, keepers, reps) =
+          graft.queries.Llm.curationStages(spark, prefix)
+        val bQual = qual.select("doc_id").as[Long].collect().toSet
+        val bKeep = keepers.select("doc_id").as[Long].collect().toSet
+        val bReps = reps.select("doc_id").as[Long].collect().toSet
+        graft.Caches.drain(spark)
+        // streaming decisions so far (all batch dirs written to date);
+        // survivors = admitted − retracted (tombstones mark reps demoted
+        // by a later cluster merge)
+        val dec = spark.read.parquet(s"$dir/out/decisions")
+          .select("doc_id", "outcome").as[(Long, String)].collect()
+        assert(dec.map(_._1).distinct.length == seen.length,
+          "one decision per ingested doc (tombstones revisit a doc)")
+        val byOutcome = dec.groupBy(_._2).map { case (k, v) =>
+          k -> v.map(_._1).toSet }.withDefaultValue(Set.empty[Long])
+        val sQual = byOutcome("admitted") ++ byOutcome("rejected_exact_dup") ++
+          byOutcome("rejected_near_dup")
+        val sKeep = byOutcome("admitted") ++ byOutcome("rejected_near_dup")
+        val sReps = byOutcome("admitted") -- byOutcome("retracted_near_dup")
+        assert(sQual == bQual, "quality survivors diverged from the funnel")
+        assert(sKeep == bKeep, "exact-dedup keepers diverged from the funnel")
+        assert(sReps == bReps,
+          "survivor set (admitted − retracted) diverged from the funnel's " +
+            "representatives")
+      }
+    } finally q.stop()
+  }
+
+  test("curation pipeline: a later cluster merge tombstones the absorbed rep") {
+    import graft.streaming.Streams
+    // A and B are each >= 0.9-Jaccard to C but only ~0.82 to each other:
+    // |A|=|B|=|C|=20 tokens, C differs from each by one substitution
+    // (19/21 = 0.905 >= 0.9), A vs B share 18 (18/22 = 0.818 < 0.9). So A
+    // and B are both admitted as reps of separate clusters; C then bridges
+    // them — the funnel's CC merges the clusters under rep A, and the
+    // stream must demote B with a retracted_near_dup tombstone.
+    val base = (1 to 19).map(i => s"tok$i") :+ "the"
+    val aTxt = (base.filterNot(_ == "tok1") :+ "alpha").mkString(" ")
+    val bTxt = (base.filterNot(_ == "tok2") :+ "beta").mkString(" ")
+    val cTxt = base.mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_curation2").toString
+    val in = MemoryStream[(Long, String)](spark)
+    val q = Streams.curationPipelineSink(
+      in.toDF().toDF("doc_id", "text"), s"$dir/out", s"$dir/ckpt", t = 0.9)
+    try {
+      in.addData((1L, aTxt)); q.processAllAvailable()
+      in.addData((2L, bTxt)); q.processAllAvailable()
+      val mid = spark.read.parquet(s"$dir/out/decisions")
+        .select("doc_id", "outcome").as[(Long, String)].collect().toSet
+      assert(mid == Set((1L, "admitted"), (2L, "admitted")), s"got $mid")
+      in.addData((3L, cTxt)); q.processAllAvailable()
+      val dec = spark.read.parquet(s"$dir/out/decisions")
+        .select("doc_id", "outcome").as[(Long, String)].collect().toSet
+      assert(dec == Set((1L, "admitted"), (2L, "admitted"),
+        (2L, "retracted_near_dup"), (3L, "rejected_near_dup")), s"got $dec")
+    } finally q.stop()
+  }
+
   test("streaming phash screen flags a visually identical payload, " +
       "matches its batch twin, stays appendable") {
     import graft.streaming.Streams
