@@ -1935,12 +1935,25 @@ object Llm {
     // sums are <= 8*8*254^2 ~ 4.1e6, exact regardless of summation order),
     // so DuckDB replays training + encode + ADC bit-for-bit as unrolled
     // CTEs and the whole cascade hash-matches — recall vs the exact float
-    // top-10 is pinned in LlmSpec. At 100 TB: training runs on a bounded
-    // sample (here: the full set; the seeds rule is the sample stand-in),
-    // the code table is the only corpus-sized scan, and the float rerank
-    // fetches 100*q rows — a 10x-oversized pool (vs the int8 cascade's 5x)
-    // because 4-bit codes are lossier; the pool size is a CONSTANT in
-    // corpus size, so the fetch discipline matches x3_knn_cascade.
+    // top-10 is pinned in LlmSpec.
+    //
+    // TRAINING runs on the DRIVER over the collected int8 sample — the
+    // same statistics-gated pattern as ConnectedComponents' union-find and
+    // exactly how production PQ trains (FAISS: a bounded sample, never the
+    // corpus; a 65536-vector sample is 4 MB). The driver loop replays the
+    // identical integer semantics the oracle's unrolled CTEs compute
+    // (strict-< scan = ROW_NUMBER's (d ASC, cid ASC); math.floor(sum/cnt)
+    // = FLOOR(SUM/COUNT), exact at these magnitudes), so the hash match is
+    // unchanged — and ~15 centroid-sized shuffle stages collapse to zero
+    // (measured 5.3 s -> see README bench notes). Here the sample is the
+    // full set; at 100 TB it is a fixed-size mod-sample and the index is
+    // sample-dependent like any trained ANN structure.
+    //
+    // At 100 TB: the code table is the only corpus-sized scan, and the
+    // float rerank fetches 100*q rows — a 10x-oversized pool (vs the int8
+    // cascade's 5x) because 4-bit codes are lossier; the pool size is a
+    // CONSTANT in corpus size, so the fetch discipline matches
+    // x3_knn_cascade.
     Q("x3_knn_pq",
       (s, dir) => {
         graft.functions.NativeExpressions.register(s)
@@ -1948,53 +1961,71 @@ object Llm {
         val ef = graft.Caches.persist(
           embs(s, dir).select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
             .withColumn("nrm", VF.l2Norm(col("v"))))
-        // int8 components (x3_knn_int8's floor(x+0.5) rule) in long form:
-        // one row per (vec_id, sub 0..15, pos 0..3) — the relational shape
-        // both the Lloyd steps and the ADC join consume
-        val sv = graft.Caches.persist(
+        // int8 components (x3_knn_int8's floor(x+0.5) rule), array form
+        val e8 = graft.Caches.persist(
           ef.withColumn("ma", when(maxabs === 0.0, 1.0).otherwise(maxabs))
-            .select(col("vec_id"),
-              posexplode(transform(col("v"),
-                x => floor(x * lit(127.0) / col("ma") + lit(0.5)).cast("double")))
-                .as(Seq("i", "x")))
-            .select(col("vec_id"), expr("CAST(i div 4 AS BIGINT)").as("sub"),
-              expr("CAST(i % 4 AS BIGINT)").as("pos"), col("x")))
-        // codebook seeds: the 16 smallest vec_ids, cid = 0..15 by vec_id
-        // rank (16 rows — the single-partition window is a driver-scale
-        // sort of an already-LIMITed frame, not a data-scale one)
-        val seeds = ef.select("vec_id").orderBy("vec_id").limit(16)
-          .withColumn("cid",
-            (row_number().over(Window.orderBy("vec_id")) - 1).cast("long"))
-        val c0 = sv.join(broadcast(seeds), "vec_id")
-          .select(col("sub"), col("cid"), col("pos"), col("x").as("c"))
-        // one Lloyd assign: nearest centroid per (vec, sub) by integer
-        // squared L2, ties -> smallest cid (deterministic, SQL-replayable)
-        def assign(cent: DataFrame): DataFrame = {
-          val wA = Window.partitionBy("vec_id", "sub").orderBy(asc("d"), asc("cid"))
-          sv.join(broadcast(cent), Seq("sub", "pos"))
-            .groupBy("vec_id", "sub", "cid")
-            .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
-            .withColumn("rk", row_number().over(wA))
-            .filter(col("rk") === 1)
-            .select("vec_id", "sub", "cid")
+            .select(col("vec_id"), transform(col("v"),
+              x => floor(x * lit(127.0) / col("ma") + lit(0.5)).cast("double"))
+              .as("q8")))
+        // ...and in long form: one row per (vec_id, sub 0..15, pos 0..3) —
+        // the relational shape the encode and ADC joins consume
+        val sv = e8
+          .select(col("vec_id"), posexplode(col("q8")).as(Seq("i", "x")))
+          .select(col("vec_id"), expr("CAST(i div 4 AS BIGINT)").as("sub"),
+            expr("CAST(i % 4 AS BIGINT)").as("pos"), col("x"))
+        // ---- driver-side Lloyd over the (bounded) training sample:
+        // seeds = the 16 smallest vec_ids; 2 iterations of assign (integer
+        // squared L2, ties -> smallest cid) + update (elementwise
+        // floor(mean), empty cluster keeps its centroid)
+        val m = 16; val k = 16; val dsub = 4
+        val sample = e8.orderBy("vec_id").collect()
+          .map(r => r.getSeq[Double](1).toArray)
+        require(sample.length >= k, s"PQ needs >= $k training vectors")
+        var cent = Array.tabulate(m, k, dsub)(
+          (sub, cid, p) => sample(cid)(sub * dsub + p))
+        for (_ <- 1 to 2) {
+          val sums = Array.fill(m, k, dsub)(0L)
+          val cnts = Array.fill(m, k)(0L)
+          for (q8 <- sample; sub <- 0 until m) {
+            var best = 0; var bestD = Double.MaxValue
+            var cid = 0
+            while (cid < k) {
+              var d = 0.0; var p = 0
+              while (p < dsub) {
+                val t = q8(sub * dsub + p) - cent(sub)(cid)(p)
+                d += t * t; p += 1
+              }
+              if (d < bestD) { bestD = d; best = cid } // strict <: min cid wins ties
+              cid += 1
+            }
+            cnts(sub)(best) += 1
+            var p = 0
+            while (p < dsub) {
+              sums(sub)(best)(p) += q8(sub * dsub + p).toLong; p += 1
+            }
+          }
+          cent = Array.tabulate(m, k, dsub)((sub, cid, p) =>
+            if (cnts(sub)(cid) == 0) cent(sub)(cid)(p)
+            else math.floor(sums(sub)(cid)(p).toDouble / cnts(sub)(cid)))
         }
-        // one Lloyd update: elementwise floor(mean) over the assigned
-        // members; an empty cluster keeps its previous centroid
-        def update(cent: DataFrame, asg: DataFrame): DataFrame = {
-          val upd = asg.join(sv, Seq("vec_id", "sub"))
-            .groupBy("sub", "cid", "pos")
-            .agg(floor(sum("x") / count(lit(1))).cast("double").as("cNew"))
-          cent.join(upd, Seq("sub", "cid", "pos"), "left")
-            .select(col("sub"), col("cid"), col("pos"),
-              coalesce(col("cNew"), col("c")).as("c"))
-        }
-        val c1 = graft.Caches.persist(update(c0, assign(c0)))
-        val c2 = graft.Caches.persist(update(c1, assign(c1)))
-        val codes = assign(c2) // final encode: 16 4-bit codes per vector
+        // the trained codebook as the tiny broadcast side (m*k*dsub rows)
+        import s.implicits._
+        val cb = (for (sub <- 0 until m; cid <- 0 until k; p <- 0 until dsub)
+          yield (sub.toLong, cid.toLong, p.toLong, cent(sub)(cid)(p)))
+          .toDF("sub", "cid", "pos", "c")
+        // encode: nearest centroid per (vec, sub) — one broadcast join +
+        // aggregation + ranking window; 16 4-bit codes per vector
+        val wA = Window.partitionBy("vec_id", "sub").orderBy(asc("d"), asc("cid"))
+        val codes = sv.join(broadcast(cb), Seq("sub", "pos"))
+          .groupBy("vec_id", "sub", "cid")
+          .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
+          .withColumn("rk", row_number().over(wA))
+          .filter(col("rk") === 1)
+          .select("vec_id", "sub", "cid")
         // ADC: per-query lookup table (query subvector -> every centroid),
         // broadcast against the code table, SUM over the 16 subspaces
         val qd = sv.filter(col("vec_id") % 50 === 0)
-          .join(broadcast(c2), Seq("sub", "pos"))
+          .join(broadcast(cb), Seq("sub", "pos"))
           .groupBy(col("vec_id").as("query_id"), col("sub"), col("cid"))
           .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
         val wp = Window.partitionBy("query_id").orderBy(asc("adist"), asc("neighbor_id"))

@@ -222,6 +222,20 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     graft.Caches.drain(spark)
   }
 
+  test("x3_knn_pq: ADC search is equi-joins end to end (no all-pairs scan)") {
+    // the PQ contract: the per-query distance lookup table meets the code
+    // table through a (sub, cid) hash join and the float rerank touches
+    // only the bounded candidate pool — a cartesian / nested-loop anywhere
+    // would put the full-precision vectors back on the scan path that the
+    // 32x code compression exists to shrink
+    val p = planOf("x3_knn_pq")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"all-pairs join in the PQ plan:\n$p")
+    assert(p.contains("cid"),
+      s"expected the (sub, cid) ADC equi-join keys in the plan:\n$p")
+    graft.Caches.drain(spark)
+  }
+
   test("x3_hybrid_search: keyword filter is a semi-join on the index key, " +
       "and no exchange ships document text") {
     // the cross-modal contract: the documents-side predicate reduces to an
