@@ -258,7 +258,36 @@ object Llm {
     val tok = graft.Caches.persist(tok0)
     val vocabSize = tok.select("w").distinct().count()
     if (vocabSize <= vocabThreshold(s)) bitsetJaccardPairs(tok, t, vocabSize.toInt)
+    else if (prefixWouldExplode(s, tok, vocabSize))
+      bitsetJaccardPairs(tok, t, vocabSize.toInt)
     else prefixJaccardPairs(tok, t)
+  }
+
+  /** Second dispatch stage for corpora ABOVE the vocab threshold: prefix
+    * filtering assumes an OPEN vocabulary (rare elements make prefix dfs
+    * small); a closed-ish vocabulary at scale keeps every df high and the
+    * candidate join goes quadratic — the r08 sf1 run caught x2_jaccard_bigram
+    * (931 bigrams/replica x 10 replicas = 9310 vocab, dfs ~270) filling the
+    * disk on the prefix path while the bitset NLJ over DISTINCT SETS handles
+    * the same corpus in bounded memory. Σdf² over the inverted index is a
+    * one-aggregation upper bound on the prefix join size (prefixes only
+    * shrink it); when it exceeds the budget and masks stay bounded
+    * (vocab ≤ maskVocabLimit longs·64), fall back to bitsets. Zipf-shaped
+    * open corpora are untouched: their vocab exceeds the mask limit long
+    * before Σdf² matters at this budget. vocabThreshold=0 (the spec's
+    * force-prefix override) bypasses this stage too.
+    */
+  private def prefixWouldExplode(s: SparkSession, tok: DataFrame,
+      vocabSize: Long): Boolean = {
+    if (vocabThreshold(s) == 0L) return false
+    val maskLimit = s.conf.getOption("graft.setsim.maskVocabLimit")
+      .map(_.toLong).getOrElse(65536L)
+    if (vocabSize > maskLimit) return false
+    val budget = s.conf.getOption("graft.setsim.prefixJoinBudget")
+      .map(_.toLong).getOrElse(200000000L)
+    val est = tok.groupBy("w").agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * col("df"))).head().getLong(0)
+    est > budget
   }
 
   /** Bitset-vs-prefix dispatch threshold (distinct vocabulary size). The
@@ -277,8 +306,9 @@ object Llm {
   private[graft] def bitsetSetsAndPairs(tok: DataFrame, t: Double,
       vocab: Int): (DataFrame, DataFrame) = {
     val words = (vocab + 63) / 64
-    // vocabulary index: single-partition window over <=4096 rows (at larger
-    // scale the dispatcher has already chosen the prefix path)
+    // vocabulary index: single-partition window over <= maskVocabLimit
+    // rows (the dispatcher routes truly open vocabularies to the prefix
+    // path; the closed-vocab fallback is bounded at 65536 by default)
     val w = Window.orderBy("w")
     val idx = tok.select("w").distinct()
       .select(col("w"), (row_number().over(w) - 1).cast("long").as("i"))
@@ -345,13 +375,20 @@ object Llm {
     */
   private[graft] def prefixJaccardPairs(tok: DataFrame, t: Double): DataFrame = {
     val dfreq = tok.groupBy("w").agg(count(lit(1)).as("df"))
-    val sorted = tok.join(dfreq, "w")
+    // persisted: the prefix explode + the two verify re-joins — registered
+    // so the harness drains it after the query
+    val sorted = graft.Caches.persist(tok.join(dfreq, "w")
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("df"), col("w")))).as("sw"))
       .select(col("doc_id"),
         expr("transform(sw, p -> p.w)").as("toks"),
-        size(col("sw")).cast("long").as("n"))
-    val pref = sorted.select(col("doc_id"), col("toks"), col("n"),
+        size(col("sw")).cast("long").as("n")))
+    // candidate generation carries IDS ONLY. The r08 sf1 scale run caught
+    // the full token arrays riding the PRE-dedup candidate join: on a
+    // closed-vocabulary corpus prefix dfs stay high, and ~2e8 join rows
+    // each dragging two ~KB arrays was a near-TB shuffle (filled the disk);
+    // id rows make the same join ~5 GB. Arrays re-attach per DEDUPED pair.
+    val pref = sorted.select(col("doc_id"), col("n"),
       explode(slice(col("toks"), lit(1),
         (col("n") - ceil(col("n") * t) + 1).cast("int"))).as("w"))
     val cand = pref.as("a")
@@ -359,11 +396,13 @@ object Llm {
         col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.n"), col("b.n")).cast("double") >=
             greatest(col("a.n"), col("b.n")) * t)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.toks").as("ta"), col("b.toks").as("tb"),
-        col("a.n").as("na"), col("b.n").as("nb"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     cand
+      .join(sorted.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
+        col("n").as("na")), "doc_a")
+      .join(sorted.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
+        col("n").as("nb")), "doc_b")
       .withColumn("i", size(array_intersect(col("ta"), col("tb"))).cast("long"))
       .withColumn("j", col("i").cast("double") /
         (col("na") + col("nb") - col("i")).cast("double"))
@@ -408,6 +447,8 @@ object Llm {
     val tok = graft.Caches.persist(tok0)
     val vocabSize = tok.select("w").distinct().count()
     if (vocabSize <= vocabThreshold(s)) bitsetContainmentPairs(tok, vocabSize.toInt, num, den)
+    else if (prefixWouldExplode(s, tok, vocabSize))
+      bitsetContainmentPairs(tok, vocabSize.toInt, num, den)
     else prefixContainmentPairs(tok, num, den)
   }
 
@@ -469,10 +510,13 @@ object Llm {
     // prefix length n − ⌈num·n/den⌉ + 1 in EXACT integer arithmetic
     // (⌈a/b⌉ = (a + b − 1) div b) — an FP ceil(0.9·n) can round up a
     // half-ulp and silently shorten the prefix below the safe bound
-    val pref = sorted.select(col("doc_id"), col("toks"), col("n"),
+    // candidate generation carries IDS ONLY (same sf1 lesson as
+    // prefixJaccardPairs: arrays on the pre-dedup join rows are the
+    // shuffle-volume bomb); arrays re-attach per DEDUPED pair for verify
+    val pref = sorted.select(col("doc_id"), col("n"),
       explode(slice(col("toks"), lit(1),
         expr(s"cast(n - ((n * $num + ${den - 1}) div $den) + 1 as int)"))).as("w"))
-    val full = sorted.select(col("doc_id"), col("toks"), col("n"),
+    val full = sorted.select(col("doc_id"), col("n"),
       explode(col("toks")).as("w"))
     // every qualifying pair's smaller set exposes an intersection element in
     // its prefix, and that element appears SOMEWHERE in the larger set — so
@@ -483,11 +527,13 @@ object Llm {
           (col("b.n") > col("a.n") ||
             (col("b.n") === col("a.n") && col("a.doc_id") =!= col("b.doc_id"))))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
-        col("a.toks").as("ta"), col("b.toks").as("tb"),
-        col("a.n").as("pa"), col("b.n").as("pb"))
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     cand
+      .join(sorted.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
+        col("n").as("pa")), "doc_a")
+      .join(sorted.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
+        col("n").as("pb")), "doc_b")
       .withColumn("i", size(array_intersect(col("ta"), col("tb"))).cast("long"))
       .filter(col("i") * den >= least(col("pa"), col("pb")) * num)
       .select(col("doc_a"), col("doc_b"),
@@ -521,7 +567,7 @@ object Llm {
     val tok = graft.Caches.persist(d
       .select(col("doc_id"), explode(TF.tokenSet(col("text"))).as("w")))
     val vocabSize = tok.select("w").distinct().count()
-    if (vocabSize <= vocabThreshold(s)) {
+    if (vocabSize <= vocabThreshold(s) || prefixWouldExplode(s, tok, vocabSize)) {
       val (sets, pairs) = bitsetSetsAndPairs(tok, 0.9, vocabSize.toInt)
       val comp = graft.operators.ConnectedComponents(
         sets.select(col("sid").as("id")),

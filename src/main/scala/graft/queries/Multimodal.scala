@@ -376,6 +376,144 @@ object Multimodal {
     (id, hash, totalFrames)
   }
 
+  // ===================== VIDEO (YUV4MPEG2) =====================
+
+  /** A REAL video payload — the third modality beside PPM images and
+    * RIFF/WAVE audio: each document's utf-8 bytes become the Y'/U/V planes
+    * of successive 2x2 C444 frames inside a genuine YUV4MPEG2 stream
+    * (`YUV4MPEG2 W2 H2 F8:1 Ip A1:1 C444\n` header, a `FRAME\n` marker per
+    * frame, 12 plane bytes per frame, zero-padded tail). y4m is the
+    * uncompressed interchange format ffmpeg/mjpegtools consume — any
+    * standard reader plays these streams.
+    */
+  def y4mBytes(body: Array[Byte], w: Int = 2, h: Int = 2,
+      fps: Int = 8): Array[Byte] = {
+    val frameBytes = w * h * 3
+    val nf = math.max(1, (body.length + frameBytes - 1) / frameBytes)
+    val header = s"YUV4MPEG2 W$w H$h F$fps:1 Ip A1:1 C444\n".getBytes("US-ASCII")
+    val marker = "FRAME\n".getBytes("US-ASCII")
+    val out = java.nio.ByteBuffer.allocate(
+      header.length + nf * (marker.length + frameBytes))
+    out.put(header)
+    var f = 0
+    while (f < nf) {
+      out.put(marker)
+      var i = 0
+      while (i < frameBytes) {
+        val p = f * frameBytes + i
+        out.put(if (p < body.length) body(p) else 0.toByte)
+        i += 1
+      }
+      f += 1
+    }
+    out.array()
+  }
+
+  def withY4mPayload(docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import docs.sparkSession.implicits._
+    docs.select("doc_id", "text").as[(Long, String)].mapPartitions { rows =>
+      rows.map { case (id, text) => (id, y4mBytes(text.getBytes("UTF-8"))) }
+    }
+  }
+
+  final case class Y4mFeatures(doc_id: Long, width: Int, height: Int,
+      fps_num: Int, fps_den: Int, n_frames: Long, duration_ms: Long)
+
+  /** REAL pure-JVM YUV4MPEG2 header parser: validates the magic and reads
+    * the space-separated tag grammar (any order; unknown tags like Ip/A/X
+    * honored-and-skipped — the full y4m grammar, not just our writer's
+    * subset). Returns (w, h, fpsNum, fpsDen, offset of the first FRAME).
+    */
+  private[graft] def parseY4mHeader(id: Long, b: Array[Byte])
+      : (Int, Int, Int, Int, Int) = {
+    val magic = "YUV4MPEG2"
+    require(b.length > magic.length &&
+      new String(b, 0, magic.length, "US-ASCII") == magic,
+      s"doc $id: no YUV4MPEG2 magic")
+    var i = magic.length
+    var w = -1; var h = -1; var fn = 25; var fd = 1
+    while (i < b.length && b(i) != '\n') {
+      require(b(i) == ' ', s"doc $id: malformed y4m header at byte $i")
+      i += 1
+      val start = i
+      while (i < b.length && b(i) != ' ' && b(i) != '\n') i += 1
+      val tag = new String(b, start, i - start, "US-ASCII")
+      tag.charAt(0) match {
+        case 'W' => w = tag.tail.toInt
+        case 'H' => h = tag.tail.toInt
+        case 'F' =>
+          val p = tag.tail.split(':'); fn = p(0).toInt; fd = p(1).toInt
+        case 'C' =>
+          require(tag.tail.startsWith("444"), s"doc $id: only C444 supported")
+        case _ => () // Ip (interlacing), A (aspect), X (extension): skipped
+      }
+    }
+    require(i < b.length && w > 0 && h > 0, s"doc $id: truncated y4m header")
+    (w, h, fn, fd, i + 1)
+  }
+
+  /** Walk the FRAME markers (marker parameters honored-and-skipped) and
+    * return (w, h, fpsNum, fpsDen, raster offset per frame). */
+  private[graft] def y4mFrames(id: Long, b: Array[Byte])
+      : (Int, Int, Int, Int, IndexedSeq[Int]) = {
+    val (w, h, fn, fd, off0) = parseY4mHeader(id, b)
+    val frameBytes = w * h * 3
+    var i = off0
+    val offs = IndexedSeq.newBuilder[Int]
+    while (i < b.length) {
+      require(b.length - i >= 5 && new String(b, i, 5, "US-ASCII") == "FRAME",
+        s"doc $id: expected FRAME marker at byte $i")
+      i += 5
+      while (i < b.length && b(i) != '\n') i += 1 // frame params: skipped
+      i += 1
+      require(b.length - i >= frameBytes, s"doc $id: truncated frame")
+      offs += i
+      i += frameBytes
+    }
+    (w, h, fn, fd, offs.result())
+  }
+
+  private[graft] def parseY4m(id: Long, b: Array[Byte]): Y4mFeatures = {
+    val (w, h, fn, fd, offs) = y4mFrames(id, b)
+    val nf = offs.length.toLong
+    // duration in exact integer ms (1000 * fd / fn divides evenly for the
+    // writer's 8:1; general streams would carry a rational here)
+    Y4mFeatures(id, w, h, fn, fd, nf, nf * 1000L * fd / fn)
+  }
+
+  /** Per-frame integer luma sums — the Y plane is the first w*h bytes of a
+    * C444 frame — the temporal activity series every video fingerprint
+    * starts from. Exact integers, so the oracle replays them from the
+    * payload writer's source text.
+    */
+  private[graft] def y4mLumaSums(id: Long, b: Array[Byte])
+      : IndexedSeq[(Long, Long)] = {
+    val (w, h, _, _, offs) = y4mFrames(id, b)
+    offs.zipWithIndex.map { case (off, f) =>
+      var s = 0L; var i = 0
+      while (i < w * h) { s += (b(off + i) & 0xff); i += 1 }
+      (f.toLong, s)
+    }
+  }
+
+  /** 62-bit TEMPORAL gradient hash (bit f set iff luma(f) > luma(f+1),
+    * first 63 frames) — the time-axis analog of the image row-gradient
+    * dHash, closing the image/audio/video fingerprint triad on the same
+    * exact-integer contract; near-dup pairs reuse the identical 3-block
+    * pigeonhole join. Returns (doc_id, thash, total frames).
+    */
+  private[graft] def y4mTemporalHash(id: Long, b: Array[Byte])
+      : (Long, Long, Long) = {
+    val lumas = y4mLumaSums(id, b)
+    val sums = lumas.take(63).map(_._2)
+    var hash = 0L; var f = 0
+    while (f < sums.length - 1) {
+      if (sums(f) > sums(f + 1)) hash |= 1L << f
+      f += 1
+    }
+    (id, hash, lumas.length.toLong)
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- binary metadata surface over the REAL image payload: byte
@@ -787,6 +925,113 @@ object Multimodal {
              |SELECT d.doc_id, COALESCE(h.sfp, 0) AS sfp,
              |  CAST((greatest(d.n,1)+15)//16 AS INT) AS n_frames
              |FROM d LEFT JOIN h ON h.doc_id = d.doc_id
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- X5 VIDEO metadata: every y4m payload through the REAL header
+    // parser + FRAME walker — stream parameters, frame count, exact
+    // integer duration. The oracle replays the writer's geometry (48
+    // bytes/frame) from the source text length.
+    Q("x5_video_meta",
+      (s, dir) => {
+        import s.implicits._
+        withY4mPayload(Tables.load(s, dir, "documents"))
+          .mapPartitions(_.map { case (id, b) => parseY4m(id, b) })
+          .toDF()
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, 2 AS width, 2 AS height, 8 AS fps_num,
+             |  1 AS fps_den,
+             |  CAST(greatest(CAST(ceil(LENGTH(text)/12.0) AS INT),1) AS BIGINT)
+             |    AS n_frames,
+             |  CAST(greatest(CAST(ceil(LENGTH(text)/12.0) AS INT),1) AS BIGINT)
+             |    * 125 AS duration_ms
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- X5 VIDEO frame sampling: decode every 4th frame (the keyframe
+    // stride of a sampling pipeline — thumbnails, shot detection, frame
+    // captioning all start here) and emit its integer luma sum. The
+    // decoder walks real FRAME markers per partition; work per video is
+    // its sampled frames only. Oracle: the Y plane of frame f is source
+    // bytes [12f, 12f+4), zero-padded past the text.
+    Q("x5_video_frame_sample",
+      (s, dir) => {
+        import s.implicits._
+        withY4mPayload(Tables.load(s, dir, "documents"))
+          .mapPartitions(_.flatMap { case (id, b) =>
+            y4mLumaSums(id, b).collect {
+              case (f, sum) if f % 4 == 0 => (id, f, sum)
+            }
+          })
+          .toDF("doc_id", "frame", "luma_sum")
+          .orderBy("doc_id", "frame")
+      },
+      Some("""WITH d AS (SELECT doc_id, text, LENGTH(text) AS len,
+             |    greatest(CAST(ceil(LENGTH(text)/12.0) AS INT),1) AS nf
+             |  FROM documents)
+             |SELECT doc_id, CAST(f AS BIGINT) AS frame,
+             |  CAST(SUM(CASE WHEN 12*f + j < len
+             |      THEN unicode(substring(text, CAST(12*f + j + 1 AS INT), 1))
+             |      ELSE 0 END) AS BIGINT) AS luma_sum
+             |FROM d, unnest(range(0, nf)) AS tf(f),
+             |        unnest(range(0, 4)) AS tj(j)
+             |WHERE f % 4 = 0
+             |GROUP BY doc_id, f
+             |ORDER BY doc_id, frame""".stripMargin)),
+
+    // ---- X5 VIDEO near-dup pairs: the temporal gradient hash
+    // (luma(f) > luma(f+1) over the first 63 frames) joined through the
+    // SAME 3-block pigeonhole as images and audio — cross-modality dedup
+    // is one operator family, three decoders. Videos with <17 frames
+    // carry <16 gradient bits and are gated out, the min-information rule
+    // every fingerprint dedup applies. Oracle: brute-force over hashes
+    // replayed from the source text.
+    Q("x5_video_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val th = graft.Caches.persist(
+          withY4mPayload(Tables.load(s, dir, "documents"))
+            .mapPartitions(_.map { case (id, b) => y4mTemporalHash(id, b) })
+            .toDF("doc_id", "thash", "n_frames")
+            .filter(col("n_frames") >= 17))
+        val blocks = th.select(col("doc_id"), col("thash"),
+            graft.operators.Pigeonhole.blockIds.as("blk"))
+          .withColumn("key",
+            graft.operators.Pigeonhole.blockKey(col("thash"), col("blk")))
+        val a = blocks.select(col("blk"), col("key"),
+          col("doc_id").as("doc_a"), col("thash").as("ha"))
+        val b = blocks.select(col("blk"), col("key"),
+          col("doc_id").as("doc_b"), col("thash").as("hb"))
+        a.join(b, Seq("blk", "key"))
+          .filter(col("doc_a") < col("doc_b"))
+          .withColumn("x", expr("ha ^ hb"))
+          .filter(col("blk") === graft.operators.Pigeonhole.firstAgree(col("x")))
+          .select(col("doc_a"), col("doc_b"),
+            expr("bit_count(x)").cast("long").as("hamming"))
+          .filter(col("hamming") <= 2)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH d AS (SELECT doc_id, text, LENGTH(text) AS len,
+             |    greatest(CAST(ceil(LENGTH(text)/12.0) AS INT),1) AS nf
+             |  FROM documents),
+             |ls AS (SELECT doc_id, CAST(f AS BIGINT) AS f,
+             |    SUM(CASE WHEN 12*f + j < len
+             |        THEN unicode(substring(text, CAST(12*f + j + 1 AS INT), 1))
+             |        ELSE 0 END) AS s
+             |  FROM d, unnest(range(0, least(nf, 63))) AS tf(f),
+             |          unnest(range(0, 4)) AS tj(j)
+             |  GROUP BY doc_id, f),
+             |nx AS (SELECT a.doc_id, a.f, a.s AS sa, b.s AS sb
+             |  FROM ls a JOIN ls b ON a.doc_id = b.doc_id AND b.f = a.f + 1),
+             |th0 AS (SELECT doc_id,
+             |    CAST(SUM(CASE WHEN sa > sb THEN (CAST(1 AS BIGINT) << CAST(f AS INT))
+             |         ELSE 0 END) AS BIGINT) AS thash
+             |  FROM nx GROUP BY doc_id),
+             |th AS (SELECT d.doc_id, COALESCE(th0.thash, 0) AS thash
+             |  FROM d LEFT JOIN th0 ON th0.doc_id = d.doc_id WHERE d.nf >= 17)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  CAST(bit_count(xor(a.thash, b.thash)) AS BIGINT) AS hamming
+             |FROM th a JOIN th b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.thash, b.thash)) <= 2
+             |ORDER BY doc_a, doc_b""".stripMargin))
   )
 }

@@ -418,6 +418,55 @@ object Streams {
       .select(col("doc_id"), col("corpus_id").as("dup_of"), col("hamming"))
   }
 
+  final case class VideoIndex(blocks: DataFrame)
+
+  /** 3-block pigeonhole index of the corpus' TEMPORAL video hashes
+    * (x5_video_neardup's luma-gradient fingerprint over decoded y4m
+    * frames), gated to ≥17-frame streams — the same ≥16-information-bit
+    * floor as the image and audio indexes.
+    */
+  def videoIndex(corpusWithY4m: Dataset[(Long, Array[Byte])]): VideoIndex = {
+    import corpusWithY4m.sparkSession.implicits._
+    val th = corpusWithY4m
+      .mapPartitions(_.map { case (id, b) =>
+        graft.queries.Multimodal.y4mTemporalHash(id, b) })
+      .toDF("corpus_id", "corpus_fp", "n_frames")
+      .filter(col("n_frames") >= 17)
+    VideoIndex(th.select(col("corpus_id"), col("corpus_fp"),
+        graft.operators.Pigeonhole.blockIds.as("blk"))
+      .withColumn("key",
+        graft.operators.Pigeonhole.blockKey(col("corpus_fp"), col("blk"))))
+  }
+
+  /** Streaming VIDEO near-dup screen: flag every incoming y4m payload
+    * within hamming `maxHamming` (≤2 for the 3-block index) of a corpus
+    * temporal fingerprint — completing the per-modality ingest gates
+    * (text [[simhashScreen]], image [[phashScreen]], audio via the same
+    * pigeonhole, vectors [[embeddingScreen]]). Same stateless contract:
+    * REAL decoder per partition, stream-static equi-join on (block, bits),
+    * popcount verify, first-agreeing-block emission — pure append mode.
+    */
+  def videoScreen(incoming: Dataset[(Long, Array[Byte])], index: VideoIndex,
+      maxHamming: Int = 2): DataFrame = {
+    require(maxHamming <= 2, "3-block pigeonhole is complete only to hamming 2")
+    import incoming.sparkSession.implicits._
+    val hashed = incoming
+      .mapPartitions(_.map { case (id, b) =>
+        graft.queries.Multimodal.y4mTemporalHash(id, b) })
+      .toDF("doc_id", "fp", "n_frames")
+      .filter(col("n_frames") >= 17)
+    hashed.select(col("doc_id"), col("fp"),
+        graft.operators.Pigeonhole.blockIds.as("blk"))
+      .withColumn("key",
+        graft.operators.Pigeonhole.blockKey(col("fp"), col("blk")))
+      .join(broadcast(index.blocks), Seq("blk", "key"))
+      .withColumn("x", expr("fp ^ corpus_fp"))
+      .filter(col("blk") === graft.operators.Pigeonhole.firstAgree(col("x")))
+      .withColumn("hamming", expr("bit_count(x)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_id"), col("corpus_id").as("dup_of"), col("hamming"))
+  }
+
   /** Streaming COUNT-MIN SKETCH over incoming `(doc_id, text)` rows: every
     * token occurrence increments its cell in each of the 4 hash rows, so
     * the streaming aggregation state IS the sketch — at most 4×1024 keys

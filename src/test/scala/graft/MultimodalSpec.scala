@@ -85,6 +85,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(g.rms == 1000.0)
   }
 
+  test("y4m parser decodes golden bytes: tag order, X tags, frame params") {
+    // hand-crafted stream our writer never emits: reordered header tags,
+    // an X extension tag, and a parameterized FRAME marker — a parser
+    // hard-wired to the writer's layout would fail all three
+    val golden = ("YUV4MPEG2 F25:1 Ip A1:1 XCOLORRANGE=FULL W2 H2 C444\n" +
+      "FRAME\n" + "ABCD" + "EFGH" + "IJKL" +
+      "FRAME IX\n" + "MNOP" + "QRST" + "UVWX").getBytes("US-ASCII")
+    val f = Multimodal.parseY4m(7L, golden)
+    assert(f.width == 2 && f.height == 2 && f.fps_num == 25 && f.fps_den == 1)
+    assert(f.n_frames == 2 && f.duration_ms == 2 * 1000 / 25)
+    // luma = the Y plane (first 4 bytes of each frame)
+    val sums = Multimodal.y4mLumaSums(7L, golden).map(_._2)
+    assert(sums == Seq("ABCD".map(_.toLong).sum, "MNOP".map(_.toLong).sum))
+  }
+
+  test("y4m writer emits valid streams the decoder round-trips over documents") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val feats = Multimodal.withY4mPayload(docs).repartition(4)
+      .mapPartitions(_.map { case (id, b) => Multimodal.parseY4m(id, b) })
+      .collect()
+    assert(feats.length == 500)
+    val byId = docs.select(col("doc_id"), length(encode(col("text"), "UTF-8")).as("nb"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    feats.foreach { f =>
+      assert(f.width == 2 && f.height == 2 && f.fps_num == 8)
+      assert(f.n_frames == math.max(1, (byId(f.doc_id) + 11) / 12).toLong,
+        s"doc ${f.doc_id} frames")
+      assert(f.duration_ms == f.n_frames * 125)
+    }
+  }
+
   test("WAV writer emits valid RIFF that the decoder round-trips over documents") {
     val docs = Tables.load(spark, sfDir, "documents")
     val feats = Multimodal.decodeWav(

@@ -461,6 +461,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch, s"stream $got != batch $batch")
   }
 
+  test("streaming video screen flags a temporally identical payload, " +
+      "matches its batch twin, stays appendable") {
+    import graft.streaming.Streams
+    import graft.queries.Multimodal
+    import org.apache.spark.sql.functions.{col, length, lit}
+    val docs = graft.Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val index = Streams.videoIndex(Multimodal.withY4mPayload(docs))
+    // a corpus doc long enough to clear the >= 17-frame gate (12 B/frame)
+    val (srcId, srcText) = docs.filter(length(col("text")) >= 300)
+      .select("doc_id", "text").as[(Long, String)].head()
+    val incoming = Seq((9100000L, srcText),
+      (9100001L, "short novel clip"))
+    val in = MemoryStream[(Long, String)](spark)
+    val inY4m = Multimodal.withY4mPayload(
+      in.toDF().toDF("doc_id", "text").withColumn("lang", lit("en")))
+    val screened = Streams.videoScreen(inY4m, index)
+    assert(screened.isStreaming, "screen must stay a streaming plan")
+    val q = screened.writeStream.format("memory")
+      .queryName("video_screen").outputMode("append").start()
+    in.addData(incoming: _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("video_screen")
+      .select("doc_id", "dup_of", "hamming").as[(Long, Long, Long)]
+      .collect().toSet
+    // the byte-identical payload must flag against its source at hamming 0
+    assert(got.contains((9100000L, srcId, 0L)), s"planted dup missing from $got")
+    // decision parity with the batch form of the same screen
+    val batch = Streams.videoScreen(
+      Multimodal.withY4mPayload(
+        incoming.toDF("doc_id", "text").withColumn("lang", lit("en"))),
+      index)
+      .select("doc_id", "dup_of", "hamming").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got == batch, s"stream $got != batch $batch")
+  }
+
   test("streaming simhash screen is appendable, matches its batch twin, " +
       "flags boilerplate, admits novel docs") {
     import graft.streaming.Streams
