@@ -29,6 +29,34 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("closed-vocab fallback (prefixJoinBudget=0) swaps the algorithm, " +
+      "not the answer") {
+    // the r08 sf1 dispatch stage: above the vocab threshold, a corpus whose
+    // sum(df^2) predicts a quadratic prefix join reroutes to the bitset
+    // NLJ. Force both routes on the same corpus (vocabThreshold=1 puts
+    // every query above the threshold; prefixJoinBudget 0 vs huge picks
+    // the branch) — identical rows is the dispatch-is-a-pure-plan-choice
+    // contract, same as the vocabThreshold=0 test above.
+    for (name <- Seq("x2_jaccard_exact", "x2_containment")) {
+      spark.conf.set("graft.setsim.vocabThreshold", "1")
+      val viaPrefix = try {
+        spark.conf.set("graft.setsim.prefixJoinBudget", Long.MaxValue.toString)
+        q(name).collect().toSeq
+      } finally spark.conf.unset("graft.setsim.prefixJoinBudget")
+      graft.Caches.drain(spark)
+      val viaBitset = try {
+        spark.conf.set("graft.setsim.prefixJoinBudget", "0")
+        q(name).collect().toSeq
+      } finally {
+        spark.conf.unset("graft.setsim.prefixJoinBudget")
+        spark.conf.unset("graft.setsim.vocabThreshold")
+      }
+      graft.Caches.drain(spark)
+      assert(viaPrefix.nonEmpty && viaBitset == viaPrefix,
+        s"$name: bitset fallback diverged from the prefix path")
+    }
+  }
+
   test("x2_minhash_lsh: precision vs the exact >=0.5 pair list, recall at 0.6") {
     // exact twin: all-pairs 3-shingle jaccard (small at 500 docs), at the
     // query's own 0.5 verify threshold
