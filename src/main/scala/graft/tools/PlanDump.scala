@@ -22,7 +22,12 @@ object PlanDump {
     "x4_pipeline_funnel", "x3_knn_lsh",
     // round-7 batch 2: the other bench top-5 resident (rrf), the iterative
     // graph query, and the mapGroups greedy rerank
-    "x3_rrf_fusion", "x5_pagerank", "x3_mmr_rerank")
+    "x3_rrf_fusion", "x5_pagerank", "x3_mmr_rerank",
+    // round-8: the PQ cascade (broadcast ADC lookup-table equi-join — a
+    // cartesian here would put floats back on the corpus scan), the BPE
+    // merge loop (per-iteration windows, 1-row argmax broadcasts), and
+    // the temporal-pigeonhole video near-dup
+    "x3_knn_pq", "x4_bpe_merges", "x5_video_neardup")
 
   private val preamble =
     """# PLANS — executed (AQE-final) physical plans of headline queries
