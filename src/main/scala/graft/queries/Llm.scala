@@ -630,7 +630,62 @@ object Llm {
     * (Caches) so lineage never replans the whole chain. State size is the
     * VOCABULARY's total symbol count, independent of corpus size.
     */
-  private[graft] def bpeMerges(words: DataFrame, iters: Int): DataFrame = {
+  private[graft] def bpeMerges(words: DataFrame, iters: Int): DataFrame =
+    bpeTrain(words, iters)._1
+
+  /** The BPE corpus word table (distinct words + corpus frequency) shared
+    * by the x4_bpe_merges trainer and the x4_bpe_apply tokenizer report.
+    */
+  private def bpeWords(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(TF.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  /** Shared DuckDB oracle prefix for the BPE pair: the word table, the
+    * initial per-character symbol stream s0, and five unrolled
+    * count->argmax->greedy-merge iterations ending in s5 (with best0..4 as
+    * the merge picks). Trainer and apply both consume it, so their oracles
+    * can never drift from each other.
+    */
+  private lazy val bpeOracleCtes: String = {
+    val init = """WITH words AS (SELECT w AS word_id, CAST(COUNT(*) AS BIGINT) AS freq
+                 |  FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)
+                 |  WHERE w <> '' GROUP BY w),
+                 |s0 AS (SELECT word_id, freq, pos, string_split(word_id,'')[pos] AS sym
+                 |  FROM (SELECT word_id, freq,
+                 |      unnest(range(1, len(string_split(word_id,'')) + 1)) AS pos
+                 |    FROM words))""".stripMargin
+    val iters = (0 until 5).map { k =>
+      s"""p$k AS (SELECT word_id, freq, pos, sym,
+         |    lead(sym) OVER (PARTITION BY word_id ORDER BY pos) AS nxt FROM s$k),
+         |best$k AS (SELECT sym AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM p$k WHERE nxt IS NOT NULL GROUP BY 1, 2
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |m$k AS (SELECT p.*, best.a, best.b,
+         |    CASE WHEN p.sym = best.a AND p.nxt = best.b THEN 1 ELSE 0 END AS hit
+         |  FROM p$k p CROSS JOIN best$k best),
+         |i$k AS (SELECT *, pos - row_number() OVER (
+         |    PARTITION BY word_id, hit ORDER BY pos) AS island FROM m$k),
+         |e$k AS (SELECT *, CASE WHEN hit = 1 AND (row_number() OVER (
+         |    PARTITION BY word_id, hit, island ORDER BY pos) - 1) % 2 = 0
+         |    THEN 1 ELSE 0 END AS mh FROM i$k),
+         |c$k AS (SELECT *, COALESCE(lag(mh) OVER (
+         |    PARTITION BY word_id ORDER BY pos), 0) AS consumed FROM e$k),
+         |s${k + 1} AS (SELECT word_id, freq,
+         |    row_number() OVER (PARTITION BY word_id ORDER BY pos) AS pos,
+         |    CASE WHEN mh = 1 THEN a || b ELSE sym END AS sym
+         |  FROM c$k WHERE consumed = 0)""".stripMargin
+    }.mkString(",\n", ",\n", "\n")
+    init + iters
+  }
+
+  /** Full BPE training state: the merge table AND the final symbol stream
+    * (every word's subword decomposition after `iters` merges) — the
+    * latter IS the applied tokenizer, consumed by x4_bpe_apply.
+    */
+  private[graft] def bpeTrain(words: DataFrame, iters: Int)
+      : (DataFrame, DataFrame) = {
     var syms = graft.Caches.persist(words.select(
       col("w").as("word_id"), col("freq"),
       posexplode(split(col("w"), ""))).toDF("word_id", "freq", "pos0", "sym")
@@ -663,7 +718,7 @@ object Llm {
         col("b").as("right_sym"), col("cnt").as("pair_count"))
       merges = if (merges == null) step else merges.unionAll(step)
     }
-    merges
+    (merges, syms)
   }
 
   /** Lexical token-set-Jaccard top-k retrieval (query docs vs the corpus) —
@@ -3228,46 +3283,33 @@ object Llm {
     // full hash match, integer counts, no tolerance.
     Q("x4_bpe_merges",
       (s, dir) => {
-        val words = docs(s, dir)
-          .select(explode(TF.tokens(col("text"))).as("w"))
-          .filter(length(col("w")) > 0)
-          .groupBy("w").agg(count(lit(1)).as("freq"))
-        bpeMerges(words, iters = 5).orderBy("merge_no")
+        bpeMerges(bpeWords(s, dir), iters = 5).orderBy("merge_no")
       },
       Some {
-        val init = """WITH words AS (SELECT w AS word_id, CAST(COUNT(*) AS BIGINT) AS freq
-                     |  FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)
-                     |  WHERE w <> '' GROUP BY w),
-                     |s0 AS (SELECT word_id, freq, pos, string_split(word_id,'')[pos] AS sym
-                     |  FROM (SELECT word_id, freq,
-                     |      unnest(range(1, len(string_split(word_id,'')) + 1)) AS pos
-                     |    FROM words))""".stripMargin
-        val iters = (0 until 5).map { k =>
-          s"""p$k AS (SELECT word_id, freq, pos, sym,
-             |    lead(sym) OVER (PARTITION BY word_id ORDER BY pos) AS nxt FROM s$k),
-             |best$k AS (SELECT sym AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS cnt
-             |  FROM p$k WHERE nxt IS NOT NULL GROUP BY 1, 2
-             |  ORDER BY cnt DESC, a, b LIMIT 1),
-             |m$k AS (SELECT p.*, best.a, best.b,
-             |    CASE WHEN p.sym = best.a AND p.nxt = best.b THEN 1 ELSE 0 END AS hit
-             |  FROM p$k p CROSS JOIN best$k best),
-             |i$k AS (SELECT *, pos - row_number() OVER (
-             |    PARTITION BY word_id, hit ORDER BY pos) AS island FROM m$k),
-             |e$k AS (SELECT *, CASE WHEN hit = 1 AND (row_number() OVER (
-             |    PARTITION BY word_id, hit, island ORDER BY pos) - 1) % 2 = 0
-             |    THEN 1 ELSE 0 END AS mh FROM i$k),
-             |c$k AS (SELECT *, COALESCE(lag(mh) OVER (
-             |    PARTITION BY word_id ORDER BY pos), 0) AS consumed FROM e$k),
-             |s${k + 1} AS (SELECT word_id, freq,
-             |    row_number() OVER (PARTITION BY word_id ORDER BY pos) AS pos,
-             |    CASE WHEN mh = 1 THEN a || b ELSE sym END AS sym
-             |  FROM c$k WHERE consumed = 0)""".stripMargin
-        }.mkString(",\n", ",\n", "\n")
         val tail = (0 until 5).map { k =>
           s"SELECT ${k + 1} AS merge_no, a AS left_sym, b AS right_sym, cnt AS pair_count FROM best$k"
         }.mkString("", "\nUNION ALL ", "\nORDER BY merge_no")
-        init + iters + tail
+        bpeOracleCtes + tail
       }),
+
+    // ---- X4 BPE tokenizer APPLY: the final symbol stream after the 5
+    // trained merges IS the tokenizer's output — aggregate it into the
+    // subword unit distribution (corpus occurrences weighted by word
+    // frequency + how many distinct words contain the unit), the table a
+    // tokenizer report prints. Same unrolled-CTE oracle prefix as the
+    // trainer, so train and apply can never diverge.
+    Q("x4_bpe_apply",
+      (s, dir) => {
+        val (_, syms) = bpeTrain(bpeWords(s, dir), iters = 5)
+        syms.groupBy("sym")
+          .agg(sum("freq").as("n_units"),
+            countDistinct("word_id").as("n_words"))
+          .orderBy(desc("n_units"), asc("sym")).limit(100)
+      },
+      Some(bpeOracleCtes +
+        """SELECT sym, CAST(SUM(freq) AS BIGINT) AS n_units,
+          |  COUNT(DISTINCT word_id) AS n_words
+          |FROM s5 GROUP BY sym ORDER BY n_units DESC, sym LIMIT 100""".stripMargin)),
 
     // ---- F4/F5 array-function surface (scalar outputs only — array-valued
     // result columns would make the parquet/pandas compare ambiguous)

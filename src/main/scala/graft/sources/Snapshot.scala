@@ -72,6 +72,18 @@ object Snapshot {
     spark.read.parquet(genDir(path, gen).getPath)
   }
 
+  /** TIME TRAVEL: read a specific (possibly superseded) generation — the
+    * audit/debug read every table format exposes (`VERSION AS OF`). Valid
+    * until [[vacuum]] reclaims it; a vacuumed generation fails loudly here
+    * rather than returning a partial scan.
+    */
+  def readAt(spark: SparkSession, path: String, gen: Long): DataFrame = {
+    val dir = genDir(path, gen)
+    require(dir.isDirectory,
+      s"generation $gen of $path does not exist (vacuumed, or never written)")
+    spark.read.parquet(dir.getPath)
+  }
+
   /** Rewrite: materialize `f(live)` as the next generation and flip the
     * pointer. Readers of the previous generation are untouched. A failed
     * write leaves the pointer on the old generation and cleans the

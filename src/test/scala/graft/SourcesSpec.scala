@@ -106,6 +106,10 @@ class SourcesSpec extends AnyFunSuite {
     assert(after.count() == kept)
     assert(after.filter(col("device_id").isin(victims: _*)).count() == 0)
     assert(Snapshot.currentGen(dir).contains(2L), "init + forget + compact")
+    // time travel: any un-vacuumed generation reads as of its commit
+    assert(Snapshot.readAt(spark, dir, 0L).count() == total,
+      "VERSION AS OF 0 must be the pre-delete table")
+    assert(Snapshot.readAt(spark, dir, 1L).count() == kept)
     // vacuum reclaims the superseded generations — the one operation that
     // invalidates old readers (retention policy belongs to the operator)
     val removed = Snapshot.vacuum(spark, dir)
@@ -113,6 +117,8 @@ class SourcesSpec extends AnyFunSuite {
     assert(!new java.io.File(dir, "gen-0").exists())
     assert(new java.io.File(dir, "gen-2").exists())
     assert(Snapshot.read(spark, dir).count() == kept, "live gen intact")
+    // a vacuumed generation fails loudly, not with a partial scan
+    intercept[IllegalArgumentException] { Snapshot.readAt(spark, dir, 0L) }
   }
 
   test("Compact: many small files rewrite to the computed file count") {
