@@ -57,6 +57,102 @@ object Llm {
       .orderBy("query_id", "rk")
   }
 
+  /** The deterministic per-query self-audit of a cell-dependent ANN search
+    * (shared by x3_knn_ivf_approx and x3_knn_ivfpq): exactly k results,
+    * contiguous ranks, non-increasing sims, distinct non-self neighbors —
+    * each an invariant of a correct scan-bounded search, all deterministic,
+    * so the oracle pins the expected verdicts and the rows hash-match.
+    */
+  private[graft] def selfAudit(res: DataFrame): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy("rk")
+    res
+      .withColumn("mono", when(col("rk") === 1, lit(1))
+        .otherwise((col("sim") <= lag("sim", 1).over(w)).cast("int")))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_results"),
+        (min("rk") === 1 && max("rk") === count(lit(1)))
+          .cast("int").as("ranks_contiguous"),
+        min("mono").as("sims_nonincreasing"),
+        (countDistinct("neighbor_id") === count(lit(1)))
+          .cast("int").as("neighbors_distinct"),
+        max((col("neighbor_id") === col("query_id")).cast("int"))
+          .as("self_hits"))
+      .orderBy("query_id")
+  }
+
+  /** The raw IVF+PQ search (query_id, rk, neighbor_id, sim) behind
+    * x3_knn_ivfpq: probe nprobe=8 cells (knnApprox's convention), ADC-score
+    * ONLY the probed members' PQ codes, rerank the 100-candidate pool with
+    * full-precision cosine, keep the top-10. Exposed for LlmSpec's recall
+    * check — the registered query aggregates this into [[selfAudit]].
+    */
+  private[graft] def knnIvfPqRaw(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeExpressions.register(s)
+    val idx = ivfIndex(s, dir)
+    // int8 components over the index's vectors (x3_knn_int8's rule)
+    val maxabs = array_max(transform(col("v"), x => abs(x)))
+    val e8 = graft.Caches.persist(idx.assigned
+      .withColumn("ma", when(maxabs === 0.0, 1.0).otherwise(maxabs))
+      .select(col("vec_id"), col("cell"), transform(col("v"),
+        x => floor(x * lit(127.0) / col("ma") + lit(0.5)).cast("double"))
+        .as("q8")))
+    val sv = e8.select(col("vec_id"),
+        posexplode(col("q8")).as(Seq("i", "x")))
+      .select(col("vec_id"), expr("CAST(i div 4 AS BIGINT)").as("sub"),
+        expr("CAST(i % 4 AS BIGINT)").as("pos"), col("x"))
+    val cb = pqCodebookDf(s,
+      e8.orderBy("vec_id").select("q8").collect()
+        .map(_.getSeq[Double](0).toArray))
+    // encode every vector, carrying its IVF cell for the probe filter
+    val wA = Window.partitionBy("vec_id", "sub").orderBy(asc("d"), asc("cid"))
+    val codes = sv.join(broadcast(cb), Seq("sub", "pos"))
+      .groupBy("vec_id", "sub", "cid")
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
+      .withColumn("rk", row_number().over(wA))
+      .filter(col("rk") === 1)
+      .select("vec_id", "sub", "cid")
+      .join(e8.select("vec_id", "cell"), "vec_id")
+    // queries + their nprobe=8 probed cells (knnApprox's convention)
+    val qn = idx.assigned.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val qc = qn.join(broadcast(idx.cells.select("cell", "cv", "cnrm")), lit(true))
+      .withColumn("qcos",
+        VF.dotNative(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
+    val wp = Window.partitionBy("query_id").orderBy(desc("qcos"), asc("cell"))
+    val probed = qc.withColumn("prk", row_number().over(wp))
+      .filter(col("prk") <= 8)
+      .select("query_id", "cell")
+    // per-query ADC lookup table (128 rows/query, broadcast)
+    val qd = sv.filter(col("vec_id") % 50 === 0)
+      .join(broadcast(cb), Seq("sub", "pos"))
+      .groupBy(col("vec_id").as("query_id"), col("sub"), col("cid"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
+    // ADC over probed members only; 100-candidate pool (the 10x oversize
+    // the 4-bit codes need — same sizing as x3_knn_pq)
+    val wpool = Window.partitionBy("query_id").orderBy(asc("adist"), asc("neighbor_id"))
+    val pool = codes.join(broadcast(probed), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qd), Seq("query_id", "sub", "cid"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum("d").as("adist"))
+      .withColumn("prk", row_number().over(wpool))
+      .filter(col("prk") <= 100)
+      .select("query_id", "neighbor_id")
+    // full-precision rerank of the pool
+    val wk = Window.partitionBy("query_id").orderBy(desc("s"), asc("neighbor_id"))
+    pool
+      .join(idx.assigned.select(col("vec_id").as("neighbor_id"),
+        col("v").as("nv"), col("nrm").as("nn")), Seq("neighbor_id"))
+      .join(broadcast(qn), Seq("query_id"))
+      .withColumn("s", VF.dotNative(col("qv"), col("nv")) / (col("qnrm") * col("nn")))
+      .withColumn("rk", row_number().over(wk).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        round(col("s"), 4).as("sim"))
+      .orderBy("query_id", "rk")
+  }
+
   /** Hyperplane-LSH top-k cosine search over `emb` (vec_id, embedding):
     * the engine behind x3_knn_lsh, exposed so LlmSpec can measure recall
     * on planted-cluster fixtures. `queryPred` selects the query rows;
@@ -630,6 +726,54 @@ object Llm {
     * (Caches) so lineage never replans the whole chain. State size is the
     * VOCABULARY's total symbol count, independent of corpus size.
     */
+  /** FAISS-style DRIVER-side PQ codebook training over int8 component
+    * vectors (m=16 subspaces x 4 dims, k=16 centroids, 2 Lloyd rounds):
+    * seeds = the first k sample rows (callers pass vec_id-ordered
+    * samples), strict-< argmin scanning cids ascending (= the oracle's
+    * ROW_NUMBER over (d ASC, cid ASC)), means as math.floor(sum/cnt)
+    * (= FLOOR(SUM/COUNT), exact at int8-sum magnitudes). The sample is
+    * bounded by the caller — the same statistics-gated driver pattern as
+    * ConnectedComponents' union-find. Returns the codebook as the
+    * (sub, cid, pos, c) broadcast frame both x3_knn_pq and x3_knn_ivfpq
+    * consume.
+    */
+  private[graft] def pqCodebookDf(s: SparkSession,
+      sample: Array[Array[Double]]): DataFrame = {
+    val m = 16; val k = 16; val dsub = 4
+    require(sample.length >= k, s"PQ needs >= $k training vectors")
+    var cent = Array.tabulate(m, k, dsub)(
+      (sub, cid, p) => sample(cid)(sub * dsub + p))
+    for (_ <- 1 to 2) {
+      val sums = Array.fill(m, k, dsub)(0L)
+      val cnts = Array.fill(m, k)(0L)
+      for (q8 <- sample; sub <- 0 until m) {
+        var best = 0; var bestD = Double.MaxValue
+        var cid = 0
+        while (cid < k) {
+          var d = 0.0; var p = 0
+          while (p < dsub) {
+            val t = q8(sub * dsub + p) - cent(sub)(cid)(p)
+            d += t * t; p += 1
+          }
+          if (d < bestD) { bestD = d; best = cid } // strict <: min cid wins ties
+          cid += 1
+        }
+        cnts(sub)(best) += 1
+        var p = 0
+        while (p < dsub) {
+          sums(sub)(best)(p) += q8(sub * dsub + p).toLong; p += 1
+        }
+      }
+      cent = Array.tabulate(m, k, dsub)((sub, cid, p) =>
+        if (cnts(sub)(cid) == 0) cent(sub)(cid)(p)
+        else math.floor(sums(sub)(cid)(p).toDouble / cnts(sub)(cid)))
+    }
+    import s.implicits._
+    (for (sub <- 0 until m; cid <- 0 until k; p <- 0 until dsub)
+      yield (sub.toLong, cid.toLong, p.toLong, cent(sub)(cid)(p)))
+      .toDF("sub", "cid", "pos", "c")
+  }
+
   private[graft] def bpeMerges(words: DataFrame, iters: Int): DataFrame =
     bpeTrain(words, iters)._1
 
@@ -1612,21 +1756,7 @@ object Llm {
         // OperatorsSpec (exactness-over-probed-cells + recall + scan budget
         // on clustered/isotropic fixtures), LlmSpec (consistency vs the
         // exact searcher), and DeterminismSpec (byte-stable output).
-        val res = knnIvfApproxRaw(s, dir)
-        val w = Window.partitionBy("query_id").orderBy("rk")
-        res
-          .withColumn("mono", when(col("rk") === 1, lit(1))
-            .otherwise((col("sim") <= lag("sim", 1).over(w)).cast("int")))
-          .groupBy("query_id")
-          .agg(count(lit(1)).as("n_results"),
-            (min("rk") === 1 && max("rk") === count(lit(1)))
-              .cast("int").as("ranks_contiguous"),
-            min("mono").as("sims_nonincreasing"),
-            (countDistinct("neighbor_id") === count(lit(1)))
-              .cast("int").as("neighbors_distinct"),
-            max((col("neighbor_id") === col("query_id")).cast("int"))
-              .as("self_hits"))
-          .orderBy("query_id")
+        selfAudit(knnIvfApproxRaw(s, dir))
       },
       Some("""SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
              |  1 AS ranks_contiguous, 1 AS sims_nonincreasing,
@@ -2078,42 +2208,8 @@ object Llm {
         // seeds = the 16 smallest vec_ids; 2 iterations of assign (integer
         // squared L2, ties -> smallest cid) + update (elementwise
         // floor(mean), empty cluster keeps its centroid)
-        val m = 16; val k = 16; val dsub = 4
-        val sample = e8.orderBy("vec_id").collect()
-          .map(r => r.getSeq[Double](1).toArray)
-        require(sample.length >= k, s"PQ needs >= $k training vectors")
-        var cent = Array.tabulate(m, k, dsub)(
-          (sub, cid, p) => sample(cid)(sub * dsub + p))
-        for (_ <- 1 to 2) {
-          val sums = Array.fill(m, k, dsub)(0L)
-          val cnts = Array.fill(m, k)(0L)
-          for (q8 <- sample; sub <- 0 until m) {
-            var best = 0; var bestD = Double.MaxValue
-            var cid = 0
-            while (cid < k) {
-              var d = 0.0; var p = 0
-              while (p < dsub) {
-                val t = q8(sub * dsub + p) - cent(sub)(cid)(p)
-                d += t * t; p += 1
-              }
-              if (d < bestD) { bestD = d; best = cid } // strict <: min cid wins ties
-              cid += 1
-            }
-            cnts(sub)(best) += 1
-            var p = 0
-            while (p < dsub) {
-              sums(sub)(best)(p) += q8(sub * dsub + p).toLong; p += 1
-            }
-          }
-          cent = Array.tabulate(m, k, dsub)((sub, cid, p) =>
-            if (cnts(sub)(cid) == 0) cent(sub)(cid)(p)
-            else math.floor(sums(sub)(cid)(p).toDouble / cnts(sub)(cid)))
-        }
-        // the trained codebook as the tiny broadcast side (m*k*dsub rows)
-        import s.implicits._
-        val cb = (for (sub <- 0 until m; cid <- 0 until k; p <- 0 until dsub)
-          yield (sub.toLong, cid.toLong, p.toLong, cent(sub)(cid)(p)))
-          .toDF("sub", "cid", "pos", "c")
+        val cb = pqCodebookDf(s,
+          e8.orderBy("vec_id").collect().map(r => r.getSeq[Double](1).toArray))
         // encode: nearest centroid per (vec, sub) — one broadcast join +
         // aggregation + ranking window; 16 4-bit codes per vector
         val wA = Window.partitionBy("vec_id", "sub").orderBy(asc("d"), asc("cid"))
@@ -2225,6 +2321,30 @@ object Llm {
              |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
              |    ORDER BY s DESC, neighbor_id) AS BIGINT) AS rk FROM r)
              |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+
+    // ---- X3 IVF+PQ: FAISS's flagship composition — the IVF index ROUTES
+    // (each query probes its nprobe=8 nearest cells, exactly knnApprox's
+    // deterministic (desc qcos, asc cell) convention), PQ SCORES (ADC over
+    // ONLY the probed cells' members' 16 4-bit codes), and full-precision
+    // cosine RERANKS the 100-candidate pool. At 100 TB this is the deployed
+    // operating point: the corpus-sized structures touched per query are
+    // the probed cells' code rows (32x smaller than floats) — the float
+    // vectors are fetched for 50*q rows. Neighbor lists depend on the
+    // k-means cell layout no SQL can replay, so like x3_knn_ivf_approx the
+    // DRIVER-CHECKED output is the deterministic per-query self-audit
+    // (result counts / rank contiguity / score monotonicity / distinctness
+    // / no self-hits), while the raw lists are pinned by LlmSpec recall vs
+    // brute force with bit-exact overlap sims.
+    Q("x3_knn_ivfpq",
+      (s, dir) => {
+        knnIvfPqRaw(s, dir)
+          .transform(selfAudit)
+      },
+      Some("""SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
+             |  1 AS ranks_contiguous, 1 AS sims_nonincreasing,
+             |  1 AS neighbors_distinct, 0 AS self_hits
+             |FROM embeddings WHERE vec_id % 50 = 0
+             |ORDER BY query_id""".stripMargin)),
 
     // ---- A7: per-label centroid, flattened to (label, pos, value) rows so the
     // aggregation is fully distributed and the oracle is engine-neutral

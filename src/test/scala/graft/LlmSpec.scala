@@ -219,6 +219,34 @@ class LlmSpec extends AnyFunSuite {
       "pq rerank sims must be the exact float cosines")
   }
 
+  test("x3_knn_ivfpq tracks its routing ceiling; overlap sims exact") {
+    // FAISS's composition can only lose recall at two places: the nprobe=8
+    // cell routing (whose loss is EXACTLY ivf_approx's recall — same cells,
+    // same convention) and the 4-bit ADC pool. The right pin is therefore
+    // relative: with a 10x-oversized pool + float rerank, the PQ stage must
+    // cost almost nothing ON TOP of routing (>= 95% of the ivf_approx
+    // ceiling; measured 0.69 vs 0.70 on this corpus), with an absolute
+    // floor so a broken routing can't vacuously pass. Overlap sims are the
+    // exact float cosines.
+    val brute = q("x3_knn_brute").collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    graft.Caches.drain(spark)
+    val routing = graft.queries.Llm.knnIvfApproxRaw(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    graft.Caches.drain(spark)
+    val ivfpq = graft.queries.Llm.knnIvfPqRaw(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    graft.Caches.drain(spark)
+    assert(brute.nonEmpty)
+    val ceiling = brute.keySet.intersect(routing).size.toDouble / brute.size
+    val recall = brute.keySet.intersect(ivfpq.keySet).size.toDouble / brute.size
+    assert(recall >= 0.95 * ceiling && recall >= 0.6,
+      s"ivfpq recall $recall vs routing ceiling $ceiling")
+    val overlap = brute.keySet.intersect(ivfpq.keySet)
+    assert(overlap.forall(k => brute(k) == ivfpq(k)),
+      "ivfpq rerank sims must be the exact float cosines")
+  }
+
   test("x3_mmr_rerank picks are less redundant than the top-5 by relevance") {
     // the point of MMR: among each query's 5 picks, the max pairwise
     // cosine must not exceed the max pairwise cosine of the plain
