@@ -19,9 +19,13 @@ dst = sys.argv[2] if len(sys.argv) > 2 else "BUDGETS.json"
 b = json.load(open(src))
 qs = b["queries"]
 assert not b.get("failed"), f"refusing budgets from a run with failures: {b['failed']}"
-out = {k: round(v, 3) for k, v in sorted(qs.items())}
+# "_sf" stamps the scale factor the budgets were measured at; Bench only
+# applies the over_budget gate when its own sf matches (a 10x scale run
+# compared against sf0.1 budgets would flag every query)
+out = {"_sf": b["sf"]}
+out.update({k: round(v, 3) for k, v in sorted(qs.items())})
 with open(dst, "w") as f:
     json.dump(out, f, indent=1)
     f.write("\n")
-print(f"[budgets] wrote {len(out)} budgets to {dst} "
+print(f"[budgets] wrote {len(out)-1} budgets to {dst} "
       f"(source total {b['value']:.1f}s at {b.get('sf')})")

@@ -81,8 +81,13 @@ object Bench {
       if (!f.exists()) Map.empty
       else {
         val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val all = "\"([^\"]+)\"\\s*:\\s*\"?([^\",}]+)\"?".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2)).toMap
+        // budgets are pinned at ONE scale factor ("_sf" stamp); comparing a
+        // scale run (e.g. the 10x corpus) against sf0.1 budgets would flag
+        // every query, so the gate only applies when the sf matches
+        if (!all.get("_sf").forall(_ == sfDir)) Map.empty
+        else all.removed("_sf").view.mapValues(_.toDouble).toMap
       }
     }
     val overBudget = results.toSeq

@@ -89,29 +89,10 @@ object Llm {
   private[graft] def knnIvfPqRaw(s: SparkSession, dir: String): DataFrame = {
     graft.functions.NativeExpressions.register(s)
     val idx = ivfIndex(s, dir)
-    // int8 components over the index's vectors (x3_knn_int8's rule)
-    val maxabs = array_max(transform(col("v"), x => abs(x)))
-    val e8 = graft.Caches.persist(idx.assigned
-      .withColumn("ma", when(maxabs === 0.0, 1.0).otherwise(maxabs))
-      .select(col("vec_id"), col("cell"), transform(col("v"),
-        x => floor(x * lit(127.0) / col("ma") + lit(0.5)).cast("double"))
-        .as("q8")))
-    val sv = e8.select(col("vec_id"),
-        posexplode(col("q8")).as(Seq("i", "x")))
-      .select(col("vec_id"), expr("CAST(i div 4 AS BIGINT)").as("sub"),
-        expr("CAST(i % 4 AS BIGINT)").as("pos"), col("x"))
-    val cb = pqCodebookDf(s,
-      e8.orderBy("vec_id").select("q8").collect()
-        .map(_.getSeq[Double](0).toArray))
-    // encode every vector, carrying its IVF cell for the probe filter
-    val wA = Window.partitionBy("vec_id", "sub").orderBy(asc("d"), asc("cid"))
-    val codes = sv.join(broadcast(cb), Seq("sub", "pos"))
-      .groupBy("vec_id", "sub", "cid")
-      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
-      .withColumn("rk", row_number().over(wA))
-      .filter(col("rk") === 1)
-      .select("vec_id", "sub", "cid")
-      .join(e8.select("vec_id", "cell"), "vec_id")
+    // one shared PQ build (quantize/train/encode/ADC-table) with the flat
+    // x3_knn_pq — the IVF difference is ONLY the probe filter below
+    val (codes0, qd) = pqBuild(s, idx.assigned.select("vec_id", "v"))
+    val codes = codes0.join(idx.assigned.select("vec_id", "cell"), "vec_id")
     // queries + their nprobe=8 probed cells (knnApprox's convention)
     val qn = idx.assigned.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -123,11 +104,6 @@ object Llm {
     val probed = qc.withColumn("prk", row_number().over(wp))
       .filter(col("prk") <= 8)
       .select("query_id", "cell")
-    // per-query ADC lookup table (128 rows/query, broadcast)
-    val qd = sv.filter(col("vec_id") % 50 === 0)
-      .join(broadcast(cb), Seq("sub", "pos"))
-      .groupBy(col("vec_id").as("query_id"), col("sub"), col("cid"))
-      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
     // ADC over probed members only; 100-candidate pool (the 10x oversize
     // the 4-bit codes need — same sizing as x3_knn_pq)
     val wpool = Window.partitionBy("query_id").orderBy(asc("adist"), asc("neighbor_id"))
@@ -713,19 +689,6 @@ object Llm {
     (qual, keepers, reps)
   }
 
-  /** BPE merge training (Sennrich et al., ACL'16) over a `(w, freq)` word
-    * table: `iters` rounds of (count adjacent symbol pairs weighted by word
-    * frequency → argmax with (count desc, pair) tie-break → greedy
-    * left-to-right non-overlapping merge apply). Returns the merge table
-    * (merge_no, left_sym, right_sym, pair_count) — the artifact a tokenizer
-    * trainer persists. The merge apply is relational (windows over word
-    * partitions), never a driver loop: within each maximal run of
-    * consecutive matching positions (possible only when left==right, e.g.
-    * "aaaa" under (a,a)), greedy keeps the even offsets — gaps-and-islands.
-    * The argmax rides a 1-row broadcast; per-iteration state is persisted
-    * (Caches) so lineage never replans the whole chain. State size is the
-    * VOCABULARY's total symbol count, independent of corpus size.
-    */
   /** FAISS-style DRIVER-side PQ codebook training over int8 component
     * vectors (m=16 subspaces x 4 dims, k=16 centroids, 2 Lloyd rounds):
     * seeds = the first k sample rows (callers pass vec_id-ordered
@@ -774,6 +737,63 @@ object Llm {
       .toDF("sub", "cid", "pos", "c")
   }
 
+  /** Shared PQ build over `vecs` (vec_id, v; extra columns pass through
+    * untouched on neither output): int8-quantize (x3_knn_int8's
+    * floor(x+0.5) rule), train the codebook on the driver
+    * ([[pqCodebookDf]]), encode every vector, and build the per-`% 50`-
+    * query ADC lookup table. ONE definition consumed by x3_knn_pq and
+    * x3_knn_ivfpq so the quantization rule, seed order, and code layout
+    * can never diverge between the flat and the IVF-routed search.
+    * Returns (codes (vec_id, sub, cid), qd (query_id, sub, cid, d)).
+    */
+  private def pqBuild(s: SparkSession, vecs: DataFrame)
+      : (DataFrame, DataFrame) = {
+    graft.functions.NativeExpressions.register(s)
+    val maxabs = array_max(transform(col("v"), x => abs(x)))
+    val e8 = graft.Caches.persist(vecs
+      .withColumn("ma", when(maxabs === 0.0, 1.0).otherwise(maxabs))
+      .select(col("vec_id"), transform(col("v"),
+        x => floor(x * lit(127.0) / col("ma") + lit(0.5)).cast("double"))
+        .as("q8")))
+    // long form: one row per (vec_id, sub 0..15, pos 0..3) — the
+    // relational shape the encode and ADC joins consume
+    val sv = e8.select(col("vec_id"),
+        posexplode(col("q8")).as(Seq("i", "x")))
+      .select(col("vec_id"), expr("CAST(i div 4 AS BIGINT)").as("sub"),
+        expr("CAST(i % 4 AS BIGINT)").as("pos"), col("x"))
+    val cb = pqCodebookDf(s,
+      e8.orderBy("vec_id").select("q8").collect()
+        .map(_.getSeq[Double](0).toArray))
+    // encode: nearest centroid per (vec, sub) — one broadcast join +
+    // aggregation + ranking window; 16 4-bit codes per vector
+    val wA = Window.partitionBy("vec_id", "sub").orderBy(asc("d"), asc("cid"))
+    val codes = sv.join(broadcast(cb), Seq("sub", "pos"))
+      .groupBy("vec_id", "sub", "cid")
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
+      .withColumn("rk", row_number().over(wA))
+      .filter(col("rk") === 1)
+      .select("vec_id", "sub", "cid")
+    // ADC: per-query lookup table (query subvector -> every centroid)
+    val qd = sv.filter(col("vec_id") % 50 === 0)
+      .join(broadcast(cb), Seq("sub", "pos"))
+      .groupBy(col("vec_id").as("query_id"), col("sub"), col("cid"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
+    (codes, qd)
+  }
+
+  /** BPE merge training (Sennrich et al., ACL'16) over a `(w, freq)` word
+    * table: `iters` rounds of (count adjacent symbol pairs weighted by word
+    * frequency → argmax with (count desc, pair) tie-break → greedy
+    * left-to-right non-overlapping merge apply). Returns the merge table
+    * (merge_no, left_sym, right_sym, pair_count) — the artifact a tokenizer
+    * trainer persists. The merge apply is relational (windows over word
+    * partitions), never a driver loop: within each maximal run of
+    * consecutive matching positions (possible only when left==right, e.g.
+    * "aaaa" under (a,a)), greedy keeps the even offsets — gaps-and-islands.
+    * The argmax rides a 1-row broadcast; per-iteration state is persisted
+    * (Caches) so lineage never replans the whole chain. State size is the
+    * VOCABULARY's total symbol count, independent of corpus size.
+    */
   private[graft] def bpeMerges(words: DataFrame, iters: Int): DataFrame =
     bpeTrain(words, iters)._1
 
@@ -808,7 +828,7 @@ object Llm {
          |  ORDER BY cnt DESC, a, b LIMIT 1),
          |m$k AS (SELECT p.*, best.a, best.b,
          |    CASE WHEN p.sym = best.a AND p.nxt = best.b THEN 1 ELSE 0 END AS hit
-         |  FROM p$k p CROSS JOIN best$k best),
+         |  FROM p$k p LEFT JOIN best$k best ON TRUE),
          |i$k AS (SELECT *, pos - row_number() OVER (
          |    PARTITION BY word_id, hit ORDER BY pos) AS island FROM m$k),
          |e$k AS (SELECT *, CASE WHEN hit = 1 AND (row_number() OVER (
@@ -843,7 +863,12 @@ object Llm {
         .groupBy(col("sym").as("a"), col("nxt").as("b"))
         .agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-      val m = p.crossJoin(broadcast(best))
+      // LEFT join on true, not crossJoin: once the pair vocabulary is
+      // exhausted `best` is EMPTY, and a cross join would silently erase
+      // the whole symbol stream — with the left join a/b are null, no
+      // position is a hit, and the stream passes through unchanged (the
+      // oracle mirrors this with LEFT JOIN ON TRUE)
+      val m = p.join(broadcast(best), lit(true), "left")
         .withColumn("hit",
           when(col("sym") === col("a") && col("nxt") === col("b"), 1)
             .otherwise(0))
@@ -2188,43 +2213,12 @@ object Llm {
     Q("x3_knn_pq",
       (s, dir) => {
         graft.functions.NativeExpressions.register(s)
-        val maxabs = array_max(transform(col("v"), x => abs(x)))
         val ef = graft.Caches.persist(
           embs(s, dir).select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
             .withColumn("nrm", VF.l2Norm(col("v"))))
-        // int8 components (x3_knn_int8's floor(x+0.5) rule), array form
-        val e8 = graft.Caches.persist(
-          ef.withColumn("ma", when(maxabs === 0.0, 1.0).otherwise(maxabs))
-            .select(col("vec_id"), transform(col("v"),
-              x => floor(x * lit(127.0) / col("ma") + lit(0.5)).cast("double"))
-              .as("q8")))
-        // ...and in long form: one row per (vec_id, sub 0..15, pos 0..3) —
-        // the relational shape the encode and ADC joins consume
-        val sv = e8
-          .select(col("vec_id"), posexplode(col("q8")).as(Seq("i", "x")))
-          .select(col("vec_id"), expr("CAST(i div 4 AS BIGINT)").as("sub"),
-            expr("CAST(i % 4 AS BIGINT)").as("pos"), col("x"))
-        // ---- driver-side Lloyd over the (bounded) training sample:
-        // seeds = the 16 smallest vec_ids; 2 iterations of assign (integer
-        // squared L2, ties -> smallest cid) + update (elementwise
-        // floor(mean), empty cluster keeps its centroid)
-        val cb = pqCodebookDf(s,
-          e8.orderBy("vec_id").collect().map(r => r.getSeq[Double](1).toArray))
-        // encode: nearest centroid per (vec, sub) — one broadcast join +
-        // aggregation + ranking window; 16 4-bit codes per vector
-        val wA = Window.partitionBy("vec_id", "sub").orderBy(asc("d"), asc("cid"))
-        val codes = sv.join(broadcast(cb), Seq("sub", "pos"))
-          .groupBy("vec_id", "sub", "cid")
-          .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
-          .withColumn("rk", row_number().over(wA))
-          .filter(col("rk") === 1)
-          .select("vec_id", "sub", "cid")
-        // ADC: per-query lookup table (query subvector -> every centroid),
-        // broadcast against the code table, SUM over the 16 subspaces
-        val qd = sv.filter(col("vec_id") % 50 === 0)
-          .join(broadcast(cb), Seq("sub", "pos"))
-          .groupBy(col("vec_id").as("query_id"), col("sub"), col("cid"))
-          .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
+        // quantize/train/encode/ADC-table: ONE shared build (pqBuild)
+        // with x3_knn_ivfpq — this flat search scans the WHOLE code table
+        val (codes, qd) = pqBuild(s, ef.select("vec_id", "v"))
         val wp = Window.partitionBy("query_id").orderBy(asc("adist"), asc("neighbor_id"))
         val pool = codes.join(broadcast(qd), Seq("sub", "cid"))
           .filter(col("vec_id") =!= col("query_id"))

@@ -438,6 +438,7 @@ object Multimodal {
       val start = i
       while (i < b.length && b(i) != ' ' && b(i) != '\n') i += 1
       val tag = new String(b, start, i - start, "US-ASCII")
+      require(tag.nonEmpty, s"doc $id: empty y4m header tag at byte $start")
       tag.charAt(0) match {
         case 'W' => w = tag.tail.toInt
         case 'H' => h = tag.tail.toInt
@@ -486,14 +487,19 @@ object Multimodal {
     * starts from. Exact integers, so the oracle replays them from the
     * payload writer's source text.
     */
-  private[graft] def y4mLumaSums(id: Long, b: Array[Byte])
+  private[graft] def y4mLumaSums(id: Long, b: Array[Byte],
+      stride: Int = 1, maxFrames: Int = Int.MaxValue)
       : IndexedSeq[(Long, Long)] = {
     val (w, h, _, _, offs) = y4mFrames(id, b)
-    offs.zipWithIndex.map { case (off, f) =>
-      var s = 0L; var i = 0
-      while (i < w * h) { s += (b(off + i) & 0xff); i += 1 }
-      (f.toLong, s)
-    }
+    // only SELECTED frames are summed (marker walking is cheap; the w*h
+    // byte sums are the per-frame cost a keyframe stride exists to skip)
+    offs.zipWithIndex.iterator
+      .filter { case (_, f) => f % stride == 0 && f / stride < maxFrames }
+      .map { case (off, f) =>
+        var s = 0L; var i = 0
+        while (i < w * h) { s += (b(off + i) & 0xff); i += 1 }
+        (f.toLong, s)
+      }.toIndexedSeq
   }
 
   /** 62-bit TEMPORAL gradient hash (bit f set iff luma(f) > luma(f+1),
@@ -504,14 +510,14 @@ object Multimodal {
     */
   private[graft] def y4mTemporalHash(id: Long, b: Array[Byte])
       : (Long, Long, Long) = {
-    val lumas = y4mLumaSums(id, b)
-    val sums = lumas.take(63).map(_._2)
+    val lumas = y4mLumaSums(id, b, maxFrames = 63)
+    val sums = lumas.map(_._2)
     var hash = 0L; var f = 0
     while (f < sums.length - 1) {
       if (sums(f) > sums(f + 1)) hash |= 1L << f
       f += 1
     }
-    (id, hash, lumas.length.toLong)
+    (id, hash, y4mFrames(id, b)._5.length.toLong)
   }
 
   val all: Seq[Q] = Seq(
@@ -958,9 +964,7 @@ object Multimodal {
         import s.implicits._
         withY4mPayload(Tables.load(s, dir, "documents"))
           .mapPartitions(_.flatMap { case (id, b) =>
-            y4mLumaSums(id, b).collect {
-              case (f, sum) if f % 4 == 0 => (id, f, sum)
-            }
+            y4mLumaSums(id, b, stride = 4).map { case (f, sum) => (id, f, sum) }
           })
           .toDF("doc_id", "frame", "luma_sum")
           .orderBy("doc_id", "frame")

@@ -78,9 +78,13 @@ object Forget {
     // typed deletion set, validated: every key must survive the cast to the
     // column's native type — a null (explicit or cast-failure) key would
     // silently match nothing in the join below
+    // try_cast, NOT cast: under Spark 4's default ANSI mode a plain cast
+    // of an uncastable key would throw from an executor before the loud
+    // validation below ever runs — try_cast yields null, which the check
+    // then rejects with the actionable message
     val typed = keyDf
       .select(col("__forget_key"),
-        col("__forget_key").cast(keyType).as("__forget_typed"))
+        col("__forget_key").try_cast(keyType).as("__forget_typed"))
     val badKeys = typed
       .filter(col("__forget_key").isNull || col("__forget_typed").isNull)
       .count()

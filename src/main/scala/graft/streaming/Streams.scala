@@ -746,16 +746,45 @@ object Streams {
       }
       .start()
 
-  /** Read a parquet-backed state table, or an empty frame with `schema` if
-    * the directory does not exist yet (batch 0 of a fresh pipeline).
-    */
-  private def readStateOr(s: SparkSession, path: String,
-      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+  /** Batch-id subdirectories of a state dir (names `batch_id=N`). */
+  private def stateBatchIds(s: SparkSession, path: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) s.read.schema(schema).parquet(path)
-    else s.createDataFrame(s.sparkContext
-      .emptyRDD[org.apache.spark.sql.Row], schema)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong)
+  }
+
+  /** Read the union of a batch-partitioned state dir's generations
+    * STRICTLY BEFORE `batchId` — the retry-idempotence contract: a
+    * replayed batch never sees its own (or any later) failed attempt's
+    * writes, because each batch commits to its own `batch_id=N` directory
+    * with overwrite. Empty frame with `schema` when nothing precedes.
+    */
+  private def readStateBefore(s: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      batchId: Long): DataFrame = {
+    val prior = stateBatchIds(s, path).filter(_ < batchId)
+    if (prior.isEmpty)
+      s.createDataFrame(s.sparkContext
+        .emptyRDD[org.apache.spark.sql.Row], schema)
+    else s.read.schema(schema)
+      .parquet(prior.map(b => s"$path/batch_id=$b"): _*)
+  }
+
+  /** Read the LATEST snapshot generation strictly before `batchId` from a
+    * snapshot-per-batch state dir (the member->rep map), or empty.
+    */
+  private def readSnapshotBefore(s: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      batchId: Long): DataFrame = {
+    val prior = stateBatchIds(s, path).filter(_ < batchId)
+    if (prior.isEmpty)
+      s.createDataFrame(s.sparkContext
+        .emptyRDD[org.apache.spark.sql.Row], schema)
+    else s.read.schema(schema).parquet(s"$path/batch_id=${prior.max}")
   }
 
   /** COMPOSED streaming curation pipeline — the streaming twin of the batch
@@ -791,9 +820,15 @@ object Streams {
     * Candidate generation via the shared-token inverted join is the
     * funnel's own sub-quadratic prefix shape; the scale path swaps in the
     * banded MinHash index ([[corpusIndex]]/[[nearDupScreen]]) with
-    * identical verify semantics. State appends are idempotent under
-    * foreachBatch retries: digests dedup through the anti-join, token rows
-    * through dropDuplicates on read, and the cluster map is a snapshot.
+    * identical verify semantics. State is RETRY-IDEMPOTENT the
+    * way a log-structured store is: every batch commits each state family
+    * to its own `batch_id=N` generation with overwrite, and a batch reads
+    * only generations strictly BEFORE itself — so a replayed batch (crash
+    * after a state write, before the epoch commit) recomputes from exactly
+    * the pre-batch state instead of anti-joining away its own failed
+    * attempt's digests. The member->rep map reads the latest prior
+    * snapshot; superseded generations are reclaimable like Snapshot's
+    * vacuum.
     *
     * Decision parity with the batch funnel (pinned in StreamingSpec): at
     * EVERY batch, the cumulative survivor sets of all three gates equal
@@ -834,7 +869,7 @@ object Streams {
         // read is what every later consumer sees.
         val wD = org.apache.spark.sql.expressions.Window
           .partitionBy("h").orderBy("doc_id")
-        val seen = readStateOr(s, s"$path/_state/digests", digestSchema)
+        val seen = readStateBefore(s, s"$path/_state/digests", digestSchema, batchId)
         val keepers = qual
           .withColumn("rn", row_number().over(wD)).filter(col("rn") === 1)
           .join(seen, Seq("h"), "left_anti")
@@ -842,9 +877,8 @@ object Streams {
         // stage 3: near-dup — candidates from the shared-token inverted
         // join, exact Jaccard >= t verify, then ONE CC step over the
         // batch keepers + the reps of every prior cluster they touch
-        val stateToks = readStateOr(s, s"$path/_state/toks", tokSchema)
-          .dropDuplicates("member_id", "w") // idempotent under retries
-        val memRep = readStateOr(s, s"$path/_state/memrep", repSchema)
+        val stateToks = readStateBefore(s, s"$path/_state/toks", tokSchema, batchId)
+        val memRep = readSnapshotBefore(s, s"$path/_state/memrep", repSchema, batchId)
           .localCheckpoint(true)
         val newToks = keepers.select(col("doc_id"),
           explode(TF.tokenSet(col("text"))).as("w")).persist()
@@ -887,11 +921,12 @@ object Streams {
         // stage 4: extend state — ALL new keeper digests + token rows
         // (cluster membership must stay matchable through dropped members),
         // and the member->rep snapshot remapped through this batch's CC
-        keepers.select("h").write.mode("append")
-          .parquet(s"$path/_state/digests")
+        keepers.select("h").write.mode("overwrite")
+          .parquet(s"$path/_state/digests/batch_id=$batchId")
         newToks.join(newCnt, "doc_id")
           .select(col("doc_id").as("member_id"), col("na").as("nb"), col("w"))
-          .write.mode("append").parquet(s"$path/_state/toks")
+          .write.mode("overwrite")
+          .parquet(s"$path/_state/toks/batch_id=$batchId")
         val remapped = memRep
           .join(comp.toDF("rep_id", "newrep"), Seq("rep_id"), "left")
           .select(col("member_id"),
@@ -899,8 +934,9 @@ object Streams {
           .union(keepers.select(col("doc_id").as("member_id"))
             .join(comp.toDF("member_id", "rep_id"), "member_id")
             .select("member_id", "rep_id"))
-          .localCheckpoint(true) // sever lineage before overwriting its source
-        remapped.write.mode("overwrite").parquet(s"$path/_state/memrep")
+          .localCheckpoint(true)
+        remapped.write.mode("overwrite")
+          .parquet(s"$path/_state/memrep/batch_id=$batchId")
         // decisions: one row per input doc (+ tombstones), exactly-once
         val out = in.select("doc_id")
           .join(qual.select(col("doc_id"), lit(1).as("q")), Seq("doc_id"), "left")

@@ -85,13 +85,20 @@ object ScaleCorpus {
     replicate("events")((d, r) =>
       d.select(id(r)("event_id"), col("ts"), id(r)("user_id"),
         col("event_type"), col("value"), col("props")))
-    // LLM corpus: ProfileMain @scale's exact remaps
+    // LLM corpus: ProfileMain @scale's token-suffix remap (disjoint
+    // vocabularies across replicas — no manufactured token-level near-dups)
+    // PLUS an r-char leading pad token: byte-level fingerprints (image row
+    // hashes, audio frame energies, video luma sums) window the raw bytes,
+    // and un-shifted replicas of one doc differ by a single digit per
+    // token — hamming-2 "near-dups" the corpus never asked for. The pad
+    // shifts every window boundary by r bytes, decorrelating the replicas'
+    // fingerprints while leaving within-replica structure exact.
     replicate("documents")((d, r) =>
       if (r == 0) d
       else d.select(
         (col("doc_id") + lit(r * Off)).as("doc_id"),
-        concat_ws(" ", transform(split(col("text"), " "),
-          x => concat(x, lit(s"_$r")))).as("text"),
+        concat(lit("x" * r + " "), concat_ws(" ", transform(split(col("text"), " "),
+          x => concat(x, lit(s"_$r"))))).as("text"),
         col("lang"), col("source"), col("n_chars")))
     replicate("embeddings")((e, r) =>
       if (r == 0) e

@@ -80,6 +80,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(!new java.io.File(dir + ".old").exists())
   }
 
+  test("Forget refuses uncastable deletion keys loudly (ANSI-safe try_cast)") {
+    // under Spark 4's default ANSI mode a plain cast would throw a raw
+    // SparkNumberFormatException from an executor; the contract is the
+    // crafted refusal message, reachable only via try_cast — and the
+    // table must be left untouched either way
+    val dir = Files.createTempDirectory("graft-forget-bad").toString + "/t"
+    spark.range(10).toDF("id").write.parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Forget(spark, dir, "id", Seq("definitely-not-a-number"))
+    }
+    assert(e.getMessage.contains("not castable"), e.getMessage)
+    assert(spark.read.parquet(dir).count() == 10, "table untouched")
+  }
+
   test("Snapshot: a reader mid-scan survives a concurrent Forget/Compact " +
       "swap and sees ITS generation; vacuum is the explicit boundary") {
     import graft.sources.{Compact, Forget, Snapshot}

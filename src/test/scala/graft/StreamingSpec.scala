@@ -393,6 +393,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curation pipeline: a REPLAYED batch reproduces its decisions " +
+      "(retry idempotence)") {
+    import graft.streaming.Streams
+    import org.apache.spark.sql.functions.col
+    // crash-and-replay semantics: a batch that wrote its state but not its
+    // epoch commit is re-run with the SAME batch id. Simulate by running
+    // batch 0, then starting a NEW query on the same state path with a
+    // FRESH checkpoint (so the same rows replay as batch 0 over the
+    // already-written batch-0 state). Before the fix, the replay anti-
+    // joined away its own digests and rejected every doc as an exact dup.
+    val docs = graft.Tables.load(spark, SparkTestSession.sfDir, "documents")
+      .select(col("doc_id"), col("text")).orderBy("doc_id")
+      .as[(Long, String)].collect().take(100)
+    val dir = java.nio.file.Files.createTempDirectory("graft_curation3").toString
+    def runOnce(ckpt: String): Set[(Long, String)] = {
+      val in = MemoryStream[(Long, String)](spark)
+      val q = Streams.curationPipelineSink(
+        in.toDF().toDF("doc_id", "text"), s"$dir/out", ckpt, t = 0.9)
+      try { in.addData(docs.toSeq); q.processAllAvailable() } finally q.stop()
+      spark.read.parquet(s"$dir/out/decisions/batch_id=0")
+        .select("doc_id", "outcome").as[(Long, String)].collect().toSet
+    }
+    val first = runOnce(s"$dir/ckpt1")
+    val replayed = runOnce(s"$dir/ckpt2")
+    assert(first.exists(_._2 == "admitted"), "sanity: some docs admitted")
+    assert(replayed == first,
+      "replaying batch 0 over its own state must reproduce its decisions")
+  }
+
   test("curation pipeline: a later cluster merge tombstones the absorbed rep") {
     import graft.streaming.Streams
     // A and B are each >= 0.9-Jaccard to C but only ~0.82 to each other:
