@@ -1,12 +1,13 @@
 package graft.sources
 
 /** Crash-safe directory replacement for the local rewrite sinks (Compact,
-  * KeyedUpsert): move the ORIGINAL aside first, rename the new directory in,
-  * and only then delete the original — so a failed rename (permissions,
-  * cross-filesystem tmp) can never destroy the only copy of the table, and
-  * every rename's Boolean result is checked instead of ignored.
+  * KeyedUpsert, the streaming curation state compactor): move the ORIGINAL
+  * aside first, rename the new directory in, and only then delete the
+  * original — so a failed rename (permissions, cross-filesystem tmp) can
+  * never destroy the only copy of the table, and every rename's Boolean
+  * result is checked instead of ignored.
   */
-private[sources] object FileSwap {
+private[graft] object FileSwap {
 
   private def rm(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rm))

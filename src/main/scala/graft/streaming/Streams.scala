@@ -955,4 +955,53 @@ object Streams {
       }
       .start()
   }
+
+  /** Compact the curation pipeline's log-structured state: fold every
+    * committed `batch_id=N` generation of the digest registry and token
+    * inversion into one base generation (keeping the highest folded id, so
+    * "read strictly before batch B" sees identical content), and drop the
+    * member->rep snapshots superseded by the latest. Run BETWEEN batches
+    * (stop the query or call from a maintenance window) — after
+    * compaction, only batches newer than the fold can replay, which is
+    * exactly the committed-epoch guarantee foreachBatch already gives.
+    * The 100 TB analog is the keyed-store compaction the scaladoc above
+    * promises; returns the number of generations folded.
+    */
+  def curationStateCompact(s: SparkSession, path: String): Int = {
+    import org.apache.spark.sql.types._
+    def fold(dir: String, schema: StructType): Int = {
+      val gens = stateBatchIds(s, dir).sorted
+      if (gens.length <= 1) 0
+      else {
+        val top = gens.max
+        val merged = s.read.schema(schema)
+          .parquet(gens.map(b => s"$dir/batch_id=$b"): _*)
+          .localCheckpoint(true) // sever lineage before rewriting sources
+        val tmp = s"$dir/batch_id=$top.compact"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        gens.foreach(b => rm(new java.io.File(s"$dir/batch_id=$b")))
+        graft.sources.FileSwap.replace(
+          new java.io.File(s"$dir/batch_id=$top"), new java.io.File(tmp))
+        gens.length
+      }
+    }
+    val digestSchema = StructType(Seq(StructField("h", StringType)))
+    val tokSchema = StructType(Seq(StructField("member_id", LongType),
+      StructField("nb", LongType), StructField("w", StringType)))
+    val folded = fold(s"$path/_state/digests", digestSchema) +
+      fold(s"$path/_state/toks", tokSchema)
+    // member->rep is snapshot-per-batch: keep only the latest
+    val repDir = s"$path/_state/memrep"
+    val reps = stateBatchIds(s, repDir).sorted
+    reps.dropRight(1).foreach { b =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(s"$repDir/batch_id=$b"))
+    }
+    folded + math.max(0, reps.length - 1)
+  }
 }

@@ -422,6 +422,48 @@ class StreamingSpec extends AnyFunSuite {
       "replaying batch 0 over its own state must reproduce its decisions")
   }
 
+  test("curation pipeline: state compaction between batches changes " +
+      "nothing downstream") {
+    import graft.streaming.Streams
+    import org.apache.spark.sql.functions.col
+    // two runs over the same 3 chunks; run B compacts the log-structured
+    // state after batch 1 — batch 2's decisions (which read that state)
+    // must be identical, and the folded dirs must actually shrink
+    val docs = graft.Tables.load(spark, SparkTestSession.sfDir, "documents")
+      .select(col("doc_id"), col("text")).orderBy("doc_id")
+      .as[(Long, String)].collect().take(300)
+    val chunks = docs.grouped(100).toSeq
+    def run(dir: String, compactAfterBatch1: Boolean): Seq[Set[(Long, String)]] = {
+      val in = MemoryStream[(Long, String)](spark)
+      val q = Streams.curationPipelineSink(
+        in.toDF().toDF("doc_id", "text"), s"$dir/out", s"$dir/ckpt", t = 0.9)
+      try {
+        chunks.zipWithIndex.foreach { case (c, i) =>
+          in.addData(c.toSeq); q.processAllAvailable()
+          if (compactAfterBatch1 && i == 1) {
+            val folded = Streams.curationStateCompact(spark, s"$dir/out")
+            assert(folded >= 3, s"expected generations folded, got $folded")
+          }
+        }
+      } finally q.stop()
+      (0 until chunks.length).map { b =>
+        spark.read.parquet(s"$dir/out/decisions/batch_id=$b")
+          .select("doc_id", "outcome").as[(Long, String)].collect().toSet
+      }
+    }
+    val dirA = java.nio.file.Files.createTempDirectory("graft_cur_nc").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_cur_cp").toString
+    val plain = run(dirA, compactAfterBatch1 = false)
+    val compacted = run(dirB, compactAfterBatch1 = true)
+    assert(compacted == plain,
+      "decisions diverged after state compaction")
+    // the digest log is actually folded: one generation dir remains at
+    // compaction time, plus batch 2's own
+    val gens = new java.io.File(s"$dirB/out/_state/digests").listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(gens == Seq("batch_id=1", "batch_id=2"), s"got $gens")
+  }
+
   test("curation pipeline: a later cluster merge tombstones the absorbed rep") {
     import graft.streaming.Streams
     // A and B are each >= 0.9-Jaccard to C but only ~0.82 to each other:
