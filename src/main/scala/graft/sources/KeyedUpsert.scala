@@ -34,4 +34,23 @@ object KeyedUpsert {
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
     FileSwap.replace(new java.io.File(path), new java.io.File(tmp))
   }
+
+  /** Snapshot-isolated variant over a [[Snapshot]] table — completing the
+    * rewrite trio (Forget / Compact / upsert) under concurrent readers:
+    * the merged table lands as the next generation and the pointer flips,
+    * so a reader mid-scan of the live generation finishes its own
+    * consistent snapshot. Same latest-wins window semantics.
+    */
+  def inSnapshot(spark: SparkSession, path: String, updates: DataFrame,
+      keys: Seq[String], versionCol: String): Unit = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(desc(versionCol))
+    Snapshot.update(spark, path) { live =>
+      live.unionByName(updates)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn")
+    }
+    ()
+  }
 }

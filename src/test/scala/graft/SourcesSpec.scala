@@ -52,6 +52,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(out == Set(("d1", 2L, 11.0), ("d2", 1L, 20.0), ("d3", 1L, 30.0)))
   }
 
+  test("KeyedUpsert.inSnapshot merges under a concurrent reader's snapshot") {
+    import graft.sources.{KeyedUpsert, Snapshot}
+    val dir = Files.createTempDirectory("graft-upsert-snap").toString + "/t"
+    val v1 = Seq(("d1", 1L, 10.0), ("d2", 1L, 20.0)).toDF("device_id", "v", "reading")
+    Snapshot.init(spark, dir, v1)
+    val reader = Snapshot.read(spark, dir) // pins gen-0
+    val v2 = Seq(("d1", 2L, 11.0), ("d3", 1L, 30.0)).toDF("device_id", "v", "reading")
+    KeyedUpsert.inSnapshot(spark, dir, v2, Seq("device_id"), "v")
+    // mid-scan reader finishes its own pre-upsert generation
+    assert(reader.select("device_id", "v", "reading").as[(String, Long, Double)]
+      .collect().toSet == Set(("d1", 1L, 10.0), ("d2", 1L, 20.0)))
+    // a new reader sees latest-wins + inserts
+    assert(Snapshot.read(spark, dir)
+      .select("device_id", "v", "reading").as[(String, Long, Double)]
+      .collect().toSet ==
+      Set(("d1", 2L, 11.0), ("d2", 1L, 20.0), ("d3", 1L, 30.0)))
+  }
+
   test("Forget: targeted deletion rewrites the table minus the keys, " +
       "atomically, with an exact audit count") {
     val dir = Files.createTempDirectory("graft-forget").toString + "/t"
