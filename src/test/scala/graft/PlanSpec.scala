@@ -236,6 +236,25 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     graft.Caches.drain(spark)
   }
 
+  test("x3_knn_ivfpq: probe + ADC are equi-joins (no all-pairs over members)") {
+    // the IVF+PQ contract: the only cartesian is the q x sqrt(n) CELL
+    // probe (a bounded centroid table); members meet queries through the
+    // (cell) and (query, sub, cid) hash joins — an all-pairs plan over
+    // MEMBERS would defeat both index structures at once. The raw search
+    // is audited (selfAudit) in the registered query; pin the raw plan.
+    val df = graft.queries.Llm.knnIvfPqRaw(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    graft.Caches.drain(spark)
+    val cartesians = "CartesianProduct|BroadcastNestedLoop".r
+      .findAllIn(p).size
+    // at most two nested-loops, BOTH against the broadcast sqrt(n)-row
+    // centroid table: the index's cell assignment and the query probe
+    assert(cartesians <= 2, s"unexpected all-pairs joins in the IVFPQ plan:\n$p")
+    assert(p.contains("cid") && p.contains("cell"),
+      s"expected the (sub, cid) ADC and (cell) probe equi-join keys:\n$p")
+  }
+
   test("x3_hybrid_search: keyword filter is a semi-join on the index key, " +
       "and no exchange ships document text") {
     // the cross-modal contract: the documents-side predicate reduces to an
