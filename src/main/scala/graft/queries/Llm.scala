@@ -1539,6 +1539,51 @@ object Llm {
              |SELECT a AS vec_id, MIN(b) AS cluster_id FROM reach
              |GROUP BY a ORDER BY vec_id""".stripMargin)),
 
+    // ---- X5 SEMANTIC dedup, cluster-scoped (SemDeDup, Abbas et al. 2023,
+    // arXiv:2303.09540): dedup decisions are made WITHIN each semantic
+    // cluster — here the `label` column stands in for the paper's k-means
+    // partition — so the pairwise stage is bounded by Σ|cluster|², never
+    // the corpus square; that bound is the paper's entire scaling
+    // argument, and this query sharpens it further by generating the
+    // candidate pairs through the IVF cell-pair triangle pruning and only
+    // THEN gating on same-label. Within a cluster, cosine ≥ 0.4 pairs
+    // form components (the funnel's own CC operator); each doc is labeled
+    // with its component representative (min id) and a kept flag — keep
+    // the rep, drop the semantic duplicates. Oracle: brute within-label
+    // pairs + recursive-CTE reachability.
+    Q("x5_semdedup",
+      (s, dir) => {
+        val idx = ivfIndex(s, dir)
+        val labels = graft.Caches.persist(
+          embs(s, dir).select(col("vec_id"), col("label")))
+        val pairs = graft.operators.IvfIndex.pairsExact(idx, 0.4)
+          .join(labels.select(col("vec_id").as("id_a"), col("label").as("la")), "id_a")
+          .join(labels.select(col("vec_id").as("id_b"), col("label").as("lb")), "id_b")
+          .filter(col("la") === col("lb"))
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+        labelClusters(idx.assigned.select(col("vec_id").as("id")), pairs, "vec_id")
+          .join(labels, "vec_id")
+          .select(col("vec_id"), col("label"), col("cluster_id"),
+            (col("vec_id") === col("cluster_id")).as("kept"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH RECURSIVE
+             |pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
+             |          FROM embeddings a JOIN embeddings b
+             |            ON a.vec_id < b.vec_id AND a.label = b.label
+             |          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |                  CAST(b.embedding AS DOUBLE[])) >= 0.4),
+             |edges AS (SELECT va AS a, vb AS b FROM pairs
+             |          UNION ALL SELECT vb, va FROM pairs),
+             |reach(a, b) AS (
+             |  SELECT vec_id, vec_id FROM embeddings
+             |  UNION
+             |  SELECT reach.a, e.b FROM reach JOIN edges e ON reach.b = e.a)
+             |SELECT r.a AS vec_id, e.label, MIN(r.b) AS cluster_id,
+             |  r.a = MIN(r.b) AS kept
+             |FROM reach r JOIN embeddings e ON e.vec_id = r.a
+             |GROUP BY r.a, e.label ORDER BY vec_id""".stripMargin)),
+
     // ---- X5 graph centrality over the near-dup graph: 5-iteration PageRank
     // (damping 0.85) on the exact similarity edges the clustering query
     // already mines — inside a dedup cluster it ranks the most-connected
