@@ -84,53 +84,107 @@ object Snapshot {
     spark.read.parquet(dir.getPath)
   }
 
-  /** Rewrite: materialize `f(live)` as the next generation and flip the
-    * pointer. Readers of the previous generation are untouched. A failed
-    * write leaves the pointer on the old generation and cleans the
-    * half-written directory — the table is never in between.
-    * Returns the new generation number.
+  private def rm(x: java.io.File): Unit = {
+    Option(x.listFiles()).foreach(_.foreach(rm)); x.delete()
+  }
+
+  /** Serialize pointer mutations through a create-exclusive `_lock` file —
+    * the local-FS stand-in for an object store's conditional PUT. A crash
+    * while holding the lock leaves it behind; writers spin ~10 s and then
+    * fail loudly naming the file, the deliberate manual-recovery tripwire
+    * (a lease TTL at 100 TB).
+    */
+  private def withPointerLock[T](path: String)(body: => T): T = {
+    val lock = new java.io.File(path, "_lock")
+    var tries = 0
+    var held = false
+    while (!held) {
+      try { java.nio.file.Files.createFile(lock.toPath); held = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          tries += 1
+          if (tries > 1000) throw new IllegalStateException(
+            s"could not acquire $lock after ~10s — stale lock from a " +
+              "crashed writer? delete it to recover")
+          Thread.sleep(10)
+      }
+    }
+    try body finally java.nio.file.Files.deleteIfExists(lock.toPath)
+  }
+
+  /** Rewrite: materialize `f(live)` into an ANONYMOUS staging directory,
+    * then COMPARE-AND-SWAP — under the pointer lock, verify `_current`
+    * still names the generation this rewrite read, rename the staging
+    * directory to gen-(N+1), and flip the pointer. Two racing rewriters
+    * therefore cannot lose an update: the first to commit wins, the loser
+    * throws ConcurrentModificationException and removes ONLY the staging
+    * directory it created itself — never a directory another writer (or a
+    * crashed prior attempt) owns. Readers of the previous generation are
+    * untouched; the table is never in between. Returns the new generation.
+    * The object-store analog is a conditional PUT of the pointer object
+    * keyed on the generation the rewrite read (see SCALING.md).
     */
   def update(spark: SparkSession, path: String)
+      (f: DataFrame => DataFrame): Long =
+    update(spark, path, () => ())(f)
+
+  /** [[update]] with a test seam: `onStaged` runs after the new generation
+    * is fully staged, before the compare-and-swap — the window a competing
+    * writer's commit must be detected in.
+    */
+  def update(spark: SparkSession, path: String, onStaged: () => Unit)
       (f: DataFrame => DataFrame): Long = {
     val gen = currentGen(path).getOrElse(
       throw new IllegalArgumentException(s"not a snapshot table: $path"))
-    val next = gen + 1
-    val dir = genDir(path, next)
+    val staged = new java.io.File(path,
+      s".stage-${java.util.UUID.randomUUID().toString.take(8)}")
     try {
-      f(read(spark, path)).write.mode(SaveMode.ErrorIfExists)
-        .parquet(dir.getPath)
-      commit(path, next)
-      next
-    } catch {
-      case e: Throwable =>
-        def rm(x: java.io.File): Unit = {
-          Option(x.listFiles()).foreach(_.foreach(rm)); x.delete()
-        }
-        if (dir.exists()) rm(dir)
-        throw e
+      f(readAt(spark, path, gen)).write.mode(SaveMode.ErrorIfExists)
+        .parquet(staged.getPath)
+      onStaged()
+      withPointerLock(path) {
+        val live = currentGen(path).get
+        if (live != gen) throw new java.util.ConcurrentModificationException(
+          s"snapshot $path moved gen-$gen -> gen-$live while this rewrite " +
+            "ran; aborting (retry from the new live generation)")
+        val next = gen + 1
+        val dir = genDir(path, next)
+        if (!staged.renameTo(dir)) throw new java.io.IOException(
+          s"rename $staged -> $dir failed")
+        commit(path, next)
+        next
+      }
+    } finally {
+      // only ever deletes the staging directory THIS call created; on
+      // success it was renamed away and this is a no-op
+      if (staged.exists()) rm(staged)
     }
   }
 
-  /** Delete all generations except the newest `keepLast` (the live one is
-    * always kept). This is the ONLY operation that invalidates readers —
-    * schedule it with a retention comfortably above the longest query.
+  /** Delete all generations except the live one and the newest `keepLast-1`
+    * COMMITTED generations below it — an uncommitted orphan above live
+    * (crash after staging-rename, before the pointer flip) never counts
+    * against the retention promise and is reclaimed unconditionally, as
+    * are abandoned `.stage-*` directories. This is the ONLY operation that
+    * invalidates readers — schedule it with a retention comfortably above
+    * the longest query, and never concurrently with an [[update]].
     * Returns the generations removed.
     */
   def vacuum(spark: SparkSession, path: String, keepLast: Int = 1): Seq[Long] = {
     require(keepLast >= 1, "vacuum must keep at least the live generation")
     val live = currentGen(path).getOrElse(
       throw new IllegalArgumentException(s"not a snapshot table: $path"))
-    val gens = Option(new java.io.File(path).listFiles()).getOrElse(Array())
+    val entries = Option(new java.io.File(path).listFiles()).getOrElse(Array())
+    entries.filter(f => f.isDirectory && f.getName.startsWith(".stage-"))
+      .foreach(rm)
+    val gens = entries
       .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
       .map(_.getName.stripPrefix("gen-").toLong)
       .sorted
-    val doomed = gens.filter(_ != live).dropRight(keepLast - 1)
-    doomed.foreach { g =>
-      def rm(x: java.io.File): Unit = {
-        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete()
-      }
-      rm(genDir(path, g))
-    }
+    val retained =
+      (gens.filter(g => g < live).takeRight(keepLast - 1) :+ live).toSet
+    val doomed = gens.filterNot(retained)
+    doomed.foreach(g => rm(genDir(path, g)))
     doomed.toSeq
   }
 }

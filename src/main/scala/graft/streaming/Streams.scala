@@ -747,14 +747,46 @@ object Streams {
       .start()
 
   /** Batch-id subdirectories of a state dir (names `batch_id=N`). */
+  /** List the committed `batch_id=N` generations under `path`, HEALING any
+    * crashed maintenance first so readers never see a torn compaction:
+    * (a) a `batch_id=N.old` left by a kill mid-FileSwap is renamed back
+    * when its target is missing (and swept when it is not); (b) a
+    * `_folded` manifest inside a generation means that generation already
+    * holds the union of the listed older generations — finish their
+    * interrupted deletion, else the union read would double-count every
+    * folded row (fatal to the token-intersection Jaccard counts). Names
+    * whose suffix is not a valid Long (the swap tmp namespace) are
+    * skipped, never parsed.
+    */
   private def stateBatchIds(s: SparkSession, path: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toSeq
-      .map(_.getPath.getName)
+    if (!fs.exists(p)) return Nil
+    def names() = fs.listStatus(p).toSeq.map(_.getPath.getName)
+    names().filter(_.endsWith(".old")).foreach { n =>
+      val target = new org.apache.hadoop.fs.Path(p, n.stripSuffix(".old"))
+      val aside = new org.apache.hadoop.fs.Path(p, n)
+      if (!fs.exists(target)) fs.rename(aside, target)
+      else fs.delete(aside, true)
+    }
+    def gens() = names()
       .filter(_.startsWith("batch_id="))
-      .map(_.stripPrefix("batch_id=").toLong)
+      .flatMap(n => n.stripPrefix("batch_id=").toLongOption)
+    gens().foreach { g =>
+      val marker = new org.apache.hadoop.fs.Path(p, s"batch_id=$g/_folded")
+      if (fs.exists(marker)) {
+        val len = fs.getFileStatus(marker).getLen.toInt
+        val buf = new Array[Byte](len)
+        val in = fs.open(marker)
+        try in.readFully(0, buf) finally in.close()
+        new String(buf, "UTF-8").split("\\s+").filter(_.nonEmpty)
+          .map(_.toLong).filter(_ != g)
+          .foreach(b => fs.delete(
+            new org.apache.hadoop.fs.Path(p, s"batch_id=$b"), true))
+        fs.delete(marker, false)
+      }
+    }
+    gens()
   }
 
   /** Read the union of a batch-partitioned state dir's generations
@@ -970,21 +1002,34 @@ object Streams {
   def curationStateCompact(s: SparkSession, path: String): Int = {
     import org.apache.spark.sql.types._
     def fold(dir: String, schema: StructType): Int = {
-      val gens = stateBatchIds(s, dir).sorted
+      val gens = stateBatchIds(s, dir).sorted // also heals a prior crash
       if (gens.length <= 1) 0
       else {
         val top = gens.max
         val merged = s.read.schema(schema)
           .parquet(gens.map(b => s"$dir/batch_id=$b"): _*)
           .localCheckpoint(true) // sever lineage before rewriting sources
-        val tmp = s"$dir/batch_id=$top.compact"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
         }
-        gens.foreach(b => rm(new java.io.File(s"$dir/batch_id=$b")))
+        // stage OUTSIDE the batch_id= listing namespace — a crashed
+        // attempt can never be parsed as (or shadow) a generation
+        val tmp = new java.io.File(dir, ".compact-tmp")
+        if (tmp.exists()) rm(tmp)
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        // the fold carries a manifest of the generations it supersedes;
+        // SWAP FIRST (originals still on disk), DELETE AFTER — a crash at
+        // any point leaves either the originals intact or the manifest for
+        // stateBatchIds to finish the deletion from, never a lost (or
+        // double-counted) state read
+        java.nio.file.Files.write(
+          new java.io.File(tmp, "_folded").toPath,
+          gens.filter(_ != top).mkString("", "\n", "\n").getBytes("UTF-8"))
         graft.sources.FileSwap.replace(
-          new java.io.File(s"$dir/batch_id=$top"), new java.io.File(tmp))
+          new java.io.File(s"$dir/batch_id=$top"), tmp)
+        gens.filter(_ != top)
+          .foreach(b => rm(new java.io.File(s"$dir/batch_id=$b")))
+        new java.io.File(s"$dir/batch_id=$top", "_folded").delete()
         gens.length
       }
     }

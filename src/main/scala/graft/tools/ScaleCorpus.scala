@@ -99,7 +99,13 @@ object ScaleCorpus {
         (col("doc_id") + lit(r * Off)).as("doc_id"),
         concat(lit("x" * r + " "), concat_ws(" ", transform(split(col("text"), " "),
           x => concat(x, lit(s"_$r"))))).as("text"),
-        col("lang"), col("source"), col("n_chars")))
+        col("lang"), col("source"))
+        // the pad+suffix remap changes the payload length, so the size
+        // metadata must follow it — queries deriving per-doc sizes from
+        // n_chars (avg_chars, the (lang, n_chars) dedup key) would
+        // otherwise see metadata inconsistent with the text they group
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select("doc_id", "text", "lang", "source", "n_chars"))
     replicate("embeddings")((e, r) =>
       if (r == 0) e
       else e.select(

@@ -247,4 +247,58 @@ class SourcesSpec extends AnyFunSuite {
     assert(spark.read.parquet(zDir).filter(yPred).count() ==
       df.filter(yPred).count())
   }
+
+  test("Snapshot.update is compare-and-swap: a racing rewrite aborts " +
+      "cleanly, never clobbers the winner") {
+    import graft.sources.Snapshot
+    val dir = Files.createTempDirectory("graft-snap-cas").toString + "/t"
+    Snapshot.init(spark, dir,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    // writer 1 stages its rewrite of gen-0; in the window before its
+    // commit, writer 2 reads gen-0 and commits its own rewrite — writer 1
+    // must detect the moved pointer and abort, not flip over it
+    var w2gen = -1L
+    intercept[java.util.ConcurrentModificationException] {
+      Snapshot.update(spark, dir, () => {
+        w2gen = Snapshot.update(spark, dir)(df => df.filter(col("id") =!= 2L))
+      })(df => df.filter(col("id") =!= 1L))
+    }
+    assert(w2gen == 1L, "the interleaved writer committed gen-1")
+    assert(Snapshot.currentGen(dir).contains(1L), "winner's commit is live")
+    assert(Snapshot.read(spark, dir).select("id").as[Long].collect().toSet
+      == Set(1L, 3L), "no rows lost: live table is exactly the winner's")
+    // the loser cleaned up ONLY its own staging dir — no stray generation
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    assert(!names.contains("gen-2"), names.mkString(","))
+    assert(!names.exists(_.startsWith(".stage-")), names.mkString(","))
+    // a retry from the new live generation succeeds normally
+    assert(Snapshot.update(spark, dir)(df => df.filter(col("id") =!= 1L)) == 2L)
+    assert(Snapshot.read(spark, dir).select("id").as[Long].collect().toSet
+      == Set(3L))
+  }
+
+  test("Snapshot.vacuum retention counts committed generations; orphans " +
+      "above live are reclaimed unconditionally") {
+    import graft.sources.Snapshot
+    val dir = Files.createTempDirectory("graft-snap-vac").toString + "/t"
+    Snapshot.init(spark, dir, Seq((1L, "a")).toDF("id", "v"))
+    Snapshot.update(spark, dir)(df => df) // gen-1
+    Snapshot.update(spark, dir)(df => df) // gen-2 (live)
+    // crash debris: a renamed-but-never-committed generation above live,
+    // and an abandoned staging directory
+    val orphan = new java.io.File(dir, "gen-3")
+    orphan.mkdirs()
+    Files.write(new java.io.File(orphan, "part-junk").toPath, Array[Byte](1))
+    val stale = new java.io.File(dir, ".stage-dead")
+    stale.mkdirs()
+    Files.write(new java.io.File(stale, "part-junk").toPath, Array[Byte](1))
+    // keepLast=2 must retain live gen-2 plus COMMITTED gen-1 — the orphan
+    // never counts against the retention promise
+    val removed = Snapshot.vacuum(spark, dir, keepLast = 2)
+    assert(removed == Seq(0L, 3L), s"got $removed")
+    assert(Snapshot.readAt(spark, dir, 1L).count() == 1,
+      "the retained committed generation is still readable")
+    assert(!stale.exists(), "stale staging dir swept")
+    assert(Snapshot.currentGen(dir).contains(2L))
+  }
 }

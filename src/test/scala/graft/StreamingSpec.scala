@@ -464,6 +464,78 @@ class StreamingSpec extends AnyFunSuite {
     assert(gens == Seq("batch_id=1", "batch_id=2"), s"got $gens")
   }
 
+  test("curation pipeline: a compaction crashed between swap and delete " +
+      "heals on the next read — no double-counted state, no torn dirs") {
+    import graft.streaming.Streams
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.load(spark, SparkTestSession.sfDir, "documents")
+      .select(col("doc_id"), col("text")).orderBy("doc_id")
+      .as[(Long, String)].collect().take(300)
+    val chunks = docs.grouped(100).toSeq
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete()
+    }
+    // emulate curationStateCompact's fold killed right AFTER the swap:
+    // the folded top generation (carrying its _folded manifest) is live
+    // while the superseded generations are still on disk — the state a
+    // naive union read would double-count
+    def crashFold(dir: String): Unit = {
+      val gens = new java.io.File(dir).listFiles().map(_.getName)
+        .filter(_.startsWith("batch_id="))
+        .map(_.stripPrefix("batch_id=").toLong).sorted.toSeq
+      val top = gens.max
+      val merged = spark.read
+        .parquet(gens.map(b => s"$dir/batch_id=$b"): _*).localCheckpoint(true)
+      val tmp = new java.io.File(dir, ".compact-tmp")
+      merged.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      java.nio.file.Files.write(new java.io.File(tmp, "_folded").toPath,
+        gens.filter(_ != top).mkString("", "\n", "\n").getBytes("UTF-8"))
+      val target = new java.io.File(s"$dir/batch_id=$top")
+      rmr(target)
+      assert(tmp.renameTo(target))
+      // ...and the crash also stranded swap debris from OTHER dirs' folds
+      val old = new java.io.File(s"$dir/batch_id=${gens.min}.old")
+      old.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(old, "junk").toPath, Array[Byte](1))
+      val strandedTmp = new java.io.File(dir, ".compact-tmp")
+      strandedTmp.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(strandedTmp, "junk").toPath, Array[Byte](1))
+    }
+    def run(dir: String, crash: Boolean): Seq[Set[(Long, String)]] = {
+      val in = MemoryStream[(Long, String)](spark)
+      val q = Streams.curationPipelineSink(
+        in.toDF().toDF("doc_id", "text"), s"$dir/out", s"$dir/ckpt", t = 0.9)
+      try {
+        chunks.zipWithIndex.foreach { case (c, i) =>
+          in.addData(c.toSeq); q.processAllAvailable()
+          if (crash && i == 1) {
+            crashFold(s"$dir/out/_state/digests")
+            crashFold(s"$dir/out/_state/toks")
+          }
+        }
+      } finally q.stop()
+      (0 until chunks.length).map { b =>
+        spark.read.parquet(s"$dir/out/decisions/batch_id=$b")
+          .select("doc_id", "outcome").as[(Long, String)].collect().toSet
+      }
+    }
+    val dirA = java.nio.file.Files.createTempDirectory("graft_cur_ok").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_cur_cr").toString
+    val plain = run(dirA, crash = false)
+    val healed = run(dirB, crash = true)
+    assert(healed == plain,
+      "batch 2's decisions diverged after reading crashed-compaction state")
+    // healing finished the interrupted delete: only the folded top and
+    // batch 2's own generation remain, and the debris is gone
+    val left = new java.io.File(s"$dirB/out/_state/digests").listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(left == Seq("batch_id=1", "batch_id=2"), s"got $left")
+    assert(!new java.io.File(s"$dirB/out/_state/digests/batch_id=1/_folded")
+      .exists(), "manifest consumed by the heal")
+  }
+
   test("curation pipeline: a later cluster merge tombstones the absorbed rep") {
     import graft.streaming.Streams
     // A and B are each >= 0.9-Jaccard to C but only ~0.82 to each other:
