@@ -47,7 +47,7 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  private[graft] val fmtVersion = 1
+  private[graft] val fmtVersion = 2
 
   /** `assigned`: (vec_id, v, nrm, cell, c1=cos(v, centroid)).
     * `cells`: (cell, cv, cnrm, r, cnt) — k ≈ √n rows, broadcastable.
@@ -178,41 +178,70 @@ object IvfIndex {
 
   /** Build the index over `e0(vec_id, v: array<double>)`. Runs one count()
     * (the statistics call) and persists the assignment.
+    *
+    * ROUTING IS INTEGER-EXACT AND PORTABLE: vectors are int8-quantized
+    * (the same floor(x*127/maxabs + 0.5) rule as the PQ build) and the
+    * cell layout is trained with integer arithmetic only — nearest-seed /
+    * nearest-centroid argmin over integer squared-L2 (d = |a|² + |b|² −
+    * 2·a·b, every term an exact integer in doubles, so the sum is
+    * order-independent), FLOOR(SUM/COUNT) centroid means (exact at
+    * int8-sum magnitudes), ties to the smallest cell id. A SQL engine
+    * therefore replays the layout bit-for-bit — x3_knn_ivf_approx and
+    * x3_knn_ivfpq hash-check REAL neighbor lists against DuckDB instead
+    * of a self-audit. Search still scores FLOAT vectors: the exactness of
+    * [[knnExact]]/[[pairsExact]] needs only r ≥ angle(member, centroid),
+    * which holds for ANY centroid point — quantized routing just picks
+    * which cell a vector files under.
     */
   def build(e0: DataFrame): Index = {
     val spark = e0.sparkSession
     NativeExpressions.register(spark)
+    val maxabs = array_max(transform(col("v"), x => abs(x)))
     val e = graft.Caches.persist(e0.select(col("vec_id"), col("v"))
-      .withColumn("nrm", VF.l2Norm(col("v"))))
+      .withColumn("nrm", VF.l2Norm(col("v")))
+      .withColumn("ma", when(maxabs === 0.0, 1.0).otherwise(maxabs))
+      .withColumn("q8", transform(col("v"),
+        x => floor(x * lit(127.0) / col("ma") + lit(0.5)).cast("double")))
+      .withColumn("sq", VF.dotNative(col("q8"), col("q8")))
+      .drop("ma"))
     val n = e.count()
     val stride = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
     val seeds = e.filter(col("vec_id") % stride === 0)
-      .select(col("vec_id").as("cell0"), col("v").as("sv"), col("nrm").as("snrm"))
-    // nearest seed per vector: max_by over (cos, -cell) — partial-aggregates
-    // map-side, so the n·k comparison fan-in shuffles only n rows. The
-    // vector rides inside the max_by tuple (constant per group), saving a
+      .select(col("vec_id").as("cell0"), col("q8").as("s8"), col("sq").as("ss"))
+    // nearest seed per vector: min_by over (d, cell) — partial-aggregates
+    // map-side, so the n·k comparison fan-in shuffles n rows, not n·k. The
+    // vector rides inside the min_by tuple (constant per group), saving a
     // join-back to `e` after the aggregation.
     val assign0 = e.join(broadcast(seeds), lit(true))
-      .withColumn("c0", VF.dotNative(col("v"), col("sv")) / (col("nrm") * col("snrm")))
+      .withColumn("d0", col("sq") + col("ss")
+        - lit(2.0) * VF.dotNative(col("q8"), col("s8")))
       .groupBy("vec_id")
-      .agg(max_by(struct(col("cell0"), col("v")),
-        struct(col("c0"), (-col("cell0")).as("nc"))).as("best"))
-      .select(col("vec_id"), col("best.cell0").as("cell0"), col("best.v").as("v"))
-    // one Lloyd step: element-wise mean per cell (distributed: one reducer
-    // key per (cell, dim)), rounded to 6 dp for cross-engine reproducibility
+      .agg(min_by(struct(col("cell0"), col("q8")),
+        struct(col("d0"), col("cell0"))).as("best"))
+      .select(col("vec_id"), col("best.cell0").as("cell0"),
+        col("best.q8").as("q8"))
+    // one Lloyd step: integer centroid per cell (distributed: one reducer
+    // key per (cell, dim)), FLOOR(SUM/COUNT) for cross-engine exactness
     val cent = assign0
-      .select(col("cell0"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("cell0", "pos").agg(round(avg("x"), 6).as("m"))
+      .select(col("cell0"), posexplode(col("q8")).as(Seq("pos", "x")))
+      .groupBy("cell0", "pos")
+      .agg(expr("CAST(FLOOR(SUM(x)/COUNT(1)) AS DOUBLE)").as("m"))
       .groupBy("cell0")
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cell0").as("cell"), expr("transform(pm, p -> p.m)").as("cv"))
+      .withColumn("cs", VF.dotNative(col("cv"), col("cv")))
       .withColumn("cnrm", VF.l2Norm(col("cv")))
     val assigned = e.join(broadcast(cent), lit(true))
-      .withColumn("c1", VF.dotNative(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("d1", col("sq") + col("cs")
+        - lit(2.0) * VF.dotNative(col("q8"), col("cv")))
       .groupBy("vec_id")
-      .agg(max_by(struct(col("cell"), col("c1"), col("v"), col("nrm")),
-        struct(col("c1"), (-col("cell")).as("nc"))).as("best"))
-      .select(col("vec_id"), col("best.cell").as("cell"), col("best.c1").as("c1"),
+      .agg(min_by(struct(col("cell"), col("cv"), col("cnrm"), col("v"), col("nrm")),
+        struct(col("d1"), col("cell"))).as("best"))
+      // c1 (the float cosine to the winning centroid) is what the radius
+      // bound and the pruning math consume — computed once here
+      .select(col("vec_id"), col("best.cell").as("cell"),
+        (VF.dotNative(col("best.v"), col("best.cv")) /
+          (col("best.nrm") * col("best.cnrm"))).as("c1"),
         col("best.v").as("v"), col("best.nrm").as("nrm"))
     val assignedP = graft.Caches.persist(assigned)
     val radius = assignedP.groupBy("cell")

@@ -43,9 +43,9 @@ object Llm {
 
   /** The raw nprobe-bounded ANN search (query_id, rk, neighbor_id, sim)
     * behind x3_knn_ivf_approx: every 50th vector queries the shared IVF
-    * index with k=10, nprobe=8. Exposed for LlmSpec's consistency checks —
-    * the REGISTERED query aggregates this into a deterministic, oracle-
-    * checkable self-audit (neighbor lists themselves are not SQL-replayable).
+    * index with k=10, nprobe=8. This IS the registered query: the index's
+    * routing is portable integer arithmetic, so the DuckDB oracle replays
+    * the full neighbor lists. Also exposed for LlmSpec's consistency checks.
     */
   private[graft] def knnIvfApproxRaw(s: SparkSession, dir: String): DataFrame = {
     val idx = ivfIndex(s, dir)
@@ -57,34 +57,56 @@ object Llm {
       .orderBy("query_id", "rk")
   }
 
-  /** The deterministic per-query self-audit of a cell-dependent ANN search
-    * (shared by x3_knn_ivf_approx and x3_knn_ivfpq): exactly k results,
-    * contiguous ranks, non-increasing sims, distinct non-self neighbors —
-    * each an invariant of a correct scan-bounded search, all deterministic,
-    * so the oracle pins the expected verdicts and the rows hash-match.
+  /** Shared DuckDB CTE prefix replaying [[graft.operators.IvfIndex.build]]'s
+    * PORTABLE integer routing bit-for-bit — quantize (the PQ int8 rule) →
+    * stride seeds → integer-squared-L2 assign → one FLOOR(SUM/COUNT) Lloyd
+    * round → final assign. Defines `e` (vec_id, v DOUBLE[], q8), `cent`
+    * (cell, cv) and `a1` (vec_id, cell); ends mid-WITH so callers append
+    * their own CTEs. Every distance is a sum of exact integers in doubles
+    * (order-independent) and every tie breaks to the smallest cell id, so
+    * DuckDB and the distributed build cannot diverge. Consumed by the
+    * x3_knn_ivf_approx and x3_knn_ivfpq oracles.
     */
-  private[graft] def selfAudit(res: DataFrame): DataFrame = {
-    val w = Window.partitionBy("query_id").orderBy("rk")
-    res
-      .withColumn("mono", when(col("rk") === 1, lit(1))
-        .otherwise((col("sim") <= lag("sim", 1).over(w)).cast("int")))
-      .groupBy("query_id")
-      .agg(count(lit(1)).as("n_results"),
-        (min("rk") === 1 && max("rk") === count(lit(1)))
-          .cast("int").as("ranks_contiguous"),
-        min("mono").as("sims_nonincreasing"),
-        (countDistinct("neighbor_id") === count(lit(1)))
-          .cast("int").as("neighbors_distinct"),
-        max((col("neighbor_id") === col("query_id")).cast("int"))
-          .as("self_hits"))
-      .orderBy("query_id")
-  }
+  private val ivfRoutingCtes: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> floor(x * 127.0 / (CASE WHEN m = 0 THEN 1 ELSE m END) + 0.5)) AS q8
+      |  FROM (SELECT vec_id, embedding,
+      |          list_max(list_transform(CAST(embedding AS DOUBLE[]),
+      |            x -> abs(x))) AS m
+      |        FROM embeddings)),
+      |seeds AS (
+      |  SELECT vec_id AS cell0, q8 AS s8 FROM e
+      |  WHERE vec_id % (SELECT GREATEST(CAST(CEIL(SQRT(COUNT(*))) AS BIGINT), 1)
+      |                  FROM e) = 0),
+      |a0 AS (SELECT vec_id, cell0, q8 FROM (
+      |    SELECT e.vec_id, s.cell0, e.q8,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_dot_product(e.q8, e.q8) + list_dot_product(s.s8, s.s8)
+      |          - 2*list_dot_product(e.q8, s.s8) ASC, s.cell0 ASC) AS rk
+      |    FROM e CROSS JOIN seeds s) WHERE rk = 1),
+      |cent AS (
+      |  SELECT cell, list(m ORDER BY pos) AS cv FROM (
+      |    SELECT cell0 AS cell, pos, FLOOR(SUM(x)/COUNT(*)) AS m FROM (
+      |      SELECT cell0, generate_subscripts(q8, 1) AS pos, UNNEST(q8) AS x
+      |      FROM a0)
+      |    GROUP BY cell0, pos)
+      |  GROUP BY cell),
+      |a1 AS (SELECT vec_id, cell FROM (
+      |    SELECT e.vec_id, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_dot_product(e.q8, e.q8) + list_dot_product(c.cv, c.cv)
+      |          - 2*list_dot_product(e.q8, c.cv) ASC, c.cell ASC) AS rk
+      |    FROM e CROSS JOIN cent c) WHERE rk = 1),
+      |""".stripMargin
 
   /** The raw IVF+PQ search (query_id, rk, neighbor_id, sim) behind
     * x3_knn_ivfpq: probe nprobe=8 cells (knnApprox's convention), ADC-score
     * ONLY the probed members' PQ codes, rerank the 100-candidate pool with
-    * full-precision cosine, keep the top-10. Exposed for LlmSpec's recall
-    * check — the registered query aggregates this into [[selfAudit]].
+    * full-precision cosine, keep the top-10. This IS the registered query
+    * (routing and codebooks are both portable, so the oracle replays the
+    * whole composition). Also exposed for LlmSpec's recall check.
     */
   private[graft] def knnIvfPqRaw(s: SparkSession, dir: String): DataFrame = {
     graft.functions.NativeExpressions.register(s)
@@ -737,13 +759,34 @@ object Llm {
       .toDF("sub", "cid", "pos", "c")
   }
 
+  /** The PQ trainer's BOUNDED deterministic sample — the statistics gate
+    * that keeps codebook training driver-safe at any corpus size (the
+    * pattern of `graft.cc.driverThreshold` / `graft.ivf.broadcastThreshold`):
+    * keep `vec_id % m == 0` with m = max(1, n/cap) to spread the sample
+    * across the id range, then a hard `ORDER BY vec_id LIMIT cap` so the
+    * collect is PROVABLY <= `graft.pq.trainSampleCap` rows (default 65536,
+    * the FAISS-standard training bound — 4 MB of int8 components) no
+    * matter how ids are distributed. Fully id-deterministic, so the
+    * unrolled-CTE oracle replays the identical sample; below the cap
+    * (every test SF) it degenerates to the full set, m = 1.
+    */
+  private[graft] def pqTrainSample(s: SparkSession, e8: DataFrame)
+      : Array[Array[Double]] = {
+    val cap = s.conf.getOption("graft.pq.trainSampleCap")
+      .map(_.toInt).getOrElse(65536)
+    val m = math.max(1L, e8.count() / cap)
+    e8.filter(col("vec_id") % m === 0).orderBy("vec_id").limit(cap)
+      .select("q8").collect().map(_.getSeq[Double](0).toArray)
+  }
+
   /** Shared PQ build over `vecs` (vec_id, v; extra columns pass through
     * untouched on neither output): int8-quantize (x3_knn_int8's
-    * floor(x+0.5) rule), train the codebook on the driver
-    * ([[pqCodebookDf]]), encode every vector, and build the per-`% 50`-
-    * query ADC lookup table. ONE definition consumed by x3_knn_pq and
-    * x3_knn_ivfpq so the quantization rule, seed order, and code layout
-    * can never diverge between the flat and the IVF-routed search.
+    * floor(x+0.5) rule), train the codebook on the driver over the capped
+    * deterministic sample ([[pqTrainSample]] -> [[pqCodebookDf]]), encode
+    * every vector, and build the per-`% 50`-query ADC lookup table. ONE
+    * definition consumed by x3_knn_pq and x3_knn_ivfpq so the quantization
+    * rule, seed order, and code layout can never diverge between the flat
+    * and the IVF-routed search.
     * Returns (codes (vec_id, sub, cid), qd (query_id, sub, cid, d)).
     */
   private def pqBuild(s: SparkSession, vecs: DataFrame)
@@ -761,9 +804,7 @@ object Llm {
         posexplode(col("q8")).as(Seq("i", "x")))
       .select(col("vec_id"), expr("CAST(i div 4 AS BIGINT)").as("sub"),
         expr("CAST(i % 4 AS BIGINT)").as("pos"), col("x"))
-    val cb = pqCodebookDf(s,
-      e8.orderBy("vec_id").select("q8").collect()
-        .map(_.getSeq[Double](0).toArray))
+    val cb = pqCodebookDf(s, pqTrainSample(s, e8))
     // encode: nearest centroid per (vec, sub) — one broadcast join +
     // aggregation + ranking window; 16 4-bit codes per vector
     val wA = Window.partitionBy("vec_id", "sub").orderBy(asc("d"), asc("cid"))
@@ -1804,35 +1845,35 @@ object Llm {
     // ---- X3 approximate IVF top-k (the classic ANN operating point):
     // scan only the nprobe nearest cells per query — recall traded for a
     // HARD scanned-fraction bound (~nprobe/√n of the corpus), the knob a
-    // 100 TB deployment actually turns. Probe ranking depends on the
-    // index's hash-free but data-driven cell layout -> rows-only check;
-    // OperatorsSpec pins recall ≥0.9 (clustered), the scan budget, and
-    // scan-exactness (result == true top-k over the probed cells, bit-for-
-    // bit vs an independent reference) SIMULTANEOUSLY on both clustered
-    // and isotropic fixtures; LlmSpec pins internal consistency on the
-    // driver's data; DeterminismSpec pins byte-stable output (ties broken
-    // by neighbor_id), so the driver's recorded row set is stable.
+    // 100 TB deployment actually turns. The cell layout is PORTABLE
+    // (IvfIndex.build trains routing with integer arithmetic only: int8
+    // quantization, integer squared-L2 argmin, FLOOR(SUM/COUNT) means), so
+    // unlike the pre-r09 float k-means the oracle replays the ENTIRE
+    // search — quantize → seed → one Lloyd round → assign → probe the 8
+    // nearest cells by float centroid cosine → exact rerank — and the
+    // FULL neighbor lists hash-match. OperatorsSpec additionally pins
+    // recall ≥0.9 (clustered), the scan budget, and scan-exactness on
+    // clustered/isotropic fixtures; DeterminismSpec pins byte-stability.
     Q("x3_knn_ivf_approx",
-      (s, dir) => {
-        // The nprobe-bounded ANN's neighbor lists depend on the k-means cell
-        // layout, which no SQL oracle can replay — so the DRIVER-CHECKED
-        // output is the search's deterministic self-audit, one row per
-        // query: exactly k results, ranks contiguous from 1, scores
-        // non-increasing in rank, neighbors distinct and never the query
-        // itself. Each field is an invariant of a correct scan-bounded
-        // search (all deterministic: seeded k-means, (desc sim, asc id)
-        // tie-break), so the oracle pins the expected verdicts exactly and
-        // the row hash-matches. The raw neighbor lists stay pinned by
-        // OperatorsSpec (exactness-over-probed-cells + recall + scan budget
-        // on clustered/isotropic fixtures), LlmSpec (consistency vs the
-        // exact searcher), and DeterminismSpec (byte-stable output).
-        selfAudit(knnIvfApproxRaw(s, dir))
-      },
-      Some("""SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
-             |  1 AS ranks_contiguous, 1 AS sims_nonincreasing,
-             |  1 AS neighbors_distinct, 0 AS self_hits
-             |FROM embeddings WHERE vec_id % 50 = 0
-             |ORDER BY query_id""".stripMargin)),
+      (s, dir) => knnIvfApproxRaw(s, dir),
+      Some(ivfRoutingCtes +
+        """probes AS (SELECT query_id, cell FROM (
+          |    SELECT q.vec_id AS query_id, c.cell,
+          |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+          |        list_cosine_similarity(q.v, c.cv) DESC, c.cell ASC) AS prk
+          |    FROM e q CROSS JOIN cent c WHERE q.vec_id % 50 = 0)
+          |  WHERE prk <= 8)
+          |SELECT query_id, rk, neighbor_id, ROUND(s, 4) AS sim FROM (
+          |  SELECT p.query_id, m.vec_id AS neighbor_id,
+          |    list_cosine_similarity(q.v, n.v) AS s,
+          |    CAST(ROW_NUMBER() OVER (PARTITION BY p.query_id
+          |      ORDER BY list_cosine_similarity(q.v, n.v) DESC, m.vec_id ASC)
+          |      AS BIGINT) AS rk
+          |  FROM probes p
+          |  JOIN a1 m ON m.cell = p.cell AND m.vec_id != p.query_id
+          |  JOIN e q ON q.vec_id = p.query_id
+          |  JOIN e n ON n.vec_id = m.vec_id)
+          |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
 
     // ---- X3 LSH-bucketed top-k (SURVEY §2.11 X3's "LSH variant for
     // scale"): sign-random-projection codes (Charikar hyperplane LSH),
@@ -2246,9 +2287,12 @@ object Llm {
     // (strict-< scan = ROW_NUMBER's (d ASC, cid ASC); math.floor(sum/cnt)
     // = FLOOR(SUM/COUNT), exact at these magnitudes), so the hash match is
     // unchanged — and ~15 centroid-sized shuffle stages collapse to zero
-    // (measured 5.3 s -> see README bench notes). Here the sample is the
-    // full set; at 100 TB it is a fixed-size mod-sample and the index is
-    // sample-dependent like any trained ANN structure.
+    // (measured 5.3 s -> see README bench notes). The collect is GATED:
+    // pqTrainSample keeps vec_id % m == 0 with a hard ORDER BY/LIMIT at
+    // graft.pq.trainSampleCap (default 65536), so the driver never holds
+    // more than the FAISS-standard training sample at any corpus size;
+    // below the cap (every test SF) the sample is the full set, and the
+    // oracle's train CTE replays the same id-deterministic rule.
     //
     // At 100 TB: the code table is the only corpus-sized scan, and the
     // float rerank fetches 100*q rows — a 10x-oversized pool (vs the int8
@@ -2301,33 +2345,38 @@ object Llm {
              |         CAST((i-1)%4 AS BIGINT) AS pos, x
              |  FROM (SELECT vec_id, generate_subscripts(q8,1) AS i,
              |               UNNEST(q8) AS x FROM e)),
+             |train AS (
+             |  SELECT vec_id FROM e
+             |  WHERE vec_id % (SELECT GREATEST(1, COUNT(*) // 65536) FROM e) = 0
+             |  ORDER BY vec_id LIMIT 65536),
+             |tsv AS (SELECT s.* FROM sv s JOIN train t ON t.vec_id = s.vec_id),
              |seeds AS (
              |  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id)-1 AS BIGINT) AS cid
-             |  FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
+             |  FROM (SELECT vec_id FROM train ORDER BY vec_id LIMIT 16)),
              |c0 AS (SELECT s.sub, sd.cid, s.pos, s.x AS c
-             |  FROM sv s JOIN seeds sd ON sd.vec_id = s.vec_id),
+             |  FROM tsv s JOIN seeds sd ON sd.vec_id = s.vec_id),
              |a0 AS (SELECT vec_id, sub, cid FROM (
              |    SELECT s.vec_id, s.sub, c.cid,
              |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
              |        ORDER BY SUM((s.x-c.c)*(s.x-c.c)) ASC, c.cid ASC) AS rk
-             |    FROM sv s JOIN c0 c ON c.sub = s.sub AND c.pos = s.pos
+             |    FROM tsv s JOIN c0 c ON c.sub = s.sub AND c.pos = s.pos
              |    GROUP BY s.vec_id, s.sub, c.cid) WHERE rk = 1),
              |c1 AS (SELECT c0.sub, c0.cid, c0.pos, COALESCE(u.cn, c0.c) AS c
              |  FROM c0 LEFT JOIN (
              |    SELECT a.sub, a.cid, s.pos, FLOOR(SUM(s.x)/COUNT(*)) AS cn
-             |    FROM a0 a JOIN sv s ON s.vec_id = a.vec_id AND s.sub = a.sub
+             |    FROM a0 a JOIN tsv s ON s.vec_id = a.vec_id AND s.sub = a.sub
              |    GROUP BY a.sub, a.cid, s.pos) u
              |  ON u.sub = c0.sub AND u.cid = c0.cid AND u.pos = c0.pos),
              |a1 AS (SELECT vec_id, sub, cid FROM (
              |    SELECT s.vec_id, s.sub, c.cid,
              |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
              |        ORDER BY SUM((s.x-c.c)*(s.x-c.c)) ASC, c.cid ASC) AS rk
-             |    FROM sv s JOIN c1 c ON c.sub = s.sub AND c.pos = s.pos
+             |    FROM tsv s JOIN c1 c ON c.sub = s.sub AND c.pos = s.pos
              |    GROUP BY s.vec_id, s.sub, c.cid) WHERE rk = 1),
              |c2 AS (SELECT c1.sub, c1.cid, c1.pos, COALESCE(u.cn, c1.c) AS c
              |  FROM c1 LEFT JOIN (
              |    SELECT a.sub, a.cid, s.pos, FLOOR(SUM(s.x)/COUNT(*)) AS cn
-             |    FROM a1 a JOIN sv s ON s.vec_id = a.vec_id AND s.sub = a.sub
+             |    FROM a1 a JOIN tsv s ON s.vec_id = a.vec_id AND s.sub = a.sub
              |    GROUP BY a.sub, a.cid, s.pos) u
              |  ON u.sub = c1.sub AND u.cid = c1.cid AND u.pos = c1.pos),
              |codes AS (SELECT vec_id, sub, cid FROM (
@@ -2368,22 +2417,95 @@ object Llm {
     // cosine RERANKS the 100-candidate pool. At 100 TB this is the deployed
     // operating point: the corpus-sized structures touched per query are
     // the probed cells' code rows (32x smaller than floats) — the float
-    // vectors are fetched for 50*q rows. Neighbor lists depend on the
-    // k-means cell layout no SQL can replay, so like x3_knn_ivf_approx the
-    // DRIVER-CHECKED output is the deterministic per-query self-audit
-    // (result counts / rank contiguity / score monotonicity / distinctness
-    // / no self-hits), while the raw lists are pinned by LlmSpec recall vs
-    // brute force with bit-exact overlap sims.
+    // vectors are fetched for 50*q rows. BOTH trained structures are
+    // portable (integer-routed IVF cells + integer-exact PQ codebooks), so
+    // the oracle replays the WHOLE composition — routing CTEs + PQ
+    // train/encode/ADC CTEs + rerank — and the full neighbor lists
+    // hash-match; LlmSpec additionally pins recall vs brute force with
+    // bit-exact overlap sims.
     Q("x3_knn_ivfpq",
-      (s, dir) => {
-        knnIvfPqRaw(s, dir)
-          .transform(selfAudit)
-      },
-      Some("""SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
-             |  1 AS ranks_contiguous, 1 AS sims_nonincreasing,
-             |  1 AS neighbors_distinct, 0 AS self_hits
-             |FROM embeddings WHERE vec_id % 50 = 0
-             |ORDER BY query_id""".stripMargin)),
+      (s, dir) => knnIvfPqRaw(s, dir),
+      Some(ivfRoutingCtes +
+        """sv AS (
+          |  SELECT vec_id, CAST((i-1)//4 AS BIGINT) AS sub,
+          |         CAST((i-1)%4 AS BIGINT) AS pos, x
+          |  FROM (SELECT vec_id, generate_subscripts(q8,1) AS i,
+          |               UNNEST(q8) AS x FROM e)),
+          |train AS (
+          |  SELECT vec_id FROM e
+          |  WHERE vec_id % (SELECT GREATEST(1, COUNT(*) // 65536) FROM e) = 0
+          |  ORDER BY vec_id LIMIT 65536),
+          |tsv AS (SELECT s.* FROM sv s JOIN train t ON t.vec_id = s.vec_id),
+          |pseeds AS (
+          |  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id)-1 AS BIGINT) AS cid
+          |  FROM (SELECT vec_id FROM train ORDER BY vec_id LIMIT 16)),
+          |pc0 AS (SELECT s.sub, sd.cid, s.pos, s.x AS c
+          |  FROM tsv s JOIN pseeds sd ON sd.vec_id = s.vec_id),
+          |pa0 AS (SELECT vec_id, sub, cid FROM (
+          |    SELECT s.vec_id, s.sub, c.cid,
+          |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+          |        ORDER BY SUM((s.x-c.c)*(s.x-c.c)) ASC, c.cid ASC) AS rk
+          |    FROM tsv s JOIN pc0 c ON c.sub = s.sub AND c.pos = s.pos
+          |    GROUP BY s.vec_id, s.sub, c.cid) WHERE rk = 1),
+          |pc1 AS (SELECT pc0.sub, pc0.cid, pc0.pos, COALESCE(u.cn, pc0.c) AS c
+          |  FROM pc0 LEFT JOIN (
+          |    SELECT a.sub, a.cid, s.pos, FLOOR(SUM(s.x)/COUNT(*)) AS cn
+          |    FROM pa0 a JOIN tsv s ON s.vec_id = a.vec_id AND s.sub = a.sub
+          |    GROUP BY a.sub, a.cid, s.pos) u
+          |  ON u.sub = pc0.sub AND u.cid = pc0.cid AND u.pos = pc0.pos),
+          |pa1 AS (SELECT vec_id, sub, cid FROM (
+          |    SELECT s.vec_id, s.sub, c.cid,
+          |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+          |        ORDER BY SUM((s.x-c.c)*(s.x-c.c)) ASC, c.cid ASC) AS rk
+          |    FROM tsv s JOIN pc1 c ON c.sub = s.sub AND c.pos = s.pos
+          |    GROUP BY s.vec_id, s.sub, c.cid) WHERE rk = 1),
+          |pc2 AS (SELECT pc1.sub, pc1.cid, pc1.pos, COALESCE(u.cn, pc1.c) AS c
+          |  FROM pc1 LEFT JOIN (
+          |    SELECT a.sub, a.cid, s.pos, FLOOR(SUM(s.x)/COUNT(*)) AS cn
+          |    FROM pa1 a JOIN tsv s ON s.vec_id = a.vec_id AND s.sub = a.sub
+          |    GROUP BY a.sub, a.cid, s.pos) u
+          |  ON u.sub = pc1.sub AND u.cid = pc1.cid AND u.pos = pc1.pos),
+          |codes AS (SELECT vec_id, sub, cid FROM (
+          |    SELECT s.vec_id, s.sub, c.cid,
+          |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+          |        ORDER BY SUM((s.x-c.c)*(s.x-c.c)) ASC, c.cid ASC) AS rk
+          |    FROM sv s JOIN pc2 c ON c.sub = s.sub AND c.pos = s.pos
+          |    GROUP BY s.vec_id, s.sub, c.cid) WHERE rk = 1),
+          |qd AS (
+          |  SELECT s.vec_id AS query_id, s.sub, c.cid,
+          |    SUM((s.x-c.c)*(s.x-c.c)) AS d
+          |  FROM sv s JOIN pc2 c ON c.sub = s.sub AND c.pos = s.pos
+          |  WHERE s.vec_id % 50 = 0
+          |  GROUP BY s.vec_id, s.sub, c.cid),
+          |probes AS (SELECT query_id, cell FROM (
+          |    SELECT q.vec_id AS query_id, c.cell,
+          |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+          |        list_cosine_similarity(q.v, c.cv) DESC, c.cell ASC) AS prk
+          |    FROM e q CROSS JOIN cent c WHERE q.vec_id % 50 = 0)
+          |  WHERE prk <= 8),
+          |adc AS (
+          |  SELECT p.query_id, cd.vec_id AS neighbor_id, SUM(q.d) AS adist
+          |  FROM probes p
+          |  JOIN a1 m ON m.cell = p.cell AND m.vec_id != p.query_id
+          |  JOIN codes cd ON cd.vec_id = m.vec_id
+          |  JOIN qd q ON q.query_id = p.query_id AND q.sub = cd.sub
+          |           AND q.cid = cd.cid
+          |  GROUP BY p.query_id, cd.vec_id),
+          |pool AS (SELECT query_id, neighbor_id FROM (
+          |    SELECT query_id, neighbor_id,
+          |      ROW_NUMBER() OVER (PARTITION BY query_id
+          |        ORDER BY adist ASC, neighbor_id ASC) AS prk
+          |    FROM adc) WHERE prk <= 100)
+          |SELECT query_id, rk, neighbor_id, ROUND(s, 4) AS sim FROM (
+          |  SELECT p.query_id, p.neighbor_id,
+          |    list_cosine_similarity(q.v, n.v) AS s,
+          |    CAST(ROW_NUMBER() OVER (PARTITION BY p.query_id
+          |      ORDER BY list_cosine_similarity(q.v, n.v) DESC,
+          |               p.neighbor_id ASC) AS BIGINT) AS rk
+          |  FROM pool p
+          |  JOIN e q ON q.vec_id = p.query_id
+          |  JOIN e n ON n.vec_id = p.neighbor_id)
+          |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
 
     // ---- A7: per-label centroid, flattened to (label, pos, value) rows so the
     // aggregation is fully distributed and the oracle is engine-neutral

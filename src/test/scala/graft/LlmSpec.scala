@@ -219,6 +219,34 @@ class LlmSpec extends AnyFunSuite {
       "pq rerank sims must be the exact float cosines")
   }
 
+  test("PQ codebook training collects a provably capped sample on an " +
+      "oversized corpus — never the corpus") {
+    import spark.implicits._
+    // 1000 "int8 vectors" against a cap of 64: the driver must see <= 64
+    // rows, spread across the id range (mod-sample), not the 64-id prefix
+    val e8 = (0L until 1000L)
+      .map(i => (i, Array.fill(64)((i % 127).toDouble).toSeq))
+      .toDF("vec_id", "q8")
+    spark.conf.set("graft.pq.trainSampleCap", "64")
+    try {
+      val sample = graft.queries.Llm.pqTrainSample(spark, e8)
+      assert(sample.length <= 64, s"collected ${sample.length} rows")
+      assert(sample.length >= 16, "still enough rows to seed k=16 centroids")
+      // the mod rule spreads the sample: ids beyond the 64-id prefix appear
+      val ids = e8.filter(col("vec_id") % lit(1000L / 64) === 0)
+        .orderBy("vec_id").limit(64)
+        .select("vec_id").as[Long].collect()
+      assert(ids.exists(_ > 64L), "sample must not be an id prefix")
+      // and training over it still yields a full 16x16x4 codebook
+      assert(graft.queries.Llm.pqCodebookDf(spark, sample).count()
+        == 16L * 16 * 4)
+    } finally spark.conf.unset("graft.pq.trainSampleCap")
+    // below the cap (the real test SFs) the sample is the full set, which
+    // is why the unrolled-CTE oracle's numbers are unchanged by the gate
+    val full = graft.queries.Llm.pqTrainSample(spark, e8)
+    assert(full.length == 1000)
+  }
+
   test("x3_knn_ivfpq tracks its routing ceiling; overlap sims exact") {
     // FAISS's composition can only lose recall at two places: the nprobe=8
     // cell routing (whose loss is EXACTLY ivf_approx's recall — same cells,

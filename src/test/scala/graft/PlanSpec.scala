@@ -241,7 +241,7 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     // probe (a bounded centroid table); members meet queries through the
     // (cell) and (query, sub, cid) hash joins — an all-pairs plan over
     // MEMBERS would defeat both index structures at once. The raw search
-    // is audited (selfAudit) in the registered query; pin the raw plan.
+    // IS the registered query (full neighbor-list oracle); pin its plan.
     val df = graft.queries.Llm.knnIvfPqRaw(spark, sfDir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
