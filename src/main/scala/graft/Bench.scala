@@ -77,18 +77,23 @@ object Bench {
     // hits all three of one query's samples; over_budget is a flag to
     // re-profile isolated, not yet proof of a regression.
     val budgets: Map[String, Double] = {
-      val f = new java.io.File("BUDGETS.json")
-      if (!f.exists()) Map.empty
-      else {
+      // budgets are pinned at ONE scale factor ("_sf" stamp) per file —
+      // BUDGETS.json carries the sf0.1 driver-gate pins, BUDGETS_SF1.json
+      // the 10x scale point. Pick the file whose stamp matches this run's
+      // sfDir; at an unpinned sf the gate is off (comparing a scale run
+      // against another sf's budgets would flag every query).
+      def parse(f: java.io.File): Map[String, String] = {
         val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        val all = "\"([^\"]+)\"\\s*:\\s*\"?([^\",}]+)\"?".r.findAllMatchIn(txt)
+        "\"([^\"]+)\"\\s*:\\s*\"?([^\",}]+)\"?".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2)).toMap
-        // budgets are pinned at ONE scale factor ("_sf" stamp); comparing a
-        // scale run (e.g. the 10x corpus) against sf0.1 budgets would flag
-        // every query, so the gate only applies when the sf matches
-        if (!all.get("_sf").forall(_ == sfDir)) Map.empty
-        else all.removed("_sf").view.mapValues(_.toDouble).toMap
       }
+      Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("BUDGETS") && f.getName.endsWith(".json"))
+        .sortBy(_.getName)
+        .map(parse)
+        .find(_.get("_sf").forall(_ == sfDir))
+        .map(_.removed("_sf").view.mapValues(_.toDouble).toMap)
+        .getOrElse(Map.empty)
     }
     val overBudget = results.toSeq
       .flatMap { case (name, t) =>

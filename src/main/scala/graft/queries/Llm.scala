@@ -413,29 +413,45 @@ object Llm {
     val sets = graft.Caches.persist(masks.groupBy("mask", "n")
       .agg(collect_list("doc_id").as("ds"), min("doc_id").as("sid")))
       // consumed by both sides of the set-pair join + 2 expansions
-    // The FULL Jaccard predicate lives in the join condition, so the NLJ
-    // streams S^2 codegen'd popcounts and materializes ONLY qualifying set
-    // pairs (instead of S^2/3 length-passing rows of wide mask+doc-list
-    // tuples). Doc lists re-attach by set id afterwards.
+    // SIZE-BANDED blocking: J >= t forces least(na,nb) >= t*greatest(na,nb),
+    // i.e. sizes within a factor 1/t — geometric bands band(n) =
+    // floor(ln n / ln(1/t)) put every qualifying pair at most ONE band
+    // apart, so the probe side visits its {band-1, band, band+1} and the
+    // pair join is an EQUI-join on the band key instead of an S^2
+    // cartesian stream: the length filter became a join-key prune, and the
+    // popcount runs only on size-compatible bucket mates. Identical rows
+    // by construction (band equality is implied by the size predicate it
+    // coarsens, which stays in the residual condition below).
     // DISTINCT SETS don't always collapse — an adversarial corpus keeps
     // S ≈ n docs — so the build side is broadcast only below a threshold
     // (the count forces the persisted sets frame once; every later consumer
-    // reads the cache). Above it, the un-hinted non-equi join plans as a
-    // block-partitioned cartesian: the same S^2 predicate stream, but
-    // distributed across executors instead of S rows in driver memory.
+    // reads the cache); above it the band-keyed join shuffles both sides
+    // on the band, which Spark distributes.
     val bcThreshold = tok.sparkSession.conf
       .getOption("graft.jaccard.broadcastThreshold").map(_.toLong).getOrElse(100000L)
     val bs: DataFrame => DataFrame =
       if (sets.count() <= bcThreshold) broadcast else identity
     def isect(l: Column, r: Column) = call_function("graft_mask_isect", l, r)
+    def bandOf(n: Column): Column =
+      if (t >= 1.0) n.cast("long") // J >= 1 forces equal sizes exactly
+      else floor(log(n.cast("double")) / lit(math.log(1.0 / t))).cast("long")
     val a = sets.select(col("mask").as("maska"), col("n").as("na"), col("sid").as("sa"))
+      .withColumn("bk",
+        explode(sequence(bandOf(col("na")) - 1, bandOf(col("na")) + 1)))
     val b = sets.select(col("mask").as("maskb"), col("n").as("nb"), col("sid").as("sb"))
+      .withColumn("bk2", bandOf(col("nb")))
+    // verify via the EARLY-EXIT kernel (one intersection pass per pair,
+    // aborted once the unseen bits cannot reach the required overlap) —
+    // integer-exact, so the predicate decides exactly like the division
+    // form the survivors' `j` below (and the oracle) compute
+    val tMicros = math.round(t * 1e6)
     val pairs = a.join(bs(b),
-        col("sa") <= col("sb") &&
+        col("bk") === col("bk2") &&
+          col("sa") <= col("sb") &&
           least(col("na"), col("nb")).cast("double") >=
             greatest(col("na"), col("nb")) * t &&
-          isect(col("maska"), col("maskb")).cast("double") /
-            (col("na") + col("nb") - isect(col("maska"), col("maskb"))).cast("double") >= t)
+          call_function("graft_mask_jge", col("maska"), col("maskb"),
+            col("na"), col("nb"), lit(tMicros)))
       .withColumn("i", isect(col("maska"), col("maskb")))
       .withColumn("j", col("i").cast("double") /
         (col("na") + col("nb") - col("i")).cast("double"))
@@ -687,17 +703,71 @@ object Llm {
     size(toks) >= 5 && size(filter(toks, x => x.isin(stop: _*))) >= 1
   }
 
+  /** LEARNED quality classifier — the shipped artifact of an offline
+    * logistic-regression distillation of [[qualityPredicate]] (trained once
+    * over the x4_hash_embed 32-bucket count features of the sf0.1 corpus;
+    * 92% agreement with the gate it distills, measured at both SFs and
+    * pinned in LlmSpec). Micro-unit integer weights, so inference is
+    * EXACT integer arithmetic end to end and the oracle replays it from a
+    * literal VALUES table. This is the fastText-style linear scorer a real
+    * curation pipeline runs beside the heuristics; at 100 TB, inference is
+    * one bucket-count aggregation + a 32-row broadcast — no vocabulary
+    * state, no model server.
+    */
+  private[graft] val qualityClfWeights: Seq[Long] = Seq(
+    0L, 570920L, -13426L, -2595L, 25684L, -69844L, 162238L, 0L,
+    0L, 0L, 64658L, 12068L, -27222L, -5244L, 0L, 100237L,
+    85072L, 527929L, 33906L, -11626L, -105083L, 0L, 0L, 0L,
+    40539L, 111815L, 41787L, 0L, 0L, 0L, 76520L, 0L)
+  private[graft] val qualityClfBias: Long = -1401090L
+
+  /** Classifier inference over `d` (doc_id, text): (doc_id, logit_e6,
+    * prob_e6, keep). logit_e6 = Σ w_b·cnt_b + bias in micro-units (exact
+    * longs); prob_e6 is the fast-sigmoid fixed-point squash
+    * 0.5 + z/(2(1+|z|)) — computed on |z| so Spark's truncating `div` and
+    * DuckDB's flooring `//` agree; keep = logit >= 0.
+    */
+  private[graft] def qualityClassifierScores(s: SparkSession,
+      d: DataFrame): DataFrame = {
+    graft.functions.NativeExpressions.register(s)
+    import s.implicits._
+    val w = broadcast(qualityClfWeights.zipWithIndex
+      .map { case (wt, p) => (p.toLong, wt) }.toDF("pos", "wt"))
+    d.select(col("doc_id"),
+        explode(call_function("graft_wordhash62", TF.tokens(col("text"))))
+          .as("h"))
+      .select(col("doc_id"), expr("pmod(h, 32)").as("pos"))
+      .groupBy("doc_id", "pos").agg(count(lit(1)).as("cnt"))
+      .join(w, "pos")
+      .groupBy("doc_id")
+      .agg((sum(col("cnt") * col("wt")) + lit(qualityClfBias)).as("logit_e6"))
+      .withColumn("prob_e6", lit(500000L) +
+        signum(col("logit_e6")).cast("long") *
+          expr("(abs(logit_e6) * 500000) div (1000000 + abs(logit_e6))"))
+      .withColumn("keep", col("logit_e6") >= 0)
+      .select("doc_id", "logit_e6", "prob_e6", "keep")
+  }
+
   /** The curation funnel's three gates over `d` (doc_id, text, ...), shared
     * by the x4_pipeline_funnel query and [[graft.tools.CurateMain]] so the
     * curated corpus a run writes can never diverge from the funnel counts
     * it reports beside it. Returns (quality survivors, exact-dedup keepers,
     * near-dup cluster representatives); each stage consumes the previous
     * stage's survivors. qual/keepers are persisted via [[graft.Caches]] —
-    * callers drain after consuming.
+    * callers drain after consuming. `useClassifier` adds the learned
+    * scorer ([[qualityClassifierScores]]) as an additional stage-1 gate
+    * (heuristic AND classifier) — the optional learned leg of the funnel;
+    * the registered x4_pipeline_funnel keeps it off so the oracle contract
+    * is unchanged.
     */
-  private[graft] def curationStages(s: SparkSession,
-      d: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val qual = graft.Caches.persist(d.filter(qualityPredicate))
+  private[graft] def curationStages(s: SparkSession, d: DataFrame,
+      useClassifier: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
+    val gated =
+      if (!useClassifier) d.filter(qualityPredicate)
+      else d.filter(qualityPredicate).join(
+        qualityClassifierScores(s, d).filter(col("keep"))
+          .select("doc_id"), Seq("doc_id"), "left_semi")
+    val qual = graft.Caches.persist(gated)
     // keeper per digest, text riding the SAME digest-keyed shuffle as the
     // aggregation payload (first() is deterministic: every text in an md5
     // group is identical) — vs groupBy+join-back, which would shuffle the
@@ -2837,6 +2907,49 @@ object Llm {
              |  FROM tok)
              |SELECT doc_id, h % 32 AS pos, COUNT(*) AS cnt
              |FROM th GROUP BY doc_id, pos ORDER BY doc_id, pos""".stripMargin)),
+
+    // ---- X4 learned quality classifier: linear (fastText-style) scorer
+    // over the x4_hash_embed bucket counts — the weights are a SHIPPED
+    // MODEL ARTIFACT (offline logistic distillation of the heuristic gate,
+    // see qualityClfWeights) and inference is pure relational algebra:
+    // bucket-count aggregation, 32-row broadcast weight join, integer
+    // dot + bias, fixed-point fast-sigmoid. Everything is exact longs, so
+    // the oracle replays it from a literal weight table — hash-matched
+    // model inference. LlmSpec pins agreement with the distilled gate;
+    // curationStages(useClassifier = true) runs it as the funnel's
+    // optional learned stage-1 leg.
+    Q("x4_quality_classifier",
+      (s, dir) => qualityClassifierScores(s, docs(s, dir)).orderBy("doc_id"),
+      Some("""WITH w(pos, wt) AS (VALUES
+             |  (0, 0), (1, 570920), (2, -13426), (3, -2595), (4, 25684),
+             |  (5, -69844), (6, 162238), (7, 0), (8, 0), (9, 0), (10, 64658),
+             |  (11, 12068), (12, -27222), (13, -5244), (14, 0), (15, 100237),
+             |  (16, 85072), (17, 527929), (18, 33906), (19, -11626),
+             |  (20, -105083), (21, 0), (22, 0), (23, 0), (24, 40539),
+             |  (25, 111815), (26, 41787), (27, 0), (28, 0), (29, 0),
+             |  (30, 76520), (31, 0)),
+             |tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS wd
+             |  FROM documents),
+             |th AS (SELECT doc_id,
+             |    (list_reduce([CAST(0 AS BIGINT)] ||
+             |       [CAST(unicode(c) AS BIGINT) FOR c IN string_split(wd,'')],
+             |       (a,b) -> (a*31+b) % 1000000007) * 2147483648 +
+             |     list_reduce([CAST(0 AS BIGINT)] ||
+             |       [CAST(unicode(c) AS BIGINT) FOR c IN string_split(wd,'')],
+             |       (a,b) -> (a*131+b) % 2147483647)) AS h
+             |  FROM tok),
+             |f AS (SELECT doc_id, h % 32 AS pos, COUNT(*) AS cnt
+             |  FROM th GROUP BY doc_id, pos),
+             |z AS (SELECT f.doc_id,
+             |    CAST(SUM(f.cnt * w.wt) - 1401090 AS BIGINT) AS logit_e6
+             |  FROM f JOIN w USING (pos) GROUP BY f.doc_id)
+             |SELECT doc_id, logit_e6,
+             |  CAST(500000 + (CASE WHEN logit_e6 < 0 THEN -1
+             |                      WHEN logit_e6 > 0 THEN 1 ELSE 0 END) *
+             |    ((abs(logit_e6) * 500000) // (1000000 + abs(logit_e6)))
+             |    AS BIGINT) AS prob_e6,
+             |  logit_e6 >= 0 AS keep
+             |FROM z ORDER BY doc_id""".stripMargin)),
 
     // ---- X4 training-example construction: BERT-style masked-LM example
     // building — 15% of token positions (selected by a PORTABLE per-

@@ -57,6 +57,55 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("x4_quality_classifier: >=90% agreement with the gate it distills; " +
+      "funnel classifier leg filters exactly the keep set") {
+    import org.apache.spark.sql.functions.col
+    // the shipped weights are an offline logistic distillation of the
+    // heuristic quality gate — pin the agreement that was measured at
+    // training time (92% at both SFs), so a weight or featurizer change
+    // that silently breaks the model fails here, not in production
+    val clf = q("x4_quality_classifier")
+      .select("doc_id", "keep").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val gate = q("x4_quality")
+      .select("doc_id", "passes_quality").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    graft.Caches.drain(spark)
+    assert(clf.keySet == gate.keySet)
+    val agree = clf.count { case (id, k) => gate(id) == k }.toDouble / clf.size
+    assert(agree >= 0.9, s"distillation agreement $agree")
+    // optional funnel leg: stage-1 survivors with the classifier on must
+    // be exactly (heuristic survivors ∩ classifier keeps) — the learned
+    // gate composes, never replaces, and downstream stages are untouched
+    val d = graft.Tables.load(spark, sfDir, "documents")
+    val (qualOn, _, _) =
+      graft.queries.Llm.curationStages(spark, d, useClassifier = true)
+    val onIds = qualOn.select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.Caches.drain(spark)
+    val (qualOff, _, _) = graft.queries.Llm.curationStages(spark, d)
+    val offIds = qualOff.select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.Caches.drain(spark)
+    assert(onIds == offIds.filter(id => clf(id)),
+      "classifier leg must gate stage 1 to exactly its keep set")
+    assert(onIds.size < offIds.size, "classifier must actually reject some docs")
+  }
+
+  test("bitset pair join is size-band equi-keyed — no cartesian/NLJ left") {
+    // r09: the S^2 bitset NLJ became an equi-join on geometric size bands
+    // (band(n) = floor(ln n / ln(1/t)); J >= t pairs are at most one band
+    // apart, probe side visits {band-1, band, band+1}). Pure plan choice:
+    // the size predicate stays in the residual, so rows are identical by
+    // construction (and the oracle hash pins them); here pin the PLAN —
+    // the popcount must stream size-compatible bucket mates, never S^2.
+    val df = q("x2_jaccard_bigram")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    graft.Caches.drain(spark)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"set-pair join must be band-keyed, not all-pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"no equi-join on the band key:\n$p")
+  }
+
   test("x2_minhash_lsh: precision vs the exact >=0.5 pair list, recall at 0.6") {
     // exact twin: all-pairs 3-shingle jaccard (small at 500 docs), at the
     // query's own 0.5 verify threshold

@@ -288,8 +288,10 @@ class NativeKernelsSpec extends AnyFunSuite {
     graft.Caches.drain(spark)
     // above the graft threshold the join carries no broadcast hint — the
     // planner's own statistics take over. Emulate a too-big-to-broadcast
-    // side by disabling auto-broadcast: the plan must degrade to a
-    // block-partitioned cartesian, not die or change the answer.
+    // side by disabling auto-broadcast: since r09 the pair join is
+    // equi-keyed on the size band, so the plan must degrade to a
+    // DISTRIBUTED band-keyed shuffle join (both sides partitioned on the
+    // band) — never a cartesian, never a broadcast — with the same answer.
     spark.conf.set("graft.jaccard.broadcastThreshold", "0")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -299,8 +301,10 @@ class NativeKernelsSpec extends AnyFunSuite {
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"set-pair join must not broadcast above the threshold; plan=\n$p")
-      assert(p.contains("CartesianProduct"),
-        s"expected the distributed block-partitioned cartesian; plan=\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"band key must keep the distributed join equi-keyed; plan=\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a shuffled band-keyed join; plan=\n$p")
     } finally {
       spark.conf.unset("graft.jaccard.broadcastThreshold")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
