@@ -107,6 +107,96 @@ object IvfIndex {
     Index(assignedAll, cells)
   }
 
+  /** Targeted deletion — the vector-store leg of "right to be forgotten".
+    * [[graft.sources.Forget]] rewrites TABLES; without this, a deleted
+    * document's embedding survives inside the derived index. Removal is an
+    * anti-join of the member rows on the (small, broadcast) deletion set;
+    * cells that lost members get their radius RECOMPUTED from the
+    * survivors and their occupancy decremented, cells emptied entirely are
+    * dropped. Exactness of [[knnExact]]/[[pairsExact]] is preserved
+    * unconditionally: the pruning math needs only r ≥ angle(member,
+    * centroid) for the members that remain, and the recomputed max over a
+    * SUBSET can only tighten the bound (keeping the old r would also be
+    * valid — recomputing just restores the pruning power deletions free
+    * up). Centroids do not move (classic IVF maintenance, same contract as
+    * [[append]]): they are routing points, not statistics, and any point
+    * is a valid routing point.
+    *
+    * Cost is deletion-proportional: one broadcast anti-join over the
+    * member table plus a radius aggregation restricted to the cells that
+    * were actually hit — never a rebuild, never a shuffle of the corpus.
+    */
+  def forget(idx: Index, keys0: DataFrame): Index = {
+    NativeExpressions.register(idx.assigned.sparkSession)
+    val keys = broadcast(
+      keys0.select(col(keys0.columns.head).cast("long").as("vec_id")).distinct())
+    val survivors = graft.Caches.persist(
+      idx.assigned.join(keys, Seq("vec_id"), "left_anti"))
+    // only cells that lost a member need new statistics — deletion lists
+    // are small, so this frame is tiny and rides as a broadcast
+    val hit = broadcast(idx.assigned.join(keys, Seq("vec_id"))
+      .groupBy("cell").agg(count(lit(1)).as("lost")))
+    val stats = survivors.join(hit.select("cell"), Seq("cell"))
+      .groupBy("cell")
+      .agg(max(clampAcos(col("c1"))).as("r2"), count(lit(1)).as("cnt2"))
+    val cells = graft.Caches.persist(
+      idx.cells.join(hit, Seq("cell"), "left")
+        .join(stats, Seq("cell"), "left")
+        // a hit cell with no surviving members (cnt2 null) vanished — drop it
+        .filter(col("lost").isNull || col("cnt2").isNotNull)
+        .select(col("cell"), col("cv"), col("cnrm"),
+          when(col("lost").isNull, col("r")).otherwise(col("r2")).as("r"),
+          when(col("lost").isNull, col("cnt")).otherwise(col("cnt2")).as("cnt")))
+    Index(survivors, cells)
+  }
+
+  /** Apply [[forget]] to every CURRENT-version parquet-backed index cache
+    * written by [[loadOrBuild]] for `key` — so the deleted vectors leave
+    * STORAGE, not just a session's in-memory frames. Each rewritten index
+    * is committed under the cache key of its SURVIVOR count
+    * (`key-n<survivors>-v<fmt>`): after [[graft.sources.Forget]] shrinks
+    * the source table, the next `loadOrBuild` counts exactly that many
+    * rows and cache-HITS the forgotten index instead of rebuilding.
+    * Commit order is crash-safe in the write-new-then-retire-old style of
+    * the snapshot tables: the survivor index is fully written (with
+    * `_SUCCESS` markers) before the directory still holding the forgotten
+    * vectors is removed — a crash in between leaves both copies (re-run
+    * to finish retirement; nothing reads the stale key once the source
+    * shrank). Returns (indexes rewritten, member rows removed).
+    */
+  def forgetStored(spark: SparkSession, key: String, keys: DataFrame): (Int, Long) = {
+    val root = new java.io.File(cacheRoot(spark))
+    val safe = key.replaceAll("[^A-Za-z0-9._-]", "_")
+    val shape = (java.util.regex.Pattern.quote(safe) + raw"-n\d+-v$fmtVersion$$").r
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(): Unit
+    }
+    var rewritten = 0
+    var removedTotal = 0L
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && shape.findFirstIn(f.getName).isDefined)
+      .foreach { dir =>
+        val idx = Index(
+          spark.read.parquet(new java.io.File(dir, "assigned").getPath),
+          spark.read.parquet(new java.io.File(dir, "cells").getPath))
+        val before = idx.assigned.count()
+        val post = forget(idx, keys)
+        val nNew = post.assigned.count()
+        if (nNew != before) {
+          val out = new java.io.File(root, s"$safe-n$nNew-v$fmtVersion")
+          post.assigned.write.mode("overwrite")
+            .parquet(new java.io.File(out, "assigned").getPath)
+          post.cells.write.mode("overwrite")
+            .parquet(new java.io.File(out, "cells").getPath)
+          rm(dir) // retire the copy still holding the forgotten vectors
+          rewritten += 1
+          removedTotal += before - nNew
+        }
+        graft.Caches.drain(spark)
+      }
+    (rewritten, removedTotal)
+  }
+
   def loadOrBuild(e0: DataFrame, key: String): Index = {
     val spark = e0.sparkSession
     // the load path skips build() — register the kernels here too, or the

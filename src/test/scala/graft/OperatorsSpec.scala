@@ -576,4 +576,105 @@ class OperatorsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"no distinct-set collapse feeding the band join; plan=\n$opt")
     graft.Caches.drain(spark)
   }
+
+  test("IvfIndex.forget: deleted vectors vanish, search stays exact on survivors") {
+    val rng = new scala.util.Random(91)
+    val centers = Seq.fill(6)(Array.fill(6)(rng.nextGaussian()))
+    val all = (0 until 240).map { i =>
+      val c = centers(i % 6)
+      (i.toLong, c.map(x => x + rng.nextGaussian() * 0.05).toSeq)
+    }
+    val idx0 = graft.operators.IvfIndex.build(all.toDF("vec_id", "v"))
+    // deletion set includes every member of cluster 0 (mod-6 class) in one
+    // cell neighborhood plus scattered ids — exercises both the radius
+    // recompute and (with a second wave below) full-cell removal
+    val gone = (0 until 240 by 6).map(_.toLong).toSet ++ Set(1L, 7L, 13L)
+    val idx = graft.operators.IvfIndex.forget(idx0, gone.toSeq.toDF("vec_id"))
+    val surv = all.filterNot { case (i, _) => gone(i) }
+    assert(idx.assigned.count() == surv.size.toLong)
+    assert(idx.assigned.filter(col("vec_id").isin(gone.toSeq: _*)).count() == 0)
+    // occupancy bookkeeping: cnt sums to the survivor count, no empty cells
+    assert(idx.cells.agg(sum("cnt")).head.getLong(0) == surv.size.toLong)
+    assert(idx.cells.filter(col("cnt") <= 0).count() == 0)
+    // radii only ever tighten (max over a subset of the original members)
+    val rBefore = idx0.cells.select("cell", "r").as[(Long, Double)].collect().toMap
+    idx.cells.select("cell", "r").as[(Long, Double)].collect().foreach {
+      case (c, r) => assert(r <= rBefore(c) + 1e-12, s"radius grew for cell $c")
+    }
+    val byId = surv.map { case (i, v) => i -> v.toArray }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val q = idx.assigned.filter(col("vec_id") % 16 === 2)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val qids = surv.map(_._1).filter(_ % 16 == 2)
+    val got = withPruningPath {
+      graft.operators.IvfIndex.knnExact(idx, q, k = 5, nprobe = 2)
+        .select("query_id", "rk", "neighbor_id").as[(Long, Long, Long)]
+        .collect().toSeq.sorted
+    }
+    // a forgotten id never comes back as a neighbor...
+    assert(got.forall { case (_, _, n) => !gone(n) })
+    // ...and the result is exactly brute force over the survivor set
+    val expect = qids.flatMap { qid =>
+      surv.map(_._1).filter(_ != qid)
+        .map(n => (n, cos(byId(qid), byId(n))))
+        .sortBy { case (n, s) => (-s, n) }.take(5).zipWithIndex
+        .map { case ((n, _), r) => (qid, (r + 1).toLong, n) }
+    }.sorted
+    assert(got == expect, s"forget broke exactness: got=${got.take(8)}...")
+    // second wave: delete EVERYTHING assigned to one cell — the cell row
+    // itself must disappear while search over the rest stays well-formed
+    val victim = idx.cells.orderBy(asc("cell")).select("cell").head.getLong(0)
+    val cellIds = idx.assigned.filter(col("cell") === victim)
+      .select("vec_id").as[Long].collect().toSeq
+    val idx2 = graft.operators.IvfIndex.forget(idx, cellIds.toDF("vec_id"))
+    assert(idx2.cells.filter(col("cell") === victim).count() == 0)
+    assert(idx2.assigned.count() == surv.size.toLong - cellIds.size)
+    assert(idx2.cells.agg(sum("cnt")).head.getLong(0) ==
+      surv.size.toLong - cellIds.size)
+    graft.Caches.drain(spark)
+  }
+
+  test("IvfIndex.forgetStored: cache re-keys to survivor count; stale copy retired") {
+    val root = java.nio.file.Files.createTempDirectory("ivf-forget").toFile
+    val old = spark.conf.getOption("graft.ivf.cacheDir")
+    spark.conf.set("graft.ivf.cacheDir", root.getAbsolutePath)
+    try {
+      val rng = new scala.util.Random(17)
+      val all = (0 until 120).map(i =>
+        (i.toLong, Seq.fill(5)(rng.nextGaussian())))
+      val e = all.toDF("vec_id", "v")
+      graft.operators.IvfIndex.loadOrBuild(e, "embtest")
+      val v = graft.operators.IvfIndex.fmtVersion
+      assert(new java.io.File(root, s"embtest-n120-v$v").isDirectory)
+      val goneIds = Seq(3L, 44L, 90L)
+      val (rewritten, removed) = graft.operators.IvfIndex.forgetStored(
+        spark, "embtest", goneIds.toDF("vec_id"))
+      assert(rewritten == 1 && removed == 3L)
+      // old key retired (the forgotten vectors left storage), new key live
+      assert(!new java.io.File(root, s"embtest-n120-v$v").exists())
+      val dir = new java.io.File(root, s"embtest-n117-v$v")
+      assert(new java.io.File(dir, "assigned/_SUCCESS").isFile &&
+        new java.io.File(dir, "cells/_SUCCESS").isFile)
+      // the next loadOrBuild over the shrunken source CACHE-HITS the
+      // forgotten index: same directory, untouched mtime, no rebuild
+      val mtime = dir.lastModified()
+      val shrunk = e.filter(!col("vec_id").isin(goneIds: _*))
+      val idx = graft.operators.IvfIndex.loadOrBuild(shrunk, "embtest")
+      assert(dir.lastModified() == mtime, "loadOrBuild rebuilt instead of hitting")
+      assert(idx.assigned.count() == 117)
+      assert(idx.assigned.filter(col("vec_id").isin(goneIds: _*)).count() == 0)
+      // a key that matches nothing rewrites nothing and retires nothing
+      val (r2, d2) = graft.operators.IvfIndex.forgetStored(
+        spark, "embtest", Seq(99999L).toDF("vec_id"))
+      assert(r2 == 0 && d2 == 0L && dir.isDirectory)
+    } finally {
+      old.fold(spark.conf.unset("graft.ivf.cacheDir"))(
+        spark.conf.set("graft.ivf.cacheDir", _))
+      graft.Caches.drain(spark)
+    }
+  }
 }
