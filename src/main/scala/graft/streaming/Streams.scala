@@ -874,7 +874,11 @@ object Streams {
     * rep; exactly-once via overwrite-by-batch-directory.
     */
   def curationPipelineSink(stream: DataFrame, path: String,
-      checkpoint: String, t: Double = 0.9)
+      checkpoint: String, t: Double = 0.9,
+      // test seam: invoked after each durable write of a batch —
+      // ("digests" | "toks" | "memrep" | "decisions") — the injection
+      // points for the kill-mid-batch recovery golden in StreamingSpec
+      onBatchProgress: (Long, String) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.types._
     val digestSchema = StructType(Seq(StructField("h", StringType)))
@@ -887,10 +891,18 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         val TF = graft.functions.TextFunctions
-        val in = batch.select("doc_id", "text").persist()
+        // persists are released in the finally below even when the batch
+        // DIES mid-write (the crash-injection tests keep the JVM alive, and
+        // a real foreachBatch failure is retried in-process by the stream
+        // runner before the query fails) — a crashed attempt must not pin
+        // executor memory for frames no one can reach
+        val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        def pin(df: DataFrame): DataFrame = { persisted += df; df.persist() }
+        try {
+        val in = pin(batch.select("doc_id", "text"))
         // stage 1: quality — the funnel's own predicate
-        val qual = in.filter(graft.queries.Llm.qualityPredicate)
-          .withColumn("h", md5(col("text"))).persist()
+        val qual = pin(in.filter(graft.queries.Llm.qualityPredicate)
+          .withColumn("h", md5(col("text"))))
         // stage 2: exact dedup — min-id keeper per digest within the batch,
         // then anti-join against the cumulative registry.
         // EAGER localCheckpoint, not persist, on every state-derived frame:
@@ -912,10 +924,9 @@ object Streams {
         val stateToks = readStateBefore(s, s"$path/_state/toks", tokSchema, batchId)
         val memRep = readSnapshotBefore(s, s"$path/_state/memrep", repSchema, batchId)
           .localCheckpoint(true)
-        val newToks = keepers.select(col("doc_id"),
-          explode(TF.tokenSet(col("text"))).as("w")).persist()
-        val newCnt = newToks.groupBy("doc_id").agg(count(lit(1)).as("na"))
-          .persist()
+        val newToks = pin(keepers.select(col("doc_id"),
+          explode(TF.tokenSet(col("text"))).as("w")))
+        val newCnt = pin(newToks.groupBy("doc_id").agg(count(lit(1)).as("na")))
         // (batch doc, prior cluster rep) edges via the member->rep map
         val repHits = newToks.join(stateToks, "w")
           .groupBy("doc_id", "member_id", "nb").agg(count(lit(1)).as("i"))
@@ -955,10 +966,12 @@ object Streams {
         // and the member->rep snapshot remapped through this batch's CC
         keepers.select("h").write.mode("overwrite")
           .parquet(s"$path/_state/digests/batch_id=$batchId")
+        onBatchProgress(batchId, "digests")
         newToks.join(newCnt, "doc_id")
           .select(col("doc_id").as("member_id"), col("na").as("nb"), col("w"))
           .write.mode("overwrite")
           .parquet(s"$path/_state/toks/batch_id=$batchId")
+        onBatchProgress(batchId, "toks")
         val remapped = memRep
           .join(comp.toDF("rep_id", "newrep"), Seq("rep_id"), "left")
           .select(col("member_id"),
@@ -969,6 +982,7 @@ object Streams {
           .localCheckpoint(true)
         remapped.write.mode("overwrite")
           .parquet(s"$path/_state/memrep/batch_id=$batchId")
+        onBatchProgress(batchId, "memrep")
         // decisions: one row per input doc (+ tombstones), exactly-once
         val out = in.select("doc_id")
           .join(qual.select(col("doc_id"), lit(1).as("q")), Seq("doc_id"), "left")
@@ -982,8 +996,11 @@ object Streams {
           .select("doc_id", "outcome")
           .union(retracted)
         out.write.mode("overwrite").parquet(s"$path/decisions/batch_id=$batchId")
-        Seq(newToks, newCnt, qual, in).foreach(_.unpersist(blocking = false))
-        graft.Caches.drain(s) // operators' query-local persists
+        onBatchProgress(batchId, "decisions")
+        } finally {
+          persisted.foreach(_.unpersist(blocking = false))
+          graft.Caches.drain(s) // operators' query-local persists
+        }
       }
       .start()
   }

@@ -896,4 +896,88 @@ class StreamingSpec extends AnyFunSuite {
     assert(df.isStreaming)
     assert(df.columns.toSet == Set("device_id", "timestamp", "temperature", "status"))
   }
+
+  test("curation pipeline: killed mid-batch TWICE, restarted from the same " +
+      "checkpoint+state — decisions match an uncrashed run at every batch") {
+    import org.apache.spark.sql.functions.col
+    // The composed pipeline carries strictly more state than keyedParquetSink
+    // (digest registry + token inversion + member->rep snapshots), and its
+    // recovery contract is subtler: a replayed batch must recompute from the
+    // strictly-before state generations, ignoring the partial writes its
+    // crashed attempt left at its own batch id. Two kill points cover both
+    // halves of the window:
+    //   run 1 dies after batch 1's TOKS write  — partial state (digests +
+    //     toks durable, memrep + decisions missing);
+    //   run 2 dies after batch 2's DECISIONS write — everything durable but
+    //     the epoch uncommitted (the classic replay-with-same-id case).
+    val docs = graft.Tables.load(spark, SparkTestSession.sfDir, "documents")
+      .select(col("doc_id"), col("text")).orderBy("doc_id")
+      .as[(Long, String)].collect().take(300)
+    val chunks = docs.grouped(100).toSeq
+    def writeSource(root: String): Unit =
+      // sequential writes => increasing mtimes => the file source (one file
+      // per trigger) feeds chunks as batches 0,1,2 in doc_id order
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        c.toSeq.toDF("doc_id", "text").coalesce(1)
+          .write.mode("overwrite").parquet(s"$root/src/f$i")
+      }
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    def start(root: String, crashAt: Option[(Long, String)]) = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/src/f*")
+      Streams.curationPipelineSink(src, s"$root/out", s"$root/ckpt", t = 0.9,
+        onBatchProgress = (bid, stage) =>
+          if (crashAt.contains((bid, stage)))
+            throw new RuntimeException(s"injected kill at batch $bid/$stage"))
+    }
+    def decisions(root: String, b: Int): Set[(Long, String)] =
+      spark.read.parquet(s"$root/out/decisions/batch_id=$b")
+        .select("doc_id", "outcome").as[(Long, String)].collect().toSet
+    // control: same chunks, no crash
+    val ok = java.nio.file.Files.createTempDirectory("graft_cur_ctl").toString
+    writeSource(ok)
+    val qOk = start(ok, None)
+    try qOk.processAllAvailable() finally qOk.stop()
+    // crashing run
+    val cr = java.nio.file.Files.createTempDirectory("graft_cur_kill").toString
+    writeSource(cr)
+    val q1 = start(cr, Some((1L, "toks")))
+    val e1 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    assert(e1.getMessage.contains("injected kill")); q1.stop()
+    // the dangerous partial state is really on disk: batch 1's digests and
+    // toks committed, its memrep and decisions absent
+    assert(new java.io.File(s"$cr/out/_state/digests/batch_id=1").exists())
+    assert(new java.io.File(s"$cr/out/_state/toks/batch_id=1").exists())
+    assert(!new java.io.File(s"$cr/out/_state/memrep/batch_id=1").exists())
+    assert(!new java.io.File(s"$cr/out/decisions/batch_id=1").exists())
+    val q2 = start(cr, Some((2L, "decisions")))
+    val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    assert(e2.getMessage.contains("injected kill")); q2.stop()
+    // batch 2 fully durable, epoch uncommitted — the replay-same-id window
+    assert(new java.io.File(s"$cr/out/decisions/batch_id=2").exists())
+    val q3 = start(cr, None)
+    try q3.processAllAvailable() finally q3.stop()
+    // decision parity at EVERY batch (the control run's parity with the
+    // batch funnel is pinned by the per-stage survivor test above)
+    (0 until chunks.length).foreach { b =>
+      assert(decisions(cr, b) == decisions(ok, b),
+        s"batch $b decisions diverged after the kill-restart sequence")
+    }
+    // and end-to-end: cumulative survivor set equals the batch funnel's
+    val all = (0 until chunks.length).flatMap(b => decisions(cr, b))
+    val byOutcome = all.groupBy(_._2).map { case (k, v) =>
+      k -> v.map(_._1).toSet }.withDefaultValue(Set.empty[Long])
+    val survivors = byOutcome("admitted") -- byOutcome("retracted_near_dup")
+    val (_, _, reps) = graft.queries.Llm.curationStages(
+      spark, docs.toSeq.toDF("doc_id", "text"))
+    val bReps = reps.select("doc_id").as[Long].collect().toSet
+    graft.Caches.drain(spark)
+    assert(survivors == bReps,
+      "post-recovery survivor set diverged from the batch funnel")
+  }
 }
