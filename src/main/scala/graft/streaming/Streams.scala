@@ -669,6 +669,73 @@ object Streams {
       .start()
   }
 
+  /** Streaming LIVE VECTOR STORE with CDC semantics — the full lifecycle
+    * of a vector store in one sink. Each micro-batch is a change feed:
+    * rows carry an `op` column, `"put"` (doc_id, embedding) or `"delete"`
+    * (doc_id). Per batch, in order:
+    *
+    *   1. every put is looked up against the store state BEFORE this
+    *      batch (retrieval-at-ingest, exact [[graft.operators.IvfIndex.knnExact]]
+    *      — the same contract as [[annIngestIndexSink]]), written
+    *      exactly-once to `path/lookups/batch_id=N`;
+    *   2. explicit deletes AND any re-put ids leave the index via
+    *      [[graft.operators.IvfIndex.forget]] — a re-put is therefore a
+    *      LATEST-WINS UPSERT (the vector-store analog of
+    *      [[graft.sources.KeyedUpsert]]), and a delete is the streaming
+    *      leg of right-to-be-forgotten reaching the DERIVED index, not
+    *      just the source table ([[graft.sources.Forget]]'s blind spot);
+    *   3. the put vectors are appended ([[graft.operators.IvfIndex.append]],
+    *      centroids fixed, radius bounds widened);
+    *   4. an ops audit (row count per op) lands at `path/_audit/batch_id=N`
+    *      under the same overwrite-by-batch-directory exactly-once rule.
+    *
+    * Search stays EXACT throughout: forget only tightens radius bounds,
+    * append only widens them, so the triangle pruning in knnExact remains
+    * valid over any put/delete interleaving — a lookup result depends
+    * only on the store's logical membership, never on the arrival order
+    * that built the index (pinned in StreamingSpec against a fresh
+    * [[graft.operators.IvfIndex.build]] over the final survivor set).
+    * Per-batch cost is change-proportional: forget broadcasts the batch's
+    * key set and touches only the cells that lost members; append shuffles
+    * only the batch. At 100 TB the seed is the parquet-backed
+    * [[graft.operators.IvfIndex.loadOrBuild]] artifact and a long-running
+    * store periodically re-seeds from a compacted artifact (the
+    * [[graft.operators.IvfIndex.forgetStored]] path) so the in-memory
+    * union chain never grows unbounded.
+    */
+  def annLiveStoreSink(stream: DataFrame,
+      seed: graft.operators.IvfIndex.Index, path: String, checkpoint: String,
+      k: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+    var idx = seed
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist()
+        val puts = b.filter(col("op") === "put")
+        val delKeys = b.filter(col("op") === "delete").select("doc_id")
+        annLookup(puts.select("doc_id", "embedding"), idx, k)
+          .write.mode("overwrite").parquet(s"$path/lookups/batch_id=$batchId")
+        val VF = graft.functions.VectorFunctions
+        // upsert = forget any prior version of a re-put id alongside the
+        // explicit deletes, then append the new vectors; ids never seen
+        // before pass through forget as no-ops
+        idx = graft.operators.IvfIndex.forget(idx,
+          delKeys.unionByName(puts.select("doc_id")).distinct())
+        idx = graft.operators.IvfIndex.append(idx,
+          puts.select(col("doc_id").as("vec_id"),
+            VF.toDouble(col("embedding")).as("v")))
+        // eagerly pin the new membership AND cell statistics before the
+        // source batch is unpersisted (forget/append are lazy; both plans
+        // read `b`, and cells would otherwise first materialize in the
+        // NEXT batch, after this batch's frame is gone)
+        idx.assigned.count(); idx.cells.count()
+        b.groupBy("op").agg(count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(s"$path/_audit/batch_id=$batchId")
+        b.unpersist(): Unit
+      }
+      .start()
+  }
+
   /** Streaming QUALITY screen — the third ingest gate beside the MinHash
     * and embedding near-dup screens: score each incoming document with the
     * same pure expressions as the batch `x4_quality`/`x4_repetition`

@@ -826,6 +826,73 @@ class StreamingSpec extends AnyFunSuite {
     graft.Caches.drain(spark)
   }
 
+  test("streaming live vector store: puts, latest-wins re-puts, and deletes " +
+      "leave search exact vs a fresh index over the survivors") {
+    import graft.streaming.Streams
+    val VF = graft.functions.VectorFunctions
+    val rng = new scala.util.Random(97)
+    val centers = Seq.fill(4)(Array.fill(6)(rng.nextGaussian()))
+    def near(c: Array[Double]): Seq[Float] =
+      c.map(x => (x + rng.nextGaussian() * 0.01).toFloat).toSeq
+    val seedVecs = (0L until 60L).map(i => (i, near(centers((i % 4).toInt))))
+    val seed = graft.operators.IvfIndex.build(
+      seedVecs.toDF("vec_id", "embedding")
+        .select(col("vec_id"), VF.toDouble(col("embedding")).as("v")))
+    // the CDC feed: batch 0 puts new vectors; batch 1 deletes two seed
+    // members, RE-puts seed id 7 with a vector from a DIFFERENT cluster
+    // (upsert must move it), and puts one more; batch 2 is probe puts
+    // whose k=2 lookups reveal the final pre-batch store state
+    val put100 = (100L until 106L).map(i => (i, near(centers((i % 4).toInt))))
+    val moved7 = near(centers(2)) // id 7 originally sat in cluster 7%4=3
+    val put200 = (200L, near(centers(0)))
+    // probe 901 is a TWIN of the moved vector — its top-1 neighbor must be
+    // the re-put id 7, which only the upserted (not the stale) copy can win
+    val probes = Seq((900L, near(centers(1))),
+      (901L, moved7.map(x => x + 1e-4f)), (902L, near(centers(3))))
+    val dir = java.nio.file.Files.createTempDirectory("ann_live").toString
+    val in = MemoryStream[(Long, Seq[Float], String)](spark)
+    val q = Streams.annLiveStoreSink(
+      in.toDF().toDF("doc_id", "embedding", "op"), seed,
+      s"$dir/out", s"$dir/ckpt", k = 2)
+    in.addData(put100.map { case (i, v) => (i, v, "put") }: _*)
+    q.processAllAvailable()
+    in.addData(Seq((3L, Seq.empty[Float], "delete"),
+      (11L, Seq.empty[Float], "delete"), (7L, moved7, "put"),
+      (put200._1, put200._2, "put")): _*)
+    q.processAllAvailable()
+    in.addData(probes.map { case (i, v) => (i, v, "put") }: _*)
+    q.processAllAvailable(); q.stop()
+    // the reference: a FRESH index built over the final logical state —
+    // knnExact is exact, so any index layout must answer identically
+    val finalState = (seedVecs.filterNot(v => Set(3L, 7L, 11L)(v._1)) ++
+      put100 :+ ((7L, moved7)) :+ put200).sortBy(_._1)
+    val ref = graft.operators.IvfIndex.build(
+      finalState.toDF("vec_id", "embedding")
+        .select(col("vec_id"), VF.toDouble(col("embedding")).as("v")))
+    val expect = Streams.annLookup(
+        probes.toDF("doc_id", "embedding"), ref, k = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val got = spark.read.parquet(s"$dir/out/lookups/batch_id=2")
+      .select("doc_id", "rk", "neighbor_id", "sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == expect,
+      s"live-store probes diverged from the survivor-built index: " +
+        s"only-stream=${got -- expect} only-ref=${expect -- got}")
+    // deleted ids are really unreachable, and the re-put id answers from
+    // its NEW cluster (a stale copy would also still match cluster 3)
+    val allNbrs = spark.read.parquet(s"$dir/out/lookups/batch_id=2")
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!allNbrs.contains(3L) && !allNbrs.contains(11L),
+      s"deleted ids surfaced in post-delete lookups: $allNbrs")
+    assert(got.exists { case (d, rk, n, _) => d == 901L && rk == 1L && n == 7L },
+      s"re-put id 7 should be its twin probe's top-1 neighbor: $got")
+    // audit: exactly-once per-op counts for the CDC batch
+    val audit = spark.read.parquet(s"$dir/out/_audit/batch_id=1")
+      .as[(String, Long)].collect().toMap
+    assert(audit == Map("put" -> 2L, "delete" -> 2L), s"audit off: $audit")
+    graft.Caches.drain(spark)
+  }
+
   test("streaming ANN lookup matches batch knnExact row-for-row") {
     import graft.streaming.Streams
     val rng = new scala.util.Random(43)
