@@ -3090,6 +3090,101 @@ object Llm {
              |        CROSS JOIN tot
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- X4 curation: DSIR importance resampling (Xie et al., NeurIPS'23
+    // "Data Selection for Language Models via Importance Resampling") —
+    // select raw documents that RESEMBLE a target distribution. Feature
+    // space: 1024 hashed-unigram buckets via the portable
+    // graft_wordhash62 (x4_hash_embed's hash, so both engines bucket
+    // identically). Per-bucket importance delta = ln p_target(b) −
+    // ln p_raw(b) with add-one smoothing, rounded to integer e6 BEFORE
+    // the per-doc sum (order-independent integer aggregation, x4_lm_score
+    // precedent — identical integer count inputs give bit-identical ln
+    // doubles); a document's log-weight is the sum of its tokens' deltas.
+    // The resampling leg is GUMBEL-TOP-K: a portable per-doc LCG uniform
+    // becomes Gumbel noise, score = logw + noise, and the k highest
+    // scores are exactly a without-replacement sample proportional to the
+    // importance weights — deterministic in both engines, so the oracle
+    // replays the draw. Target = the corpus's own quality gate
+    // (x4_quality semantics): DSIR's classic setup, where a cheap seed
+    // predicate defines "good" and the weights pull in raw docs that look
+    // like it. Scale: the delta table is 1024 rows riding a broadcast;
+    // token→bucket is map-side; the only corpus-sized shuffle is the
+    // per-doc sum keyed by doc_id; selection is fixed-k TakeOrdered (the
+    // training budget is fixed tokens, not a corpus fraction) — never a
+    // global sort materialization.
+    Q("x4_dsir",
+      (s, dir) => {
+        graft.functions.NativeExpressions.register(s)
+        val toks = TF.tokens(col("text"))
+        val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+        val isTarget = size(toks) >= 5 &&
+          size(filter(toks, x => x.isin(stop: _*))) >= 1
+        val tok = docs(s, dir)
+          .select(col("doc_id"), isTarget.as("tgt"),
+            explode(call_function("graft_wordhash62", toks)).as("h"))
+          .select(col("doc_id"), col("tgt"), expr("pmod(h, 1024)").as("b"))
+        val cnt = tok.groupBy("b").agg(count(lit(1)).as("rc"),
+          sum(when(col("tgt"), 1L).otherwise(0L)).as("tc"))
+        val tot = cnt.agg(sum("rc").as("rn"), sum("tc").as("tn"))
+        val delta = cnt.crossJoin(broadcast(tot))
+          .select(col("b"), round((
+            log((col("tc") + 1).cast("double") / (col("tn") + 1024).cast("double")) -
+            log((col("rc") + 1).cast("double") / (col("rn") + 1024).cast("double")))
+            * 1000000).cast("long").as("d_e6"))
+        val perDoc = tok.join(broadcast(delta), "b")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum("d_e6").as("logw_e6"))
+        // the x4_mlm_mask LCG family on doc_id; +1 / 2147483649 keeps the
+        // uniform strictly inside (0,1) so neither ln can hit 0 or -inf
+        val u = (col("doc_id") * 2654435761L + 40503L) % 2147483647L
+        val g = round(-log(-log((u + 1).cast("double") / 2147483649.0))
+          * 1000000).cast("long")
+        perDoc
+          .withColumn("gumbel_e6", g)
+          .withColumn("score_e6", col("logw_e6") + col("gumbel_e6"))
+          .orderBy(desc("score_e6"), col("doc_id")).limit(100)
+          // rank window rides the k-bounded LIMITed frame (x4_encode
+          // precedent), never the corpus
+          .withColumn("rk", row_number().over(
+            Window.orderBy(desc("score_e6"), asc("doc_id"))).cast("long"))
+      },
+      Some("""WITH ws AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+             |tgt AS (SELECT doc_id, len(ws) >= 5 AND len(list_filter(ws,
+             |    x -> x IN ('the','a','of','and','to','in','is','it'))) >= 1 AS tgt
+             |  FROM ws),
+             |tok AS (SELECT t.doc_id, g.tgt,
+             |    (list_reduce([CAST(0 AS BIGINT)] ||
+             |       [CAST(unicode(c) AS BIGINT) FOR c IN string_split(w,'')],
+             |       (a,b) -> (a*31+b) % 1000000007) * 2147483648 +
+             |     list_reduce([CAST(0 AS BIGINT)] ||
+             |       [CAST(unicode(c) AS BIGINT) FOR c IN string_split(w,'')],
+             |       (a,b) -> (a*131+b) % 2147483647)) % 1024 AS b
+             |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
+             |        FROM documents) t
+             |  JOIN tgt g USING (doc_id)),
+             |cnt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rc,
+             |    CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tc
+             |  FROM tok GROUP BY b),
+             |tot AS (SELECT CAST(SUM(rc) AS BIGINT) AS rn,
+             |    CAST(SUM(tc) AS BIGINT) AS tn FROM cnt),
+             |delta AS (SELECT b,
+             |    CAST(ROUND((LN(CAST(tc+1 AS DOUBLE)/(tn+1024)) -
+             |      LN(CAST(rc+1 AS DOUBLE)/(rn+1024))) * 1000000) AS BIGINT) AS d_e6
+             |  FROM cnt CROSS JOIN tot),
+             |perdoc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |    CAST(SUM(d_e6) AS BIGINT) AS logw_e6
+             |  FROM tok JOIN delta USING (b) GROUP BY doc_id),
+             |scored AS (SELECT doc_id, n_tokens, logw_e6,
+             |    CAST(ROUND(-LN(-LN(CAST((doc_id * 2654435761 + 40503) % 2147483647 + 1
+             |      AS DOUBLE) / 2147483649.0)) * 1000000) AS BIGINT) AS gumbel_e6
+             |  FROM perdoc)
+             |SELECT doc_id, n_tokens, logw_e6, gumbel_e6,
+             |  logw_e6 + gumbel_e6 AS score_e6,
+             |  CAST(ROW_NUMBER() OVER (ORDER BY logw_e6 + gumbel_e6 DESC, doc_id)
+             |    AS BIGINT) AS rk
+             |FROM scored
+             |ORDER BY score_e6 DESC, doc_id LIMIT 100""".stripMargin)),
+
     // ---- X4 curation: deterministic train/val/test split. The split hash is
     // PORTABLE integer arithmetic (LCG mix of doc_id), not xxhash64 — the
     // same expression runs in DuckDB, so assignment is reproducible across

@@ -609,4 +609,42 @@ class LlmSpec extends AnyFunSuite {
       assert(r.getAs[Long]("score_e9") == want, "RRF score != sum of rank contributions")
     }
   }
+
+  test("x4_dsir: Gumbel-top-k selection is a valid draw — contiguous ranks, " +
+      "score = logw + noise, and the target-likeness signal points the right way") {
+    val rows = q("x4_dsir").collect()
+    graft.Caches.drain(spark)
+    assert(rows.nonEmpty && rows.length <= 100)
+    // ranks contiguous and aligned with (score desc, doc_id asc)
+    val byRank = rows.sortBy(_.getAs[Long]("rk"))
+    assert(byRank.map(_.getAs[Long]("rk")).toSeq == (1L to rows.length))
+    byRank.sliding(2).foreach { case Array(a, b) =>
+      val (sa, sb) = (a.getAs[Long]("score_e6"), b.getAs[Long]("score_e6"))
+      assert(sa > sb || (sa == sb &&
+        a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id")))
+    case _ => ()
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("score_e6") ==
+        r.getAs[Long]("logw_e6") + r.getAs[Long]("gumbel_e6"))
+    }
+    // direction: docs the quality gate admits must score higher log-weight
+    // per token on average than rejected ones — the importance weights
+    // exist to pull the sample TOWARD the target distribution
+    val d = graft.Tables.load(spark, sfDir, "documents")
+    val toks = TF.tokens(col("text"))
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    val gate = d.select(col("doc_id"),
+      (size(toks) >= 5 && size(filter(toks, x => x.isin(stop: _*))) >= 1)
+        .as("tgt"))
+    val picked = rows.map(_.getAs[Long]("doc_id")).toSet
+    val total = gate.count()
+    val tgtShareAll = gate.filter(col("tgt")).count().toDouble / total
+    val tgtSharePicked = gate
+      .filter(col("doc_id").isin(picked.toSeq: _*)).filter(col("tgt"))
+      .count().toDouble / picked.size
+    assert(tgtSharePicked >= tgtShareAll,
+      s"DSIR sample is LESS target-like than the corpus: " +
+        s"picked $tgtSharePicked vs corpus $tgtShareAll")
+  }
 }
