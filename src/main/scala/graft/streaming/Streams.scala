@@ -697,43 +697,98 @@ object Streams {
     * [[graft.operators.IvfIndex.build]] over the final survivor set).
     * Per-batch cost is change-proportional: forget broadcasts the batch's
     * key set and touches only the cells that lost members; append shuffles
-    * only the batch. At 100 TB the seed is the parquet-backed
-    * [[graft.operators.IvfIndex.loadOrBuild]] artifact and a long-running
-    * store periodically re-seeds from a compacted artifact (the
-    * [[graft.operators.IvfIndex.forgetStored]] path) so the in-memory
-    * union chain never grows unbounded.
+    * only the batch. The store is RESTARTABLE: every batch's change feed
+    * lands in a durable log (`path/_state/ops/batch_id=N`), and a new
+    * incarnation folds the log's latest surviving op per key into the
+    * seed in one forget+append before its first batch ([[replayLiveOps]])
+    * — StreamingSpec pins that a stopped-and-restarted store answers
+    * probes identically to an uninterrupted one. At 100 TB the seed is
+    * the parquet-backed [[graft.operators.IvfIndex.loadOrBuild]] artifact
+    * and a long-running store periodically folds its log into a compacted
+    * seed (the [[graft.operators.IvfIndex.forgetStored]] path) so neither
+    * the log nor the in-memory union chain grows unbounded.
     */
   def annLiveStoreSink(stream: DataFrame,
       seed: graft.operators.IvfIndex.Index, path: String, checkpoint: String,
       k: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
-    var idx = seed
+    var idx: Option[graft.operators.IvfIndex.Index] = None
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val VF = graft.functions.VectorFunctions
+        // (re)build the store on the first batch of THIS incarnation: the
+        // seed plus ONE forget/append fold of the durable change log
+        // strictly before this batch — a restarted (or crash-replayed)
+        // sink therefore sees exactly the pre-batch membership no matter
+        // how many batches prior incarnations ran, and a replayed batch
+        // ignores its own crashed attempt's log entry (the same
+        // strictly-before contract as the curation pipeline's state)
+        if (idx.isEmpty) idx = Some(replayLiveOps(s, seed, path, batchId))
+        var cur = idx.get
         val b = batch.persist()
         val puts = b.filter(col("op") === "put")
         val delKeys = b.filter(col("op") === "delete").select("doc_id")
-        annLookup(puts.select("doc_id", "embedding"), idx, k)
+        annLookup(puts.select("doc_id", "embedding"), cur, k)
           .write.mode("overwrite").parquet(s"$path/lookups/batch_id=$batchId")
-        val VF = graft.functions.VectorFunctions
+        // durable change log — one overwrite-by-batch directory per batch,
+        // vectors normalized to double so replay needs no source schema
+        b.select(lit(batchId).as("b"), col("op"), col("doc_id"),
+            when(col("op") === "put", VF.toDouble(col("embedding"))).as("v"))
+          .write.mode("overwrite")
+          .parquet(s"$path/_state/ops/batch_id=$batchId")
         // upsert = forget any prior version of a re-put id alongside the
         // explicit deletes, then append the new vectors; ids never seen
         // before pass through forget as no-ops
-        idx = graft.operators.IvfIndex.forget(idx,
+        cur = graft.operators.IvfIndex.forget(cur,
           delKeys.unionByName(puts.select("doc_id")).distinct())
-        idx = graft.operators.IvfIndex.append(idx,
+        cur = graft.operators.IvfIndex.append(cur,
           puts.select(col("doc_id").as("vec_id"),
             VF.toDouble(col("embedding")).as("v")))
         // eagerly pin the new membership AND cell statistics before the
         // source batch is unpersisted (forget/append are lazy; both plans
         // read `b`, and cells would otherwise first materialize in the
         // NEXT batch, after this batch's frame is gone)
-        idx.assigned.count(); idx.cells.count()
+        cur.assigned.count(); cur.cells.count()
+        idx = Some(cur)
         b.groupBy("op").agg(count(lit(1)).as("n"))
           .write.mode("overwrite").parquet(s"$path/_audit/batch_id=$batchId")
         b.unpersist(): Unit
       }
       .start()
+  }
+
+  /** Rebuild the live store's pre-batch membership from the seed index
+    * and the change log: the LATEST surviving operation per key (latest
+    * batch wins; within a batch a put beats a delete, mirroring the
+    * sink's forget-then-append order) folds into the seed as ONE
+    * forget(touched) + append(latest puts) — O(1) plan depth no matter
+    * how many batches the log holds, never a per-batch replay loop. The
+    * CDC contract is the standard one: at most one operation per key per
+    * batch (upstream log compaction). The seed must be the same across
+    * incarnations — it is the store's durable base artifact
+    * ([[graft.operators.IvfIndex.loadOrBuild]] at scale).
+    */
+  private def replayLiveOps(s: SparkSession,
+      seed: graft.operators.IvfIndex.Index, path: String, batchId: Long)
+      : graft.operators.IvfIndex.Index = {
+    import org.apache.spark.sql.types._
+    if (stateBatchIds(s, s"$path/_state/ops").forall(_ >= batchId)) return seed
+    val schema = StructType(Seq(StructField("b", LongType),
+      StructField("op", StringType), StructField("doc_id", LongType),
+      StructField("v", ArrayType(DoubleType))))
+    val latest = readStateBefore(s, s"$path/_state/ops", schema, batchId)
+      .groupBy("doc_id")
+      .agg(max_by(struct(col("op"), col("v")),
+        struct(col("b"), (col("op") === "put").cast("int"))).as("last"))
+      .select(col("doc_id"), col("last.op").as("op"), col("last.v").as("v"))
+      // eager: sever lineage from the log paths this incarnation is about
+      // to keep appending to (the recacheByPath trap)
+      .localCheckpoint(true)
+    graft.operators.IvfIndex.append(
+      graft.operators.IvfIndex.forget(seed, latest.select("doc_id")),
+      latest.filter(col("op") === "put")
+        .select(col("doc_id").as("vec_id"), col("v")))
   }
 
   /** Streaming QUALITY screen — the third ingest gate beside the MinHash

@@ -893,6 +893,69 @@ class StreamingSpec extends AnyFunSuite {
     graft.Caches.drain(spark)
   }
 
+  test("live vector store survives a restart: a new incarnation folds the " +
+      "change log and answers probes like an uninterrupted store") {
+    import graft.streaming.Streams
+    val VF = graft.functions.VectorFunctions
+    val rng = new scala.util.Random(131)
+    val centers = Seq.fill(3)(Array.fill(6)(rng.nextGaussian()))
+    def near(c: Array[Double]): Seq[Float] =
+      c.map(x => (x + rng.nextGaussian() * 0.01).toFloat).toSeq
+    val seedVecs = (0L until 45L).map(i => (i, near(centers((i % 3).toInt))))
+    def mkSeed() = graft.operators.IvfIndex.build(
+      seedVecs.toDF("vec_id", "embedding")
+        .select(col("vec_id"), VF.toDouble(col("embedding")).as("v")))
+    // f0: puts; f1: delete two seed ids + re-put one with a moved vector;
+    // f2 (fed AFTER the restart): probe puts
+    val put100 = (100L until 104L).map(i => (i, near(centers((i % 3).toInt))))
+    val moved4 = near(centers(0)) // id 4 originally in cluster 4%3=1
+    val probes = Seq((900L, moved4.map(x => x + 1e-4f)),
+      (901L, near(centers(2))))
+    val chunks: Seq[Seq[(Long, Seq[Float], String)]] = Seq(
+      put100.map { case (i, v) => (i, v, "put") },
+      Seq((2L, Seq.empty[Float], "delete"), (8L, Seq.empty[Float], "delete"),
+        (4L, moved4, "put")),
+      probes.map { case (i, v) => (i, v, "put") })
+    val root = java.nio.file.Files.createTempDirectory("ann_live_restart").toString
+    def feed(i: Int): Unit =
+      chunks(i).toDF("doc_id", "embedding", "op").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/src/f$i")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long")
+      .add("embedding", "array<float>").add("op", "string")
+    def start() = Streams.annLiveStoreSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$root/src/f*"),
+      mkSeed(), s"$root/out", s"$root/ckpt", k = 2)
+    feed(0); feed(1)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // the restart: a FRESH sink instance (fresh seed handle, empty
+    // in-memory state) over the same dirs — its first batch must fold
+    // _state/ops batches 0 and 1 back into the seed before serving
+    feed(2)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val ref = graft.operators.IvfIndex.build(
+      (seedVecs.filterNot(v => Set(2L, 4L, 8L)(v._1)) ++
+        put100 :+ ((4L, moved4))).toDF("vec_id", "embedding")
+        .select(col("vec_id"), VF.toDouble(col("embedding")).as("v")))
+    val expect = Streams.annLookup(probes.toDF("doc_id", "embedding"), ref, k = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val got = spark.read.parquet(s"$root/out/lookups/batch_id=2")
+      .select("doc_id", "rk", "neighbor_id", "sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == expect,
+      s"restarted store diverged from the uninterrupted reference: " +
+        s"only-stream=${got -- expect} only-ref=${expect -- got}")
+    // the moved id answers its twin from the NEW cluster; deleted ids gone
+    assert(got.exists { case (d, rk, n, _) => d == 900L && rk == 1L && n == 4L })
+    val nbrs = got.map(_._3)
+    assert(!nbrs.contains(2L) && !nbrs.contains(8L),
+      s"deleted ids resurrected by the restart fold: $nbrs")
+    graft.Caches.drain(spark)
+  }
+
   test("streaming ANN lookup matches batch knnExact row-for-row") {
     import graft.streaming.Streams
     val rng = new scala.util.Random(43)
