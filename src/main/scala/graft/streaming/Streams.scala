@@ -1138,40 +1138,73 @@ object Streams {
     * The 100 TB analog is the keyed-store compaction the scaladoc above
     * promises; returns the number of generations folded.
     */
+  /** Fold every committed `batch_id=N` generation of one state directory
+    * into the highest id, crash-safely: write the (optionally
+    * `transform`ed) union to a staging dir OUTSIDE the listing namespace,
+    * attach a `_folded` manifest naming the superseded generations, SWAP
+    * FIRST (originals still on disk), DELETE AFTER — a crash at any point
+    * leaves either the originals intact or the manifest for
+    * [[stateBatchIds]] to finish the deletion from, never a lost (or
+    * double-counted) state read. `transform` must preserve the dir's read
+    * semantics (e.g. latest-op-per-key dedup for a change log whose
+    * readers only consume the latest op per key). Returns the number of
+    * generations folded (0 when there is nothing to do).
+    */
+  private def foldStateDir(s: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      transform: DataFrame => DataFrame = identity): Int = {
+    val gens = stateBatchIds(s, dir).sorted // also heals a prior crash
+    if (gens.length <= 1) 0
+    else {
+      val top = gens.max
+      val merged = transform(s.read.schema(schema)
+        .parquet(gens.map(b => s"$dir/batch_id=$b"): _*))
+        .localCheckpoint(true) // sever lineage before rewriting sources
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      // stage OUTSIDE the batch_id= listing namespace — a crashed
+      // attempt can never be parsed as (or shadow) a generation
+      val tmp = new java.io.File(dir, ".compact-tmp")
+      if (tmp.exists()) rm(tmp)
+      merged.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      java.nio.file.Files.write(
+        new java.io.File(tmp, "_folded").toPath,
+        gens.filter(_ != top).mkString("", "\n", "\n").getBytes("UTF-8"))
+      graft.sources.FileSwap.replace(
+        new java.io.File(s"$dir/batch_id=$top"), tmp)
+      gens.filter(_ != top)
+        .foreach(b => rm(new java.io.File(s"$dir/batch_id=$b")))
+      new java.io.File(s"$dir/batch_id=$top", "_folded").delete()
+      gens.length
+    }
+  }
+
+  /** Compact the live vector store's change log: fold all committed ops
+    * generations into one, keeping only the LATEST surviving operation
+    * per key (latest batch wins, put beats delete within a batch — the
+    * exact precedence [[replayLiveOps]] reads with, so a restart folds
+    * identical membership from the compacted log; delete tombstones are
+    * kept because the seed may still hold those keys). Run between
+    * batches, like [[curationStateCompact]]. Returns generations folded.
+    */
+  def liveStoreCompact(s: SparkSession, path: String): Int = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("b", LongType),
+      StructField("op", StringType), StructField("doc_id", LongType),
+      StructField("v", ArrayType(DoubleType))))
+    foldStateDir(s, s"$path/_state/ops", schema, df =>
+      df.groupBy("doc_id")
+        .agg(max_by(struct(col("b"), col("op"), col("v")),
+          struct(col("b"), (col("op") === "put").cast("int"))).as("last"))
+        .select(col("last.b").as("b"), col("last.op").as("op"),
+          col("doc_id"), col("last.v").as("v")))
+  }
+
   def curationStateCompact(s: SparkSession, path: String): Int = {
     import org.apache.spark.sql.types._
-    def fold(dir: String, schema: StructType): Int = {
-      val gens = stateBatchIds(s, dir).sorted // also heals a prior crash
-      if (gens.length <= 1) 0
-      else {
-        val top = gens.max
-        val merged = s.read.schema(schema)
-          .parquet(gens.map(b => s"$dir/batch_id=$b"): _*)
-          .localCheckpoint(true) // sever lineage before rewriting sources
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-        }
-        // stage OUTSIDE the batch_id= listing namespace — a crashed
-        // attempt can never be parsed as (or shadow) a generation
-        val tmp = new java.io.File(dir, ".compact-tmp")
-        if (tmp.exists()) rm(tmp)
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
-        // the fold carries a manifest of the generations it supersedes;
-        // SWAP FIRST (originals still on disk), DELETE AFTER — a crash at
-        // any point leaves either the originals intact or the manifest for
-        // stateBatchIds to finish the deletion from, never a lost (or
-        // double-counted) state read
-        java.nio.file.Files.write(
-          new java.io.File(tmp, "_folded").toPath,
-          gens.filter(_ != top).mkString("", "\n", "\n").getBytes("UTF-8"))
-        graft.sources.FileSwap.replace(
-          new java.io.File(s"$dir/batch_id=$top"), tmp)
-        gens.filter(_ != top)
-          .foreach(b => rm(new java.io.File(s"$dir/batch_id=$b")))
-        new java.io.File(s"$dir/batch_id=$top", "_folded").delete()
-        gens.length
-      }
-    }
+    def fold(dir: String, schema: StructType): Int =
+      foldStateDir(s, dir, schema)
     val digestSchema = StructType(Seq(StructField("h", StringType)))
     val tokSchema = StructType(Seq(StructField("member_id", LongType),
       StructField("nb", LongType), StructField("w", StringType)))

@@ -956,6 +956,73 @@ class StreamingSpec extends AnyFunSuite {
     graft.Caches.drain(spark)
   }
 
+  test("live store log compaction folds to one generation and restarts " +
+      "onto identical membership") {
+    import graft.streaming.Streams
+    val VF = graft.functions.VectorFunctions
+    val rng = new scala.util.Random(157)
+    val centers = Seq.fill(3)(Array.fill(6)(rng.nextGaussian()))
+    def near(c: Array[Double]): Seq[Float] =
+      c.map(x => (x + rng.nextGaussian() * 0.01).toFloat).toSeq
+    val seedVecs = (0L until 45L).map(i => (i, near(centers((i % 3).toInt))))
+    def mkSeed() = graft.operators.IvfIndex.build(
+      seedVecs.toDF("vec_id", "embedding")
+        .select(col("vec_id"), VF.toDouble(col("embedding")).as("v")))
+    val put100 = (100L until 104L).map(i => (i, near(centers((i % 3).toInt))))
+    val moved4 = near(centers(0))
+    val probes = Seq((900L, moved4.map(x => x + 1e-4f)),
+      (901L, near(centers(2))))
+    // batch 1 deletes id 100 (a key that exists ONLY in the log — its
+    // fold must still not resurrect it) and id 2 (a seed key, whose
+    // tombstone the fold must keep), and moves id 4
+    val chunks: Seq[Seq[(Long, Seq[Float], String)]] = Seq(
+      put100.map { case (i, v) => (i, v, "put") },
+      Seq((2L, Seq.empty[Float], "delete"), (100L, Seq.empty[Float], "delete"),
+        (4L, moved4, "put")),
+      probes.map { case (i, v) => (i, v, "put") })
+    val root = java.nio.file.Files.createTempDirectory("ann_live_compact").toString
+    def feed(i: Int): Unit =
+      chunks(i).toDF("doc_id", "embedding", "op").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/src/f$i")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long")
+      .add("embedding", "array<float>").add("op", "string")
+    def start() = Streams.annLiveStoreSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$root/src/f*"),
+      mkSeed(), s"$root/out", s"$root/ckpt", k = 2)
+    feed(0); feed(1)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(new java.io.File(s"$root/out/_state/ops").listFiles()
+      .count(_.getName.startsWith("batch_id=")) == 2)
+    val folded = Streams.liveStoreCompact(spark, s"$root/out")
+    assert(folded == 2, s"expected 2 generations folded, got $folded")
+    val gens = new java.io.File(s"$root/out/_state/ops").listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSeq
+    assert(gens == Seq("batch_id=1"), s"log not folded to the top id: $gens")
+    feed(2)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val ref = graft.operators.IvfIndex.build(
+      (seedVecs.filterNot(v => Set(2L, 4L)(v._1)) ++
+        put100.filterNot(_._1 == 100L) :+ ((4L, moved4)))
+        .toDF("vec_id", "embedding")
+        .select(col("vec_id"), VF.toDouble(col("embedding")).as("v")))
+    val expect = Streams.annLookup(probes.toDF("doc_id", "embedding"), ref, k = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val got = spark.read.parquet(s"$root/out/lookups/batch_id=2")
+      .select("doc_id", "rk", "neighbor_id", "sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == expect,
+      s"compacted-log restart diverged: only-stream=${got -- expect} " +
+        s"only-ref=${expect -- got}")
+    val nbrs = got.map(_._3)
+    assert(!nbrs.contains(2L) && !nbrs.contains(100L),
+      s"compaction resurrected a deleted id: $nbrs")
+    graft.Caches.drain(spark)
+  }
+
   test("streaming ANN lookup matches batch knnExact row-for-row") {
     import graft.streaming.Streams
     val rng = new scala.util.Random(43)
