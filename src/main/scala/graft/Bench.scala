@@ -32,7 +32,13 @@ object Bench {
     // cross-query regression); JIT and OS page-cache warmth persist across
     // rounds, so later rounds still measure the steady state a live session
     // would see.
+    // SPARK_GRAFT_ONLY: comma-separated query names for targeted scale
+    // probes (e.g. re-timing one family at a 30x corpus after a plan
+    // change) — full runs and the driver gate leave it unset
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val best = scala.collection.mutable.Map.empty[String, Double]
     val failed = scala.collection.mutable.Set.empty[String]
     // SPARK_GRAFT_ROUNDS: one-off scale runs (e.g. the sf1 point) drop to a

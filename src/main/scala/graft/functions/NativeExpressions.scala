@@ -167,100 +167,6 @@ case class BitmaskIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** EARLY-EXIT Jaccard >= t test over two equal-width long-array bitmasks —
-  * the verify kernel of the bitset set-similarity join. Equivalent to
-  * `popcount(a&b)/(na+nb-popcount(a&b)) >= t`, but (1) the intersection is
-  * computed ONCE (the division form repeats the popcount in numerator and
-  * denominator inside a join condition), (2) as exact integer arithmetic
-  * (`i*(1e6+tMicros) >= tMicros*(na+nb)`, equivalent to the double
-  * division for set sizes <= ~1e5 because distinct rationals i/u are
-  * >= 1/(1e6*u) apart — far beyond double rounding), and (3) the word loop
-  * ABORTS as soon as the as-yet-unseen bits cannot reach the required
-  * intersection (final i <= min(na - aOnly, nb - bOnly) and the *Only
-  * counts only grow). At t = 0.7 the required overlap is 82% of each set,
-  * so a non-duplicate pair rejects within the first ~20% of its words —
-  * the bulk of the S-band join's work.
-  */
-case class BitmaskJaccardGe(maskA: Expression, maskB: Expression,
-    na: Expression, nb: Expression, tMicros: Long)
-    extends Expression {
-
-  override def children: Seq[Expression] = Seq(maskA, maskB, na, nb)
-  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
-  override def nullable: Boolean = children.exists(_.nullable)
-  override lazy val deterministic: Boolean = true
-
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val a = maskA.eval(input); val b = maskB.eval(input)
-    val n1 = na.eval(input); val n2 = nb.eval(input)
-    if (a == null || b == null || n1 == null || n2 == null) null
-    else {
-      // getLong accessors, never toLongArray: copying two ~KB masks per
-      // evaluated pair would dominate an early-exiting loop
-      val x = a.asInstanceOf[ArrayData]
-      val y = b.asInstanceOf[ArrayData]
-      val la = n1.asInstanceOf[Long]; val lb = n2.asInstanceOf[Long]
-      val denom = 1000000L + tMicros
-      val need = (tMicros * (la + lb) + denom - 1) / denom // ceil
-      val w = math.min(x.numElements(), y.numElements())
-      var i = 0; var acc = 0L; var pa = 0L; var pb = 0L
-      var alive = true
-      while (alive && i < w) {
-        val xi = x.getLong(i); val yi = y.getLong(i)
-        acc += java.lang.Long.bitCount(xi & yi)
-        pa += java.lang.Long.bitCount(xi)
-        pb += java.lang.Long.bitCount(yi)
-        if (math.min(la - (pa - acc), lb - (pb - acc)) < need) alive = false
-        i += 1
-      }
-      alive && acc >= need
-    }
-  }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ea = maskA.genCode(ctx); val eb = maskB.genCode(ctx)
-    val en1 = na.genCode(ctx); val en2 = nb.genCode(ctx)
-    val x = ctx.freshName("x"); val y = ctx.freshName("y")
-    val i = ctx.freshName("i"); val w = ctx.freshName("w")
-    val acc = ctx.freshName("acc"); val pa = ctx.freshName("pa")
-    val pb = ctx.freshName("pb"); val need = ctx.freshName("need")
-    val alive = ctx.freshName("alive")
-    val code =
-      code"""
-        |${ea.code}
-        |${eb.code}
-        |${en1.code}
-        |${en2.code}
-        |boolean ${ev.isNull} = ${ea.isNull} || ${eb.isNull} ||
-        |  ${en1.isNull} || ${en2.isNull};
-        |boolean ${ev.value} = false;
-        |if (!${ev.isNull}) {
-        |  long $need = (${tMicros}L * (${en1.value} + ${en2.value})
-        |    + ${1000000L + tMicros}L - 1) / ${1000000L + tMicros}L;
-        |  int $w = Math.min(${ea.value}.numElements(), ${eb.value}.numElements());
-        |  long $acc = 0L; long $pa = 0L; long $pb = 0L;
-        |  boolean $alive = true;
-        |  for (int $i = 0; $alive && $i < $w; $i++) {
-        |    long $x = ${ea.value}.getLong($i);
-        |    long $y = ${eb.value}.getLong($i);
-        |    $acc += java.lang.Long.bitCount($x & $y);
-        |    $pa += java.lang.Long.bitCount($x);
-        |    $pb += java.lang.Long.bitCount($y);
-        |    if (Math.min(${en1.value} - ($pa - $acc),
-        |        ${en2.value} - ($pb - $acc)) < $need) $alive = false;
-        |  }
-        |  ${ev.value} = $alive && $acc >= $need;
-        |}
-      """.stripMargin
-    ev.copy(code = code)
-  }
-
-  override protected def withNewChildrenInternal(
-      newChildren: IndexedSeq[Expression]): BitmaskJaccardGe =
-    copy(maskA = newChildren(0), maskB = newChildren(1),
-      na = newChildren(2), nb = newChildren(3))
-}
-
 /** Distinct adjacent-token bigrams ("w1 w2") in first-occurrence order —
   * one primitive pass per document. Replaces the interpreted HOF chain
   * `transform(sequence(1, n-1), i -> concat_ws(" ", slice(toks, i, 2)))` +
@@ -912,10 +818,6 @@ object NativeExpressions {
     registry.createOrReplaceTempFunction(
       "graft_mask_isect",
       (args: Seq[Expression]) => BitmaskIntersectCount(args(0), args(1)), "built-in")
-    registry.createOrReplaceTempFunction(
-      "graft_mask_jge",
-      (args: Seq[Expression]) => BitmaskJaccardGe(args(0), args(1),
-        args(2), args(3), args(4).eval().asInstanceOf[Long]), "built-in")
     registry.createOrReplaceTempFunction(
       "graft_simhash",
       (args: Seq[Expression]) => SimHash64(args(0)), "built-in")

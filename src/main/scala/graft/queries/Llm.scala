@@ -399,60 +399,100 @@ object Llm {
     */
   private[graft] def bitsetSetsAndPairs(tok: DataFrame, t: Double,
       vocab: Int): (DataFrame, DataFrame) = {
-    val words = (vocab + 63) / 64
-    // vocabulary index: single-partition window over <= maskVocabLimit
+    // vocabulary index in GLOBAL RARITY order (document frequency asc,
+    // element asc), so a set's sorted index array is ordered rarest-first
+    // and its AllPairs/PPJoin prefix is a SLICE of the array. Sets are
+    // stored AS those sorted arrays: n elements × 8 bytes, independent of
+    // vocabulary width — the r09 sf3 probe caught the previous bitmask
+    // form paying vocab/64 longs per set (437-word masks over 10-element
+    // bigram sets, 40× the bytes) and scanning words instead of elements
+    // in the verify kernel. Single-partition window over <= maskVocabLimit
     // rows (the dispatcher routes truly open vocabularies to the prefix
-    // path; the closed-vocab fallback is bounded at 65536 by default)
-    val w = Window.orderBy("w")
-    val idx = tok.select("w").distinct()
+    // path; the closed-vocab fallback is bounded at 65536 by default).
+    val w = Window.orderBy("df", "w")
+    val idx = tok.groupBy("w").agg(count(lit(1)).as("df"))
       .select(col("w"), (row_number().over(w) - 1).cast("long").as("i"))
-    val masks = tok.join(broadcast(idx), "w")
+    val arrs = tok.join(broadcast(idx), "w")
       .groupBy("doc_id")
-      .agg(call_function("graft_mask", collect_list("i"), lit(words)).as("mask"),
-        count(lit(1)).as("n"))
-    val sets = graft.Caches.persist(masks.groupBy("mask", "n")
+      .agg(sort_array(collect_list("i")).as("arr"), count(lit(1)).as("n"))
+    val sets = graft.Caches.persist(arrs.groupBy("arr", "n")
       .agg(collect_list("doc_id").as("ds"), min("doc_id").as("sid")))
       // consumed by both sides of the set-pair join + 2 expansions
-    // SIZE-BANDED blocking: J >= t forces least(na,nb) >= t*greatest(na,nb),
-    // i.e. sizes within a factor 1/t — geometric bands band(n) =
-    // floor(ln n / ln(1/t)) put every qualifying pair at most ONE band
-    // apart, so the probe side visits its {band-1, band, band+1} and the
-    // pair join is an EQUI-join on the band key instead of an S^2
-    // cartesian stream: the length filter became a join-key prune, and the
-    // popcount runs only on size-compatible bucket mates. Identical rows
-    // by construction (band equality is implied by the size predicate it
-    // coarsens, which stays in the residual condition below).
+    // (PREFIX-ELEMENT, SIZE-BAND) blocking + POSITIONAL filter — all
+    // implied by J >= t, so the blocking is pure pruning:
+    //   * prefix: a qualifying pair shares an element within each side's
+    //     n − ⌈t·n⌉ + 1 rarest (AllPairs/PPJoin; the same bound the
+    //     open-vocabulary path uses) — CONTENT blocks the join, so
+    //     vocabulary-disjoint regions of a corpus (the r09 sf3 probe: 30
+    //     replicas with suffixed tokens, where size bands alone left an
+    //     80×-growing S² kernel stream) generate ZERO cross-region
+    //     candidates;
+    //   * size band: J >= t forces least(na,nb) >= t*greatest(na,nb), i.e.
+    //     sizes within 1/t — geometric bands band(n) = floor(ln n/ln(1/t))
+    //     put every qualifying pair at most ONE band apart (probe side
+    //     visits {band-1, band, band+1});
+    //   * position (PPJoin, Xiao et al. WWW'08): a row matching at
+    //     0-based prefix positions (pa, pb) bounds the overlap by
+    //     1 + min(na−pa−1, nb−pb−1); rows below the required minimum
+    //     overlap ⌈t(na+nb)/(1+t)⌉ are dropped IN the join, before the
+    //     exchange — the first common element of a qualifying pair always
+    //     survives (everything before it is disjoint by definition), so
+    //     recall is exact while deep-position chance collisions (the bulk
+    //     of closed-vocabulary candidates) never reach the aggregation.
+    // The candidate join carries IDS ONLY (sa, sb) — arrays re-attach per
+    // DEDUPED candidate pair, so prefix fan-out never replicates set
+    // payloads through the shuffle (the same ids-only rule the open-vocab
+    // prefix path learned at the r08 sf1 point).
     // DISTINCT SETS don't always collapse — an adversarial corpus keeps
     // S ≈ n docs — so the build side is broadcast only below a threshold
     // (the count forces the persisted sets frame once; every later consumer
-    // reads the cache); above it the band-keyed join shuffles both sides
-    // on the band, which Spark distributes.
+    // reads the cache); above it the (pw, band)-keyed join shuffles both
+    // sides on the key, which Spark distributes.
     val bcThreshold = tok.sparkSession.conf
       .getOption("graft.jaccard.broadcastThreshold").map(_.toLong).getOrElse(100000L)
     val bs: DataFrame => DataFrame =
       if (sets.count() <= bcThreshold) broadcast else identity
-    def isect(l: Column, r: Column) = call_function("graft_mask_isect", l, r)
     def bandOf(n: Column): Column =
       if (t >= 1.0) n.cast("long") // J >= 1 forces equal sizes exactly
       else floor(log(n.cast("double")) / lit(math.log(1.0 / t))).cast("long")
-    val a = sets.select(col("mask").as("maska"), col("n").as("na"), col("sid").as("sa"))
+    val tMicros = math.round(t * 1e6)
+    // integer ceil everywhere — an FP ceil can round a half-ulp and
+    // silently shorten the prefix below the safe bound
+    def prefSlice(arr: String, n: String): Column =
+      expr(s"slice($arr, 1, cast($n - (($n * $tMicros + 999999) div 1000000) + 1 as int))")
+    val aKeys = sets
+      .select(col("arr").as("arra"), col("n").as("na"), col("sid").as("sa"))
       .withColumn("bk",
         explode(sequence(bandOf(col("na")) - 1, bandOf(col("na")) + 1)))
-    val b = sets.select(col("mask").as("maskb"), col("n").as("nb"), col("sid").as("sb"))
+      .select(col("sa"), col("na"), col("bk"),
+        posexplode(prefSlice("arra", "na")).as(Seq("pa", "pw")))
+    val bKeys = sets
+      .select(col("arr").as("arrb"), col("n").as("nb"), col("sid").as("sb"))
       .withColumn("bk2", bandOf(col("nb")))
-    // verify via the EARLY-EXIT kernel (one intersection pass per pair,
-    // aborted once the unseen bits cannot reach the required overlap) —
-    // integer-exact, so the predicate decides exactly like the division
-    // form the survivors' `j` below (and the oracle) compute
-    val tMicros = math.round(t * 1e6)
-    val pairs = a.join(bs(b),
-        col("bk") === col("bk2") &&
+      .select(col("sb"), col("nb"), col("bk2"),
+        posexplode(prefSlice("arrb", "nb")).as(Seq("pb", "pw2")))
+    // minimum overlap i with J(a,b) >= t: i(1+t) >= t(na+nb)
+    val minOverlap =
+      expr(s"(($tMicros * (na + nb) + ${1000000L + tMicros} - 1) div ${1000000L + tMicros})")
+    val candIds = aKeys.join(bs(bKeys),
+        col("pw") === col("pw2") && col("bk") === col("bk2") &&
           col("sa") <= col("sb") &&
           least(col("na"), col("nb")).cast("double") >=
             greatest(col("na"), col("nb")) * t &&
-          call_function("graft_mask_jge", col("maska"), col("maskb"),
-            col("na"), col("nb"), lit(tMicros)))
-      .withColumn("i", isect(col("maska"), col("maskb")))
+          lit(1) + least(col("na") - col("pa") - 1,
+            col("nb") - col("pb") - 1) >= minOverlap)
+      .select("sa", "sb").dropDuplicates("sa", "sb")
+    // verify: ONE merge-scan intersection per deduped pair (arrays are
+    // sorted), then the exact integer form of J >= t — decided exactly
+    // like the division form the survivors' `j` below (and the oracle)
+    val pairs = candIds
+      .join(bs(sets.select(col("sid").as("sa"), col("arr").as("arra"),
+        col("n").as("na"))), "sa")
+      .join(bs(sets.select(col("sid").as("sb"), col("arr").as("arrb"),
+        col("n").as("nb"))), "sb")
+      .withColumn("i", call_function("graft_isect", col("arra"), col("arrb")))
+      .filter(col("i") * lit(1000000L + tMicros) >=
+        lit(tMicros) * (col("na") + col("nb")))
       .withColumn("j", col("i").cast("double") /
         (col("na") + col("nb") - col("i")).cast("double"))
       .select("sa", "sb", "j")
