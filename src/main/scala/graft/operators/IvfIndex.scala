@@ -490,17 +490,57 @@ object IvfIndex {
     * Output: (id_a, id_b, sim) with id_a < id_b, sim unrounded.
     */
   def pairsExact(idx: Index, t: Double): DataFrame = {
-    NativeExpressions.register(idx.assigned.sparkSession)
+    val spark = idx.assigned.sparkSession
+    NativeExpressions.register(spark)
     val cp = survivingCellPairs(idx, t)
-    val ma = idx.assigned.select(col("vec_id").as("id_a"), col("v").as("va"),
-      col("nrm").as("na"), col("cell").as("ca"))
-    val mb = idx.assigned.select(col("vec_id").as("id_b"), col("v").as("vb"),
-      col("nrm").as("nb"), col("cell").as("cb"))
-    ma.join(broadcast(cp), "ca")
-      .join(mb, Seq("cb"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", VF.dotNative(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("sim") >= t)
-      .select(col("id_a"), col("id_b"), col("sim"))
+    // STATISTICS GATE (two aggregations over ≤ k ≈ √n cell rows): when
+    // the triangle test stops pruning — adversarially mixed geometry
+    // widens radii until most cell pairs survive (the r09 sf3 probe: one
+    // index absorbing 30 interleaved replicas) — the cell-pair plan
+    // approaches the same n²/2 dot products as a block scan PLUS an n·√n
+    // member-expansion exchange on top, and measured ~2× the block
+    // scan's cost. Fall back when the surviving pairs would scan more
+    // than `graft.ivf.pairScanRatio` (default 0.5) of the brute total —
+    // but only while the corpus side fits the broadcast bound; above it
+    // the distributed cell-pair join is still the right plan even
+    // unpruned (never a driver-sized broadcast at 100 TB).
+    val cnts = idx.cells.select(col("cell"), col("cnt"))
+    val scannedRow = cp
+      .join(cnts.select(col("cell").as("ca"), col("cnt").as("cca")), "ca")
+      .join(cnts.select(col("cell").as("cb"), col("cnt").as("ccb")), "cb")
+      .agg(sum(col("cca") * col("ccb"))).head()
+    val scanned = if (scannedRow.isNullAt(0)) 0L else scannedRow.getLong(0)
+    val total = idx.cells.agg(sum("cnt")).head().getLong(0)
+    val gate = spark.conf.getOption("graft.ivf.pairScanRatio")
+      .map(_.toDouble).getOrElse(0.5)
+    val bcLimit = spark.conf.getOption("graft.ivf.broadcastThreshold")
+      .map(_.toLong).getOrElse(100000L)
+    if (scanned.toDouble >= gate * total.toDouble * total.toDouble &&
+        total <= bcLimit) {
+      // block scan over the same index members — identical norm and dot
+      // expressions, so sim (and the surviving pair set, by exactness of
+      // both plans) is bit-equal to the cell-pair path
+      val a = idx.assigned.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na"))
+      val b = idx.assigned.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb"))
+      a.join(broadcast(b), col("id_a") < col("id_b"))
+        .withColumn("sim",
+          VF.dotNative(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("sim") >= t)
+        .select(col("id_a"), col("id_b"), col("sim"))
+    } else {
+      val ma = idx.assigned.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na"), col("cell").as("ca"))
+      val mb = idx.assigned.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb"), col("cell").as("cb"))
+      ma.join(broadcast(cp), "ca")
+        .join(mb, Seq("cb"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("sim",
+          VF.dotNative(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("sim") >= t)
+        .select(col("id_a"), col("id_b"), col("sim"))
+    }
   }
 }

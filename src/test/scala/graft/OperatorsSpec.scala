@@ -321,6 +321,35 @@ class OperatorsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(got == naive, s"missing=${naive -- got} extra=${got -- naive}")
   }
 
+  test("IvfIndex.pairsExact scan-ratio gate swaps the plan, never the rows") {
+    // isotropic vectors widen every cell radius until the triangle test
+    // prunes almost nothing — the shape the gate exists for. Forcing the
+    // ratio to 0 (always block-scan) and to an unreachable ceiling
+    // (always cell-pair) must change the join shape and nothing else.
+    val rng = new scala.util.Random(23)
+    val vecs = (0L until 200L).map(i => (i, Seq.fill(6)(rng.nextGaussian())))
+    val idx = graft.operators.IvfIndex.build(vecs.toDF("vec_id", "v"))
+    def run(ratio: String): (Set[(Long, Long)], String) = {
+      spark.conf.set("graft.ivf.pairScanRatio", ratio)
+      try {
+        val df = graft.operators.IvfIndex.pairsExact(idx, 0.6)
+        val rows = df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        (rows, df.queryExecution.executedPlan.toString)
+      } finally spark.conf.unset("graft.ivf.pairScanRatio")
+    }
+    val (bruteRows, brutePlan) = run("0.0")
+    val (cellRows, cellPlan) = run("1000000000.0")
+    assert(bruteRows == cellRows,
+      s"gate changed the answer: only-brute=${bruteRows -- cellRows} " +
+        s"only-cell=${cellRows -- bruteRows}")
+    assert(bruteRows.nonEmpty)
+    assert(brutePlan.contains("BroadcastNestedLoopJoin"),
+      "ratio=0 must take the block scan (id_a < id_b broadcast NLJ)")
+    assert(cellPlan.contains("BroadcastHashJoin") ||
+      cellPlan.contains("SortMergeJoin") || cellPlan.contains("ShuffledHashJoin"),
+      s"ratio=inf must keep the cell-pair equi join; plan=\n$cellPlan")
+  }
+
   test("IvfIndex.knnExact equals brute-force top-k on clustered data") {
     val rng = new scala.util.Random(9)
     val centers = Seq.fill(8)(Array.fill(6)(rng.nextGaussian()))
