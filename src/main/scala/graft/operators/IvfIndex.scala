@@ -167,14 +167,16 @@ object IvfIndex {
   def forgetStored(spark: SparkSession, key: String, keys: DataFrame): (Int, Long) = {
     val root = new java.io.File(cacheRoot(spark))
     val safe = key.replaceAll("[^A-Za-z0-9._-]", "_")
-    val shape = (java.util.regex.Pattern.quote(safe) + raw"-n\d+-v$fmtVersion$$").r
+    // anchored both ends and matched whole-name: key "test" must not also
+    // claim another key's directory like "embtest-n120-v3"
+    val shape = ("^" + java.util.regex.Pattern.quote(safe) + raw"-n\d+-v$fmtVersion$$").r
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(): Unit
     }
     var rewritten = 0
     var removedTotal = 0L
     Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && shape.findFirstIn(f.getName).isDefined)
+      .filter(f => f.isDirectory && shape.pattern.matcher(f.getName).matches())
       .foreach { dir =>
         val idx = Index(
           spark.read.parquet(new java.io.File(dir, "assigned").getPath),

@@ -105,8 +105,8 @@ object Dashboard {
           count(lit(1)).as("n"),
           // sensor values are exact tenths, so sum*10 is an exact integer;
           // floor-divide in integer space instead of ROUND(AVG) — a rounded
-          // quotient lands exactly on x.xx5 ties that Spark and DuckDB break
-          // differently (see .claude/skills/verify gotchas)
+          // quotient lands exactly on x.xx5 ties that Spark (round-half-up)
+          // and DuckDB (round-half-even) break differently
           expr("cast((cast(round(sum(temperature_value)*10) as bigint) * 1000" +
             " div count(temperature_value)) / 10000.0 as double)").as("avg_temp"),
           expr("cast((cast(round(sum(humidity_value)*10) as bigint) * 1000" +

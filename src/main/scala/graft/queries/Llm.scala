@@ -3006,21 +3006,21 @@ object Llm {
           .select(
             col("doc_id"),
             expr("""array_join(zip_with(tok, sequence(0, size(tok) - 1),
-                   |  (t, i) -> IF((doc_id * 2654435761 + i * 40503) % 2147483647 % 100 < 15,
+                   |  (t, i) -> IF(((doc_id % 3000000000) * 2654435761 + i * 40503) % 2147483647 % 100 < 15,
                    |            '<mask>', t)), ' ')""".stripMargin).as("masked_text"),
             expr("""array_join(filter(zip_with(tok, sequence(0, size(tok) - 1),
-                   |  (t, i) -> IF((doc_id * 2654435761 + i * 40503) % 2147483647 % 100 < 15,
+                   |  (t, i) -> IF(((doc_id % 3000000000) * 2654435761 + i * 40503) % 2147483647 % 100 < 15,
                    |            t, NULL)), x -> x IS NOT NULL), ' ')""".stripMargin)
               .as("targets"),
             expr("""CAST(size(filter(sequence(0, size(tok) - 1),
-                   |  i -> (doc_id * 2654435761 + i * 40503) % 2147483647 % 100 < 15))
+                   |  i -> ((doc_id % 3000000000) * 2654435761 + i * 40503) % 2147483647 % 100 < 15))
                    |  AS BIGINT)""".stripMargin).as("n_masked"))
           .orderBy("doc_id"),
       Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
              |pos AS (SELECT doc_id, ws,
              |    unnest(range(0, len(ws))) AS i FROM tok),
              |m AS (SELECT doc_id, i, ws[CAST(i + 1 AS INT)] AS t,
-             |    ((doc_id * 2654435761 + i * 40503) % 2147483647) % 100 < 15 AS hit
+             |    (((doc_id % 3000000000) * 2654435761 + i * 40503) % 2147483647) % 100 < 15 AS hit
              |  FROM pos)
              |SELECT doc_id,
              |  string_agg(CASE WHEN hit THEN '<mask>' ELSE t END, ' ' ORDER BY i)
@@ -3175,8 +3175,10 @@ object Llm {
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_tokens"), sum("d_e6").as("logw_e6"))
         // the x4_mlm_mask LCG family on doc_id; +1 / 2147483649 keeps the
-        // uniform strictly inside (0,1) so neither ln can hit 0 or -inf
-        val u = (col("doc_id") * 2654435761L + 40503L) % 2147483647L
+        // uniform strictly inside (0,1) so neither ln can hit 0 or -inf.
+        // doc_id is reduced first so the multiply stays under 2^63 — Spark
+        // wraps Int64 silently while DuckDB promotes to HUGEINT
+        val u = ((col("doc_id") % 3000000000L) * 2654435761L + 40503L) % 2147483647L
         val g = round(-log(-log((u + 1).cast("double") / 2147483649.0))
           * 1000000).cast("long")
         perDoc
@@ -3215,7 +3217,7 @@ object Llm {
              |    CAST(SUM(d_e6) AS BIGINT) AS logw_e6
              |  FROM tok JOIN delta USING (b) GROUP BY doc_id),
              |scored AS (SELECT doc_id, n_tokens, logw_e6,
-             |    CAST(ROUND(-LN(-LN(CAST((doc_id * 2654435761 + 40503) % 2147483647 + 1
+             |    CAST(ROUND(-LN(-LN(CAST(((doc_id % 3000000000) * 2654435761 + 40503) % 2147483647 + 1
              |      AS DOUBLE) / 2147483649.0)) * 1000000) AS BIGINT) AS gumbel_e6
              |  FROM perdoc)
              |SELECT doc_id, n_tokens, logw_e6, gumbel_e6,

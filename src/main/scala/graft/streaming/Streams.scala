@@ -745,11 +745,15 @@ object Streams {
         cur = graft.operators.IvfIndex.append(cur,
           puts.select(col("doc_id").as("vec_id"),
             VF.toDouble(col("embedding")).as("v")))
-        // eagerly pin the new membership AND cell statistics before the
-        // source batch is unpersisted (forget/append are lazy; both plans
-        // read `b`, and cells would otherwise first materialize in the
-        // NEXT batch, after this batch's frame is gone)
-        cur.assigned.count(); cur.cells.count()
+        // eagerly rebase the store onto localCheckpoints BEFORE the source
+        // batch is unpersisted (forget/append are lazy; both plans read
+        // `b`). The checkpoint also severs the forget/append plan chain —
+        // one layer deeper per batch otherwise — and frees every frame the
+        // fold registered via Caches.persist, so a long-running stream
+        // holds O(index) cached state instead of O(batches).
+        cur = graft.operators.IvfIndex.Index(
+          cur.assigned.localCheckpoint(true), cur.cells.localCheckpoint(true))
+        graft.Caches.drain(s)
         idx = Some(cur)
         b.groupBy("op").agg(count(lit(1)).as("n"))
           .write.mode("overwrite").parquet(s"$path/_audit/batch_id=$batchId")
@@ -1153,7 +1157,13 @@ object Streams {
   private def foldStateDir(s: SparkSession, dir: String,
       schema: org.apache.spark.sql.types.StructType,
       transform: DataFrame => DataFrame = identity): Int = {
-    val gens = stateBatchIds(s, dir).sorted // also heals a prior crash
+    val all = stateBatchIds(s, dir).sorted // also heals a prior crash
+    // the HIGHEST generation is written mid-batch, before the checkpoint
+    // commit — after a mid-batch crash it belongs to a batch that will be
+    // REPLAYED, and folding everything into it would let the replay's
+    // strictly-before read skip the entire fold target and rebuild from
+    // the bare seed. Fold only the committed prefix; leave the top alone.
+    val gens = all.dropRight(1)
     if (gens.length <= 1) 0
     else {
       val top = gens.max
@@ -1210,15 +1220,18 @@ object Streams {
       StructField("nb", LongType), StructField("w", StringType)))
     val folded = fold(s"$path/_state/digests", digestSchema) +
       fold(s"$path/_state/toks", tokSchema)
-    // member->rep is snapshot-per-batch: keep only the latest
+    // member->rep is snapshot-per-batch: keep the latest COMMITTED one.
+    // The newest snapshot may belong to a mid-batch crash (written before
+    // checkpoint commit); a replayed batch reads strictly before it, so
+    // the second-newest must survive compaction too.
     val repDir = s"$path/_state/memrep"
     val reps = stateBatchIds(s, repDir).sorted
-    reps.dropRight(1).foreach { b =>
+    reps.dropRight(2).foreach { b =>
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
       }
       rm(new java.io.File(s"$repDir/batch_id=$b"))
     }
-    folded + math.max(0, reps.length - 1)
+    folded + math.max(0, reps.length - 2)
   }
 }

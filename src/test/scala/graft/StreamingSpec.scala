@@ -426,12 +426,15 @@ class StreamingSpec extends AnyFunSuite {
       "nothing downstream") {
     import graft.streaming.Streams
     import org.apache.spark.sql.functions.col
-    // two runs over the same 3 chunks; run B compacts the log-structured
-    // state after batch 1 — batch 2's decisions (which read that state)
-    // must be identical, and the folded dirs must actually shrink
+    // two runs over the same 4 chunks; run B compacts the log-structured
+    // state after batch 2 — batch 3's decisions (which read that state)
+    // must be identical, and the folded dirs must actually shrink.
+    // Compaction never touches the TOP generation (it may belong to an
+    // uncommitted batch), so a ≥2-generation committed prefix is needed
+    // for it to do anything.
     val docs = graft.Tables.load(spark, SparkTestSession.sfDir, "documents")
       .select(col("doc_id"), col("text")).orderBy("doc_id")
-      .as[(Long, String)].collect().take(300)
+      .as[(Long, String)].collect().take(400)
     val chunks = docs.grouped(100).toSeq
     def run(dir: String, compactAfterBatch1: Boolean): Seq[Set[(Long, String)]] = {
       val in = MemoryStream[(Long, String)](spark)
@@ -440,7 +443,7 @@ class StreamingSpec extends AnyFunSuite {
       try {
         chunks.zipWithIndex.foreach { case (c, i) =>
           in.addData(c.toSeq); q.processAllAvailable()
-          if (compactAfterBatch1 && i == 1) {
+          if (compactAfterBatch1 && i == 2) {
             val folded = Streams.curationStateCompact(spark, s"$dir/out")
             assert(folded >= 3, s"expected generations folded, got $folded")
           }
@@ -457,11 +460,11 @@ class StreamingSpec extends AnyFunSuite {
     val compacted = run(dirB, compactAfterBatch1 = true)
     assert(compacted == plain,
       "decisions diverged after state compaction")
-    // the digest log is actually folded: one generation dir remains at
-    // compaction time, plus batch 2's own
+    // the digest log is actually folded: the committed prefix [0,1]
+    // collapsed into 1, the top generation (2) untouched, plus batch 3's
     val gens = new java.io.File(s"$dirB/out/_state/digests").listFiles()
       .map(_.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
-    assert(gens == Seq("batch_id=1", "batch_id=2"), s"got $gens")
+    assert(gens == Seq("batch_id=1", "batch_id=2", "batch_id=3"), s"got $gens")
   }
 
   test("curation pipeline: a compaction crashed between swap and delete " +
@@ -972,11 +975,15 @@ class StreamingSpec extends AnyFunSuite {
     val moved4 = near(centers(0))
     val probes = Seq((900L, moved4.map(x => x + 1e-4f)),
       (901L, near(centers(2))))
-    // batch 1 deletes id 100 (a key that exists ONLY in the log — its
+    // batch 2 deletes id 100 (a key that exists ONLY in the log — its
     // fold must still not resurrect it) and id 2 (a seed key, whose
-    // tombstone the fold must keep), and moves id 4
+    // tombstone the fold must keep), and moves id 4. Puts are split over
+    // two batches so compaction has a committed prefix of ≥2 generations
+    // below the top one (which it must leave alone: the top may belong to
+    // an uncommitted batch).
     val chunks: Seq[Seq[(Long, Seq[Float], String)]] = Seq(
-      put100.map { case (i, v) => (i, v, "put") },
+      put100.take(2).map { case (i, v) => (i, v, "put") },
+      put100.drop(2).map { case (i, v) => (i, v, "put") },
       Seq((2L, Seq.empty[Float], "delete"), (100L, Seq.empty[Float], "delete"),
         (4L, moved4, "put")),
       probes.map { case (i, v) => (i, v, "put") })
@@ -991,17 +998,21 @@ class StreamingSpec extends AnyFunSuite {
       spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         .parquet(s"$root/src/f*"),
       mkSeed(), s"$root/out", s"$root/ckpt", k = 2)
-    feed(0); feed(1)
+    feed(0); feed(1); feed(2)
     val q1 = start()
     try q1.processAllAvailable() finally q1.stop()
     assert(new java.io.File(s"$root/out/_state/ops").listFiles()
-      .count(_.getName.startsWith("batch_id=")) == 2)
+      .count(_.getName.startsWith("batch_id=")) == 3)
     val folded = Streams.liveStoreCompact(spark, s"$root/out")
     assert(folded == 2, s"expected 2 generations folded, got $folded")
+    // the committed prefix [0,1] folds into 1; the TOP generation (2) is
+    // never folded — it may belong to a mid-batch crash whose replay
+    // reads strictly before it
     val gens = new java.io.File(s"$root/out/_state/ops").listFiles()
-      .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSeq
-    assert(gens == Seq("batch_id=1"), s"log not folded to the top id: $gens")
-    feed(2)
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSeq.sorted
+    assert(gens == Seq("batch_id=1", "batch_id=2"),
+      s"log not folded below the top id: $gens")
+    feed(3)
     val q2 = start()
     try q2.processAllAvailable() finally q2.stop()
     val ref = graft.operators.IvfIndex.build(
@@ -1011,7 +1022,7 @@ class StreamingSpec extends AnyFunSuite {
         .select(col("vec_id"), VF.toDouble(col("embedding")).as("v")))
     val expect = Streams.annLookup(probes.toDF("doc_id", "embedding"), ref, k = 2)
       .as[(Long, Long, Long, Double)].collect().toSet
-    val got = spark.read.parquet(s"$root/out/lookups/batch_id=2")
+    val got = spark.read.parquet(s"$root/out/lookups/batch_id=3")
       .select("doc_id", "rk", "neighbor_id", "sim")
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(got == expect,
