@@ -13,7 +13,9 @@ sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for p in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(p)[:-8]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    # ScaleCorpus writes each table as a DIRECTORY of part files
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 ok, bad, skipped = [], [], []

@@ -41,6 +41,29 @@ object Llm {
     */
   def clearCache(s: SparkSession): Unit = graft.Caches.drain(s)
 
+  /** FIXED query budget for the kNN query sets: every `knnQueryStride(n)`-th
+    * vec_id is a query, stride = 50·max(1, n/5000). Below 5000 vectors
+    * (every test SF) this degenerates to the historical `% 50` rule; above
+    * it the query count stays ~100–119 NO MATTER the corpus size. The flat
+    * audit twins (brute / int8 / pq) scan queries × corpus, so a q ∝ n
+    * query set would make them quadratic in n — the bench's 30× probe
+    * measured the flat PQ twin at 10.5× growth for 3× data before this
+    * bound. Fully id-deterministic (the pqTrainSample pattern), so the
+    * DuckDB oracle replays the identical arithmetic via [[knnStrideSql]].
+    */
+  private[graft] def knnQueryStride(n: Long): Long = 50L * math.max(1L, n / 5000L)
+
+  /** The oracle-side twin of [[knnQueryStride]] — a scalar subquery usable
+    * anywhere the SQL previously hard-coded the modulus 50.
+    */
+  private val knnStrideSql: String =
+    "(50 * (SELECT GREATEST(1, COUNT(*) // 5000) FROM embeddings))"
+
+  /** Splice [[knnStrideSql]] into an oracle that marks its query-set
+    * modulus with the QSTRIDE token.
+    */
+  private def qstride(sql: String): String = sql.replace("QSTRIDE", knnStrideSql)
+
   /** The raw nprobe-bounded ANN search (query_id, rk, neighbor_id, sim)
     * behind x3_knn_ivf_approx: every 50th vector queries the shared IVF
     * index with k=10, nprobe=8. This IS the registered query: the index's
@@ -115,8 +138,10 @@ object Llm {
     // x3_knn_pq — the IVF difference is ONLY the probe filter below
     val (codes0, qd) = pqBuild(s, idx.assigned.select("vec_id", "v"))
     val codes = codes0.join(idx.assigned.select("vec_id", "cell"), "vec_id")
-    // queries + their nprobe=8 probed cells (knnApprox's convention)
-    val qn = idx.assigned.filter(col("vec_id") % 50 === 0)
+    // queries + their nprobe=8 probed cells (knnApprox's convention);
+    // same fixed query budget as pqBuild's ADC table
+    val qn = idx.assigned.filter(
+        col("vec_id") % knnQueryStride(idx.assigned.count()) === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
     val qc = qn.join(broadcast(idx.cells.select("cell", "cv", "cnrm")), lit(true))
@@ -924,8 +949,9 @@ object Llm {
       .withColumn("rk", row_number().over(wA))
       .filter(col("rk") === 1)
       .select("vec_id", "sub", "cid")
-    // ADC: per-query lookup table (query subvector -> every centroid)
-    val qd = sv.filter(col("vec_id") % 50 === 0)
+    // ADC: per-query lookup table (query subvector -> every centroid);
+    // query set bounded by the fixed budget (knnQueryStride), never q ∝ n
+    val qd = sv.filter(col("vec_id") % knnQueryStride(e8.count()) === 0)
       .join(broadcast(cb), Seq("sub", "pos"))
       .groupBy(col("vec_id").as("query_id"), col("sub"), col("cid"))
       .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
@@ -1899,7 +1925,7 @@ object Llm {
         val e = graft.Caches.persist(
           embs(s, dir).select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
             .withColumn("nrm", VF.l2Norm(col("v"))))
-        val q = e.filter(col("vec_id") % 50 === 0)
+        val q = e.filter(col("vec_id") % knnQueryStride(e.count()) === 0)
           .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
         val w = Window.partitionBy("query_id").orderBy(desc("s"), asc("neighbor_id"))
         e.select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("nrm").as("nn"))
@@ -1910,7 +1936,7 @@ object Llm {
           .select(col("query_id"), col("rk"), col("neighbor_id"), round(col("s"), 4).as("sim"))
           .orderBy("query_id", "rk")
       },
-      Some("""SELECT query_id, rk, neighbor_id, ROUND(s, 4) AS sim FROM (
+      Some(qstride("""SELECT query_id, rk, neighbor_id, ROUND(s, 4) AS sim FROM (
              |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
              |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
              |                           CAST(n.embedding AS DOUBLE[])) AS s,
@@ -1919,8 +1945,8 @@ object Llm {
              |                                      CAST(n.embedding AS DOUBLE[])) DESC,
              |               n.vec_id) AS BIGINT) AS rk
              |  FROM embeddings q JOIN embeddings n ON n.vec_id != q.vec_id
-             |  WHERE q.vec_id % 50 = 0)
-             |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+             |  WHERE q.vec_id % QSTRIDE = 0)
+             |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin))),
 
     // ---- X3 IVF top-k search (scale path): data-driven cells (k ∝ √n, one
     // Lloyd refinement), probe the 3 nearest cells to establish a per-query
@@ -1933,14 +1959,15 @@ object Llm {
     Q("x3_knn_ivf",
       (s, dir) => {
         val idx = ivfIndex(s, dir)
-        val q = idx.assigned.filter(col("vec_id") % 50 === 0)
+        val q = idx.assigned.filter(
+            col("vec_id") % knnQueryStride(idx.assigned.count()) === 0)
           .select(col("vec_id").as("query_id"), col("v").as("qv"))
         graft.operators.IvfIndex.knnExact(idx, q, k = 10, nprobe = 3)
           .select(col("query_id"), col("rk"), col("neighbor_id"),
             round(col("s"), 4).as("sim"))
           .orderBy("query_id", "rk")
       },
-      Some("""SELECT query_id, rk, neighbor_id, ROUND(s, 4) AS sim FROM (
+      Some(qstride("""SELECT query_id, rk, neighbor_id, ROUND(s, 4) AS sim FROM (
              |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
              |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
              |                           CAST(n.embedding AS DOUBLE[])) AS s,
@@ -1949,8 +1976,8 @@ object Llm {
              |                                      CAST(n.embedding AS DOUBLE[])) DESC,
              |               n.vec_id) AS BIGINT) AS rk
              |  FROM embeddings q JOIN embeddings n ON n.vec_id != q.vec_id
-             |  WHERE q.vec_id % 50 = 0)
-             |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+             |  WHERE q.vec_id % QSTRIDE = 0)
+             |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin))),
 
     // ---- X3 approximate IVF top-k (the classic ANN operating point):
     // scan only the nprobe nearest cells per query — recall traded for a
@@ -2264,7 +2291,7 @@ object Llm {
               x => floor(x * lit(127.0) / col("ma") + lit(0.5)).cast("double")))
             .withColumn("n8", VF.l2Norm(col("q8")))
             .select("vec_id", "q8", "n8"))
-        val q = e.filter(col("vec_id") % 50 === 0)
+        val q = e.filter(col("vec_id") % knnQueryStride(e.count()) === 0)
           .select(col("vec_id").as("query_id"), col("q8").as("qv"), col("n8").as("qn"))
         val w = Window.partitionBy("query_id").orderBy(desc("s"), asc("neighbor_id"))
         e.select(col("vec_id").as("neighbor_id"), col("q8").as("nv"), col("n8").as("nn"))
@@ -2276,7 +2303,7 @@ object Llm {
             round(col("s"), 4).as("sim"))
           .orderBy("query_id", "rk")
       },
-      Some("""WITH qe AS (
+      Some(qstride("""WITH qe AS (
              |  SELECT vec_id,
              |    list_transform(CAST(embedding AS DOUBLE[]),
              |      x -> floor(x * 127.0 /
@@ -2292,8 +2319,8 @@ object Llm {
              |      ORDER BY list_cosine_similarity(q.q8, n.q8) DESC,
              |               n.vec_id) AS BIGINT) AS rk
              |  FROM qe q JOIN qe n ON n.vec_id != q.vec_id
-             |  WHERE q.vec_id % 50 = 0)
-             |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+             |  WHERE q.vec_id % QSTRIDE = 0)
+             |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin))),
 
     // ---- X3 cascaded retrieval: the production two-stage ANN shape —
     // stage 1 scans the 4×-smaller int8 index for a generous top-50
@@ -2319,7 +2346,8 @@ object Llm {
               x => floor(x * lit(127.0) / col("ma") + lit(0.5)).cast("double")))
             .withColumn("n8", VF.l2Norm(col("q8")))
             .select("vec_id", "q8", "n8"))
-        val q8 = e8.filter(col("vec_id") % 50 === 0)
+        val stride = knnQueryStride(ef.count())
+        val q8 = e8.filter(col("vec_id") % stride === 0)
           .select(col("vec_id").as("query_id"), col("q8").as("qv"), col("n8").as("qn"))
         val w8 = Window.partitionBy("query_id").orderBy(desc("s8"), asc("neighbor_id"))
         val pool = e8
@@ -2329,7 +2357,7 @@ object Llm {
           .withColumn("rk8", row_number().over(w8))
           .filter(col("rk8") <= 50)
           .select("query_id", "neighbor_id")
-        val qf = ef.filter(col("vec_id") % 50 === 0)
+        val qf = ef.filter(col("vec_id") % stride === 0)
           .select(col("vec_id").as("query_id"), col("v").as("fqv"), col("nrm").as("fqn"))
         val w = Window.partitionBy("query_id").orderBy(desc("s"), asc("neighbor_id"))
         pool
@@ -2343,7 +2371,7 @@ object Llm {
             round(col("s"), 4).as("sim"))
           .orderBy("query_id", "rk")
       },
-      Some("""WITH qe AS (
+      Some(qstride("""WITH qe AS (
              |  SELECT vec_id,
              |    list_transform(CAST(embedding AS DOUBLE[]),
              |      x -> floor(x * 127.0 /
@@ -2358,7 +2386,7 @@ object Llm {
              |        ORDER BY list_cosine_similarity(q.q8, n.q8) DESC,
              |                 n.vec_id) AS rk8
              |    FROM qe q JOIN qe n ON n.vec_id != q.vec_id
-             |    WHERE q.vec_id % 50 = 0)
+             |    WHERE q.vec_id % QSTRIDE = 0)
              |  WHERE rk8 <= 50),
              |r AS (SELECT p.query_id, p.neighbor_id,
              |    list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
@@ -2369,7 +2397,7 @@ object Llm {
              |SELECT query_id, rk, neighbor_id, ROUND(s, 4) AS sim FROM (
              |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
              |    ORDER BY s DESC, neighbor_id) AS BIGINT) AS rk FROM r)
-             |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+             |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin))),
 
     // ---- X3 product-quantized cascade (Jegou/Douze/Schmid, "Product
     // Quantization for Nearest Neighbor Search", TPAMI 2011): the 64-dim
@@ -2426,8 +2454,9 @@ object Llm {
           .withColumn("rk8", row_number().over(wp))
           .filter(col("rk8") <= 100)
           .select("query_id", "neighbor_id")
-        // stage 2: full-precision rerank of the 100-candidate pool
-        val qf = ef.filter(col("vec_id") % 50 === 0)
+        // stage 2: full-precision rerank of the 100-candidate pool; same
+        // fixed query budget as pqBuild's ADC table
+        val qf = ef.filter(col("vec_id") % knnQueryStride(ef.count()) === 0)
           .select(col("vec_id").as("query_id"), col("v").as("fqv"), col("nrm").as("fqn"))
         val w = Window.partitionBy("query_id").orderBy(desc("s"), asc("neighbor_id"))
         pool
@@ -2441,7 +2470,7 @@ object Llm {
             round(col("s"), 4).as("sim"))
           .orderBy("query_id", "rk")
       },
-      Some("""WITH e AS (
+      Some(qstride("""WITH e AS (
              |  SELECT vec_id,
              |    list_transform(CAST(embedding AS DOUBLE[]),
              |      x -> floor(x * 127.0 /
@@ -2499,7 +2528,7 @@ object Llm {
              |  SELECT s.vec_id AS query_id, s.sub, c.cid,
              |         SUM((s.x-c.c)*(s.x-c.c)) AS d
              |  FROM sv s JOIN c2 c ON c.sub = s.sub AND c.pos = s.pos
-             |  WHERE s.vec_id % 50 = 0
+             |  WHERE s.vec_id % QSTRIDE = 0
              |  GROUP BY 1, 2, 3),
              |pool AS (SELECT query_id, neighbor_id FROM (
              |    SELECT q.query_id, k.vec_id AS neighbor_id,
@@ -2518,7 +2547,7 @@ object Llm {
              |SELECT query_id, rk, neighbor_id, ROUND(s, 4) AS sim FROM (
              |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
              |    ORDER BY s DESC, neighbor_id) AS BIGINT) AS rk FROM r)
-             |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+             |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin))),
 
     // ---- X3 IVF+PQ: FAISS's flagship composition — the IVF index ROUTES
     // (each query probes its nprobe=8 nearest cells, exactly knnApprox's
@@ -2535,7 +2564,7 @@ object Llm {
     // bit-exact overlap sims.
     Q("x3_knn_ivfpq",
       (s, dir) => knnIvfPqRaw(s, dir),
-      Some(ivfRoutingCtes +
+      Some(qstride(ivfRoutingCtes +
         """sv AS (
           |  SELECT vec_id, CAST((i-1)//4 AS BIGINT) AS sub,
           |         CAST((i-1)%4 AS BIGINT) AS pos, x
@@ -2585,13 +2614,13 @@ object Llm {
           |  SELECT s.vec_id AS query_id, s.sub, c.cid,
           |    SUM((s.x-c.c)*(s.x-c.c)) AS d
           |  FROM sv s JOIN pc2 c ON c.sub = s.sub AND c.pos = s.pos
-          |  WHERE s.vec_id % 50 = 0
+          |  WHERE s.vec_id % QSTRIDE = 0
           |  GROUP BY s.vec_id, s.sub, c.cid),
           |probes AS (SELECT query_id, cell FROM (
           |    SELECT q.vec_id AS query_id, c.cell,
           |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
           |        list_cosine_similarity(q.v, c.cv) DESC, c.cell ASC) AS prk
-          |    FROM e q CROSS JOIN cent c WHERE q.vec_id % 50 = 0)
+          |    FROM e q CROSS JOIN cent c WHERE q.vec_id % QSTRIDE = 0)
           |  WHERE prk <= 8),
           |adc AS (
           |  SELECT p.query_id, cd.vec_id AS neighbor_id, SUM(q.d) AS adist
@@ -2615,7 +2644,7 @@ object Llm {
           |  FROM pool p
           |  JOIN e q ON q.vec_id = p.query_id
           |  JOIN e n ON n.vec_id = p.neighbor_id)
-          |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+          |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin))),
 
     // ---- A7: per-label centroid, flattened to (label, pos, value) rows so the
     // aggregation is fully distributed and the oracle is engine-neutral
