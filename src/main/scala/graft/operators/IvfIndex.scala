@@ -345,6 +345,114 @@ object IvfIndex {
     Index(assignedP, cells = graft.Caches.persist(cent.join(radius, Seq("cell"))))
   }
 
+  /** SHARDED build — the scale form of [[build]] for the exact PAIR family
+    * ([[pairsExact]] and its consumers). One global k-means layout fits ONE
+    * geometry; a corpus assembled from differently-distributed slices
+    * (sources ingested at different times, the bench's rotated replicas)
+    * mixes them inside each cell, the centroids land between the slices,
+    * radii widen to cover both, and the triangle test stops pruning — the
+    * r09 30× probe measured the global cell-pair plan at ~2× the brute
+    * floor. Sharding restores locality: rows are range-partitioned by
+    * `vec_id` into `shards` contiguous id blocks (id locality ≈ ingest
+    * locality — at 100 TB each shard is a source/time slice and builds
+    * independently), and the k-means layout is trained WITHIN each shard
+    * (per-shard seeds, per-shard Lloyd step, assignment never crosses a
+    * shard boundary). Cell radii then describe one slice's geometry, so
+    * cross-slice cell pairs prune away and within-slice pruning works as
+    * designed. Exactness is untouched: [[pairsExact]]/[[knnExact]] need
+    * only r ≥ angle(member, centroid) per cell, which holds for any
+    * assignment. Cell count is Σ√m ≈ √(shards·n) — still sublinear,
+    * still broadcastable.
+    *
+    * `shards <= 1` delegates to [[build]] (bit-identical layout — the one
+    * the knn oracles replay).
+    */
+  def buildSharded(e0: DataFrame, shards: Int): Index = {
+    if (shards <= 1) return build(e0)
+    val spark = e0.sparkSession
+    NativeExpressions.register(spark)
+    val maxabs = array_max(transform(col("v"), x => abs(x)))
+    val base = e0.select(col("vec_id"), col("v"))
+      .withColumn("nrm", VF.l2Norm(col("v")))
+      .withColumn("ma", when(maxabs === 0.0, 1.0).otherwise(maxabs))
+      .withColumn("q8", transform(col("v"),
+        x => floor(x * lit(127.0) / col("ma") + lit(0.5)).cast("double")))
+      .withColumn("sq", VF.dotNative(col("q8"), col("q8")))
+      .drop("ma")
+    val e = graft.Caches.persist(
+      RangedNtile(base, shards, Seq(col("vec_id")), out = "shard"))
+    val n = e.count()
+    val m = math.max(1L, n / shards)
+    val stride = math.max(1L, math.ceil(math.sqrt(m.toDouble)).toLong)
+    // per-shard seeds: the stride-divisible ids landing in the shard
+    // (≈ √m of them — shards are contiguous id ranges wider than the
+    // stride) plus each shard's minimum id, so no shard can end up seedless
+    val seedIds = e.filter(col("vec_id") % stride === 0).select("shard", "vec_id")
+      .unionByName(e.groupBy("shard").agg(min("vec_id").as("vec_id")))
+      .distinct()
+    val seeds = e.join(seedIds, Seq("shard", "vec_id"))
+      .select(col("shard"), col("vec_id").as("cell0"),
+        col("q8").as("s8"), col("sq").as("ss"))
+    // nearest IN-SHARD seed per vector: the same min_by shape as build(),
+    // with the all-pairs join keyed by shard instead of unconditional
+    val assign0 = e.join(broadcast(seeds), Seq("shard"))
+      .withColumn("d0", col("sq") + col("ss")
+        - lit(2.0) * VF.dotNative(col("q8"), col("s8")))
+      .groupBy("vec_id", "shard")
+      .agg(min_by(struct(col("cell0"), col("q8")),
+        struct(col("d0"), col("cell0"))).as("best"))
+      .select(col("shard"), col("vec_id"), col("best.cell0").as("cell0"),
+        col("best.q8").as("q8"))
+    val cent = assign0
+      .select(col("shard"), col("cell0"), posexplode(col("q8")).as(Seq("pos", "x")))
+      .groupBy("shard", "cell0", "pos")
+      .agg(expr("CAST(FLOOR(SUM(x)/COUNT(1)) AS DOUBLE)").as("m"))
+      .groupBy("shard", "cell0")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("shard"), col("cell0").as("cell"),
+        expr("transform(pm, p -> p.m)").as("cv"))
+      .withColumn("cs", VF.dotNative(col("cv"), col("cv")))
+      .withColumn("cnrm", VF.l2Norm(col("cv")))
+    val assigned = e.join(broadcast(cent), Seq("shard"))
+      .withColumn("d1", col("sq") + col("cs")
+        - lit(2.0) * VF.dotNative(col("q8"), col("cv")))
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("cell"), col("cv"), col("cnrm"), col("v"), col("nrm")),
+        struct(col("d1"), col("cell"))).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"),
+        (VF.dotNative(col("best.v"), col("best.cv")) /
+          (col("best.nrm") * col("best.cnrm"))).as("c1"),
+        col("best.v").as("v"), col("best.nrm").as("nrm"))
+    val assignedP = graft.Caches.persist(assigned)
+    val radius = assignedP.groupBy("cell")
+      .agg(max(clampAcos(col("c1"))).as("r"), count(lit(1)).as("cnt"))
+    Index(assignedP, cells = graft.Caches.persist(
+      cent.select("cell", "cv", "cnrm").join(radius, Seq("cell"))))
+  }
+
+  /** [[loadOrBuild]] for the SHARDED layout — same parquet-cache contract,
+    * keyed additionally by the shard count (`key-sh<S>-n<N>-v<fmt>`).
+    * `shards <= 1` delegates to [[loadOrBuild]] so small corpora share the
+    * knn queries' artifact instead of building twice.
+    */
+  def loadOrBuildSharded(e0: DataFrame, key: String, shards: Int): Index = {
+    if (shards <= 1) return loadOrBuild(e0, key)
+    val spark = e0.sparkSession
+    NativeExpressions.register(spark)
+    val n = e0.count()
+    val safe = key.replaceAll("[^A-Za-z0-9._-]", "_")
+    val dir = s"${cacheRoot(spark)}/$safe-sh$shards-n$n-v$fmtVersion"
+    val aPath = s"$dir/assigned"
+    val cPath = s"$dir/cells"
+    def complete(p: String) = new java.io.File(p, "_SUCCESS").isFile
+    if (!complete(aPath) || !complete(cPath)) {
+      val idx = buildSharded(e0, shards)
+      idx.assigned.write.mode("overwrite").parquet(aPath)
+      idx.cells.write.mode("overwrite").parquet(cPath)
+    }
+    Index(spark.read.parquet(aPath), spark.read.parquet(cPath))
+  }
+
   /** Exact top-k cosine neighbors for each query row (`query_id`, `qv`).
     * Two phases, one Catalyst plan: (1) scan the `nprobe` nearest cells to
     * establish a per-query k-th-best lower bound s_k; (2) scan every cell
@@ -517,8 +625,14 @@ object IvfIndex {
       .map(_.toDouble).getOrElse(0.5)
     val bcLimit = spark.conf.getOption("graft.ivf.broadcastThreshold")
       .map(_.toLong).getOrElse(100000L)
-    if (scanned.toDouble >= gate * total.toDouble * total.toDouble &&
-        total <= bcLimit) {
+    val takeBlock = scanned.toDouble >= gate * total.toDouble * total.toDouble &&
+      total <= bcLimit
+    // make the plan choice OBSERVABLE: tests pin it, and a bench run can be
+    // audited after the fact instead of inferring the path from timings
+    spark.conf.set("graft.ivf.lastPairsPath",
+      s"${if (takeBlock) "block" else "cellpair"} scanned=$scanned " +
+        s"total=$total ratio=${scanned.toDouble / math.max(1.0, total.toDouble * total.toDouble)}")
+    if (takeBlock) {
       // block scan over the same index members — identical norm and dot
       // expressions, so sim (and the surviving pair set, by exactness of
       // both plans) is bit-equal to the cell-pair path

@@ -36,6 +36,24 @@ object Llm {
     graft.operators.IvfIndex.loadOrBuild(e, key = dir)
   }
 
+  /** The PAIR family's index ([[graft.operators.IvfIndex.pairsExact]]
+    * consumers): range-SHARDED by vec_id into ~`graft.ivf.shardTarget`-row
+    * slices (default 2048) so each shard's k-means layout fits ONE slice's
+    * geometry and the triangle pruning survives a corpus assembled from
+    * differently-distributed ingest slices — the failure mode the 30×
+    * probe measured on the global layout. Below one shard's worth of rows
+    * this IS the knn queries' shared artifact (loadOrBuildSharded
+    * delegates), so small corpora build once, not twice.
+    */
+  private def ivfPairIndex(s: SparkSession, dir: String): graft.operators.IvfIndex.Index = {
+    val e = embs(s, dir).select(col("vec_id"),
+      VF.toDouble(col("embedding")).as("v"))
+    val target = s.conf.getOption("graft.ivf.shardTarget")
+      .map(_.toLong).getOrElse(2048L)
+    val shards = ((e.count() + target - 1) / target).toInt
+    graft.operators.IvfIndex.loadOrBuildSharded(e, key = dir, shards)
+  }
+
   /** Release this session's query-local caches (delegates to the registry —
     * kept for callers that predate graft.Caches).
     */
@@ -1202,7 +1220,7 @@ object Llm {
        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
        |               CAST(n.embedding AS DOUBLE[])) DESC, n.vec_id) AS rk
        |  FROM embeddings q JOIN embeddings n ON n.vec_id != q.vec_id
-       |  WHERE q.vec_id % 50 = 0) WHERE rk <= 20),
+       |  WHERE q.vec_id % QSTRIDE = 0) WHERE rk <= 20),
        |psim AS (SELECT a.query_id, a.cid AS ca, b.cid AS cb,
        |  CAST(FLOOR((list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
        |         CAST(eb.embedding AS DOUBLE[])) + 1) * 1000000000) AS BIGINT) AS sim_e9
@@ -1676,7 +1694,7 @@ object Llm {
     // scan and still answers exactly (OperatorsSpec pins both behaviors).
     Q("x5_neardup_ivf",
       (s, dir) => {
-        val idx = ivfIndex(s, dir)
+        val idx = ivfPairIndex(s, dir)
         graft.operators.IvfIndex.pairsExact(idx, 0.35)
           .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
           .orderBy("id_a", "id_b")
@@ -1696,7 +1714,7 @@ object Llm {
     // deterministic CC -> recursive-CTE oracle.
     Q("x5_embedding_clusters",
       (s, dir) => {
-        val idx = ivfIndex(s, dir)
+        val idx = ivfPairIndex(s, dir)
         val pairs = graft.operators.IvfIndex.pairsExact(idx, 0.35)
           .select(col("id_a").as("src"), col("id_b").as("dst"))
         labelClusters(idx.assigned.select(col("vec_id").as("id")), pairs, "vec_id")
@@ -1730,7 +1748,7 @@ object Llm {
     // pairs + recursive-CTE reachability.
     Q("x5_semdedup",
       (s, dir) => {
-        val idx = ivfIndex(s, dir)
+        val idx = ivfPairIndex(s, dir)
         val labels = graft.Caches.persist(
           embs(s, dir).select(col("vec_id"), col("label")))
         val pairs = graft.operators.IvfIndex.pairsExact(idx, 0.4)
@@ -1775,7 +1793,7 @@ object Llm {
     // the rank/degree table rides broadcast once AQE sees its size.
     Q("x5_pagerank",
       (s, dir) => {
-        val idx = ivfIndex(s, dir)
+        val idx = ivfPairIndex(s, dir)
         val pairs = graft.operators.IvfIndex.pairsExact(idx, 0.35)
           .select(col("id_a").as("src"), col("id_b").as("dst"))
         val edges = graft.Caches.persist(
@@ -1841,18 +1859,20 @@ object Llm {
       (s, dir) => {
         graft.functions.NativeExpressions.register(s)
         import s.implicits._
-        val e = graft.Caches.persist(
-          embs(s, dir).select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
-            .withColumn("nrm", VF.l2Norm(col("v"))))
-        val q = e.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-        val wTop = Window.partitionBy("query_id").orderBy(desc("s"), asc("cid"))
-        e.select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-          .join(broadcast(q), col("cid") =!= col("query_id"))
-          .withColumn("s", VF.dotNative(col("qv"), col("cv")) / (col("qn") * col("cn")))
-          .withColumn("rk", row_number().over(wTop))
-          .filter(col("rk") <= 20)
-          .select(col("query_id"), col("cid"), col("s"), col("cn"), col("cv"))
+        // candidate top-20 rides the SHARED IVF index (knnExact is EXACT —
+        // recall 1.0 with the identical (s desc, id asc) tie-break — so the
+        // brute-SQL oracle is unchanged) and the query set carries the same
+        // fixed budget as the flat twins: brute candidates × q ∝ n was 9.5×
+        // growth for 3× data at the r09 30× probe
+        val idx = ivfIndex(s, dir)
+        val q = idx.assigned.filter(
+            col("vec_id") % knnQueryStride(idx.assigned.count()) === 0)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        graft.operators.IvfIndex.knnExact(idx, q, k = 20, nprobe = 3)
+          .join(idx.assigned.select(col("vec_id").as("neighbor_id"),
+            col("v").as("cv"), col("nrm").as("cn")), Seq("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id").as("cid"), col("s"),
+            col("cn"), col("cv"))
           .as[(Long, Long, Double, Double, Array[Double])]
           .groupByKey(_._1)
           .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Double, Array[Double])]) =>
@@ -1914,7 +1934,7 @@ object Llm {
           .toDF("query_id", "cid", "pick")
           .orderBy("query_id", "pick")
       },
-      Some(mmrOracle)),
+      Some(qstride(mmrOracle))),
 
     // ---- X3 brute-force top-k cosine similarity search: every 50th vector is
     // a query; queries are broadcast against the full corpus; per-query top-k
@@ -2218,12 +2238,16 @@ object Llm {
     Q("x3_rrf_fusion",
       (s, dir) => {
         val idx = ivfIndex(s, dir)
-        val qv = idx.assigned.filter(col("vec_id") % 50 === 0)
+        // both legs share ONE fixed query budget (vec_id/doc_id spaces are
+        // aligned, stride from the embeddings count): q ∝ n made the fused
+        // query set grow with the corpus — 2.6× growth at the r09 30× probe
+        val stride = knnQueryStride(idx.assigned.count())
+        val qv = idx.assigned.filter(col("vec_id") % stride === 0)
           .select(col("vec_id").as("query_id"), col("v").as("qv"))
         val vleg = graft.operators.IvfIndex.knnExact(idx, qv, k = 20, nprobe = 3)
           .select(col("query_id"), col("neighbor_id"), col("rk").as("rank_vec"))
         val lleg = lexicalJaccardTopK(s, docs(s, dir),
-          col("doc_id") % 50 === 0, k = 20)
+          col("doc_id") % stride === 0, k = 20)
         val wf = Window.partitionBy("query_id")
           .orderBy(desc("score_e9"), asc("neighbor_id"))
         vleg.join(lleg, Seq("query_id", "neighbor_id"), "full_outer")
@@ -2236,14 +2260,14 @@ object Llm {
             col("score_e9"), col("rank_vec"), col("rank_lex"))
           .orderBy("query_id", "rk")
       },
-      Some("""WITH v AS (SELECT query_id, neighbor_id, rv FROM (
+      Some(qstride("""WITH v AS (SELECT query_id, neighbor_id, rv FROM (
              |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
              |      CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
              |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
              |                 CAST(n.embedding AS DOUBLE[])) DESC, n.vec_id)
              |        AS BIGINT) AS rv
              |    FROM embeddings q JOIN embeddings n ON n.vec_id != q.vec_id
-             |    WHERE q.vec_id % 50 = 0)
+             |    WHERE q.vec_id % QSTRIDE = 0)
              |  WHERE rv <= 20),
              |ts AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS tset
              |       FROM documents),
@@ -2255,7 +2279,7 @@ object Llm {
              |          DESC, d.doc_id) AS BIGINT) AS rl
              |    FROM ts q JOIN ts d ON d.doc_id != q.doc_id
              |      AND len(list_intersect(q.tset, d.tset)) > 0
-             |    WHERE q.doc_id % 50 = 0)
+             |    WHERE q.doc_id % QSTRIDE = 0)
              |  WHERE rl <= 20),
              |f AS (SELECT COALESCE(v.query_id, l.query_id) AS query_id,
              |    COALESCE(v.neighbor_id, l.neighbor_id) AS neighbor_id,
@@ -2267,7 +2291,7 @@ object Llm {
              |SELECT query_id, rk, neighbor_id, score_e9, rank_vec, rank_lex FROM (
              |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
              |    ORDER BY score_e9 DESC, neighbor_id) AS BIGINT) AS rk FROM f)
-             |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+             |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin))),
 
     // ---- X3 int8-quantized exact search: per-vector symmetric scalar
     // quantization (q_j = floor(v_j·127/max|v| + 0.5) — floor(x+0.5), not

@@ -710,7 +710,9 @@ object Streams {
     */
   def annLiveStoreSink(stream: DataFrame,
       seed: graft.operators.IvfIndex.Index, path: String, checkpoint: String,
-      k: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+      k: Int = 1,
+      onBatchProgress: (Long, String) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     var idx: Option[graft.operators.IvfIndex.Index] = None
     stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -731,12 +733,14 @@ object Streams {
         val delKeys = b.filter(col("op") === "delete").select("doc_id")
         annLookup(puts.select("doc_id", "embedding"), cur, k)
           .write.mode("overwrite").parquet(s"$path/lookups/batch_id=$batchId")
+        onBatchProgress(batchId, "lookups")
         // durable change log — one overwrite-by-batch directory per batch,
         // vectors normalized to double so replay needs no source schema
         b.select(lit(batchId).as("b"), col("op"), col("doc_id"),
             when(col("op") === "put", VF.toDouble(col("embedding"))).as("v"))
           .write.mode("overwrite")
           .parquet(s"$path/_state/ops/batch_id=$batchId")
+        onBatchProgress(batchId, "ops")
         // upsert = forget any prior version of a re-put id alongside the
         // explicit deletes, then append the new vectors; ids never seen
         // before pass through forget as no-ops

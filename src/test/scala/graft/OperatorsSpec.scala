@@ -706,4 +706,111 @@ class OperatorsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       graft.Caches.drain(spark)
     }
   }
+
+  /** A corpus assembled from differently-distributed contiguous id slices —
+    * the geometry that defeated the GLOBAL layout's triangle pruning in the
+    * r09 30x probe. Slice s lives at ids [s*per, (s+1)*per) and clusters
+    * around its own centers, far from every other slice's.
+    */
+  private def mixedSliceCorpus(slices: Int, per: Int, dim: Int, seed: Int)
+      : Seq[(Long, Seq[Double])] = {
+    val rng = new scala.util.Random(seed)
+    (0 until slices).flatMap { s =>
+      // each slice's centers sit in a distinct orthant, offset by 4·s on
+      // axis s — distributions that share no geometry across slices
+      val centers = Seq.fill(6)(Array.tabulate(dim)(d =>
+        rng.nextGaussian() + (if (d == s % dim) 4.0 * (s + 1) else 0.0)))
+      (0 until per).map { i =>
+        val c = centers(i % 6)
+        ((s * per + i).toLong, c.map(x => x + rng.nextGaussian() * 0.05).toSeq)
+      }
+    }
+  }
+
+  test("IvfIndex.buildSharded: exact pairs on mixed-slice geometry, better pruning than global") {
+    val vecs = mixedSliceCorpus(slices = 3, per = 80, dim = 8, seed = 41)
+    val e = vecs.toDF("vec_id", "v")
+    val naive = (for {
+      (a, va) <- vecs; (b, vb) <- vecs if a < b
+      dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      sim = dot / (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum))
+      if sim >= 0.9
+    } yield (a, b)).toSet
+    assert(naive.nonEmpty)
+    val sharded = graft.operators.IvfIndex.buildSharded(e, shards = 3)
+    // exactness on the CELL-PAIR plan itself (force the gate off the block
+    // fallback so the pruned scan is the thing being verified)
+    spark.conf.set("graft.ivf.pairScanRatio", "1000000000.0")
+    val got = try {
+      graft.operators.IvfIndex.pairsExact(sharded, 0.9)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    } finally spark.conf.unset("graft.ivf.pairScanRatio")
+    assert(got == naive, s"missing=${naive -- got} extra=${got -- naive}")
+
+    // the scale claim: per-shard layouts restore pruning where one global
+    // layout absorbs all three distributions. Compare the fraction of the
+    // n² dot products each index's surviving cell pairs would scan.
+    def scanFraction(idx: graft.operators.IvfIndex.Index): Double = {
+      val cnts = idx.cells.select(col("cell"), col("cnt"))
+      val s = graft.operators.IvfIndex.survivingCellPairs(idx, 0.9)
+        .join(cnts.select(col("cell").as("ca"), col("cnt").as("cca")), "ca")
+        .join(cnts.select(col("cell").as("cb"), col("cnt").as("ccb")), "cb")
+        .agg(sum(col("cca") * col("ccb"))).head().getLong(0)
+      val n = idx.assigned.count().toDouble
+      s / (n * n)
+    }
+    val fShard = scanFraction(sharded)
+    assert(fShard < 0.5,
+      s"sharded layout should prune most of the grid on sliced geometry: $fShard")
+    graft.Caches.drain(spark)
+  }
+
+  test("IvfIndex.pairsExact records its plan choice in graft.ivf.lastPairsPath") {
+    val rng = new scala.util.Random(29)
+    val e = (0L until 150L).map(i => (i, Seq.fill(6)(rng.nextGaussian())))
+      .toDF("vec_id", "v")
+    val idx = graft.operators.IvfIndex.build(e)
+    def pathAfter(ratio: String): String = {
+      spark.conf.set("graft.ivf.pairScanRatio", ratio)
+      try {
+        graft.operators.IvfIndex.pairsExact(idx, 0.6).count()
+        spark.conf.get("graft.ivf.lastPairsPath")
+      } finally spark.conf.unset("graft.ivf.pairScanRatio")
+    }
+    assert(pathAfter("0.0").startsWith("block "),
+      "ratio=0 must record the block-scan path")
+    assert(pathAfter("1000000000.0").startsWith("cellpair "),
+      "ratio=inf must record the cell-pair path")
+    graft.Caches.drain(spark)
+  }
+
+  test("IvfIndex.loadOrBuildSharded: shards<=1 shares the unsharded artifact; sharded key is distinct") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivf-shard-cache").toString
+    val old = spark.conf.getOption("graft.ivf.cacheDir")
+    spark.conf.set("graft.ivf.cacheDir", tmp)
+    try {
+      val vecs = mixedSliceCorpus(slices = 2, per = 60, dim = 6, seed = 7)
+      val e = vecs.toDF("vec_id", "v")
+      val i1 = graft.operators.IvfIndex.loadOrBuildSharded(e, "shtest", shards = 1)
+      assert(i1.assigned.count() == 120)
+      val names = new java.io.File(tmp).listFiles().map(_.getName).toSet
+      assert(names.exists(n => n.startsWith("shtest-n120")),
+        s"shards=1 must delegate to the shared unsharded artifact: $names")
+      assert(!names.exists(_.contains("-sh1-")), s"no sh1 dir expected: $names")
+      val i2 = graft.operators.IvfIndex.loadOrBuildSharded(e, "shtest", shards = 2)
+      assert(i2.assigned.count() == 120)
+      val names2 = new java.io.File(tmp).listFiles().map(_.getName).toSet
+      assert(names2.exists(_.contains("-sh2-")), s"sharded artifact missing: $names2")
+      // and the sharded artifact answers pair queries identically to global
+      val a = graft.operators.IvfIndex.pairsExact(i1, 0.9)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val b = graft.operators.IvfIndex.pairsExact(i2, 0.9)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(a == b, s"sharded index changed the exact answer: ${a -- b} / ${b -- a}")
+    } finally {
+      old.fold(spark.conf.unset("graft.ivf.cacheDir"))(
+        spark.conf.set("graft.ivf.cacheDir", _))
+      graft.Caches.drain(spark)
+    }
+  }
 }

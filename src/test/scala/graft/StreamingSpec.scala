@@ -1034,6 +1034,98 @@ class StreamingSpec extends AnyFunSuite {
     graft.Caches.drain(spark)
   }
 
+  test("live vector store: killed mid-batch TWICE (after lookups, after " +
+      "ops log), restarted — probes match a fresh survivor-built index") {
+    import graft.streaming.Streams
+    val VF = graft.functions.VectorFunctions
+    // Two kill points cover both halves of the batch body's commit window:
+    //   run 1 dies after batch 1's LOOKUPS write — the ops-log entry is
+    //     missing, so the replay must recompute the batch from a fold of
+    //     generations strictly before 1 (only batch 0);
+    //   run 2 dies after batch 1's OPS write — the log entry for batch 1
+    //     IS on disk but its batch never committed, so the replay's fold
+    //     must IGNORE it (strictly-before), not double-apply it.
+    val rng = new scala.util.Random(211)
+    val centers = Seq.fill(3)(Array.fill(6)(rng.nextGaussian()))
+    def near(c: Array[Double]): Seq[Float] =
+      c.map(x => (x + rng.nextGaussian() * 0.01).toFloat).toSeq
+    val seedVecs = (0L until 45L).map(i => (i, near(centers((i % 3).toInt))))
+    def mkSeed() = graft.operators.IvfIndex.build(
+      seedVecs.toDF("vec_id", "embedding")
+        .select(col("vec_id"), VF.toDouble(col("embedding")).as("v")))
+    val put100 = (100L until 104L).map(i => (i, near(centers((i % 3).toInt))))
+    val moved4 = near(centers(0)) // id 4 originally in cluster 4%3=1
+    val probes = Seq((900L, moved4.map(x => x + 1e-4f)),
+      (901L, near(centers(2))))
+    val chunks: Seq[Seq[(Long, Seq[Float], String)]] = Seq(
+      put100.map { case (i, v) => (i, v, "put") },
+      Seq((2L, Seq.empty[Float], "delete"), (8L, Seq.empty[Float], "delete"),
+        (4L, moved4, "put")),
+      probes.map { case (i, v) => (i, v, "put") })
+    val root = java.nio.file.Files.createTempDirectory("ann_live_kill").toString
+    def feed(i: Int): Unit =
+      chunks(i).toDF("doc_id", "embedding", "op").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/src/f$i")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long")
+      .add("embedding", "array<float>").add("op", "string")
+    def start(crashAt: Option[(Long, String)]) = Streams.annLiveStoreSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$root/src/f*"),
+      mkSeed(), s"$root/out", s"$root/ckpt", k = 2,
+      onBatchProgress = (bid, stage) =>
+        if (crashAt.contains((bid, stage)))
+          throw new RuntimeException(s"injected kill at batch $bid/$stage"))
+    feed(0); feed(1)
+    val q1 = start(Some((1L, "lookups")))
+    val e1 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    assert(e1.getMessage.contains("injected kill")); q1.stop()
+    // the dangerous partial state is really on disk: batch 1's lookups
+    // written, its ops-log entry missing
+    assert(new java.io.File(s"$root/out/lookups/batch_id=1").exists())
+    assert(!new java.io.File(s"$root/out/_state/ops/batch_id=1").exists())
+    val q2 = start(Some((1L, "ops")))
+    val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    assert(e2.getMessage.contains("injected kill")); q2.stop()
+    // now the opposite half: the log entry exists, the batch never
+    // committed (audit is written after ops, so it must be absent)
+    assert(new java.io.File(s"$root/out/_state/ops/batch_id=1").exists())
+    assert(!new java.io.File(s"$root/out/_audit/batch_id=1").exists())
+    feed(2)
+    val q3 = start(None)
+    try q3.processAllAvailable() finally q3.stop()
+    // probes answer from the survivor membership — a double-fold of batch
+    // 1's ops (deletes applied twice, or the moved id appended twice)
+    // could not match a fresh build over the logical survivor set
+    val ref = graft.operators.IvfIndex.build(
+      (seedVecs.filterNot(v => Set(2L, 4L, 8L)(v._1)) ++
+        put100 :+ ((4L, moved4))).toDF("vec_id", "embedding")
+        .select(col("vec_id"), VF.toDouble(col("embedding")).as("v")))
+    val expect = Streams.annLookup(probes.toDF("doc_id", "embedding"), ref, k = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val got = spark.read.parquet(s"$root/out/lookups/batch_id=2")
+      .select("doc_id", "rk", "neighbor_id", "sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == expect,
+      s"kill-restart store diverged from the survivor-built index: " +
+        s"only-stream=${got -- expect} only-ref=${expect -- got}")
+    assert(got.exists { case (d, rk, n, _) => d == 900L && rk == 1L && n == 4L },
+      s"re-put id 4 should answer its twin probe from the NEW cluster: $got")
+    val nbrs = got.map(_._3)
+    assert(!nbrs.contains(2L) && !nbrs.contains(8L),
+      s"deleted ids resurrected by the kill-restart sequence: $nbrs")
+    // exactly one committed generation per batch — no duplicate fold input
+    val gens = new java.io.File(s"$root/out/_state/ops").listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSeq.sorted
+    assert(gens == Seq("batch_id=0", "batch_id=1", "batch_id=2"),
+      s"unexpected ops generations: $gens")
+    graft.Caches.drain(spark)
+  }
+
   test("streaming ANN lookup matches batch knnExact row-for-row") {
     import graft.streaming.Streams
     val rng = new scala.util.Random(43)
