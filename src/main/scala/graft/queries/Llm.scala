@@ -1191,6 +1191,62 @@ object Llm {
        |SELECT id AS vec_id, pr AS pr_e12 FROM it5 ORDER BY vec_id""".stripMargin
   }
 
+  /** DuckDB oracle for x5_pagerank_contracted: all-pairs sims → 0.98
+    * contraction via recursive-CTE reachability (min reachable id = the
+    * representative, the same label ConnectedComponents emits) → max-sim
+    * contracted edges → top-4-per-endpoint degree cap (either endpoint
+    * keeps the edge) → the identical 5 unrolled integer-e12 iterations as
+    * [[pagerankOracle]].
+    */
+  private val pagerankContractedOracle: String = {
+    val iters = (1 to 5).map { i =>
+      s"""it$i AS (SELECT d.id, d.deg, d.n,
+         |  (1000000000000 // d.n) * 15 // 100 + COALESCE(s.inc, 0) * 85 // 100 AS pr
+         |FROM it${i - 1} d LEFT JOIN (
+         |  SELECT e.dst AS id, CAST(SUM(p.pr // p.deg) AS BIGINT) AS inc
+         |  FROM edges e JOIN it${i - 1} p ON e.src = p.id GROUP BY e.dst) s USING (id))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE
+       |p0 AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+       |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |      CAST(b.embedding AS DOUBLE[])) AS sim
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+       |-- MATERIALIZED: the unrolled iterations reference their upstream
+       |-- twice per level; inlined, the all-pairs scan would be replayed
+       |-- 2^5 times (measured OOM at sf0.1)
+       |pairs AS MATERIALIZED (SELECT va, vb, sim FROM p0 WHERE sim >= 0.35),
+       |de AS (SELECT va AS a, vb AS b FROM pairs WHERE sim >= 0.98
+       |       UNION ALL SELECT vb, va FROM pairs WHERE sim >= 0.98),
+       |reach(a, b) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT reach.a, e.b FROM reach JOIN de e ON reach.b = e.a),
+       |rep AS MATERIALIZED (SELECT a AS id, MIN(b) AS r FROM reach GROUP BY a),
+       |csize AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_members
+       |          FROM rep GROUP BY r),
+       |ce AS (SELECT LEAST(ra.r, rb.r) AS a, GREATEST(ra.r, rb.r) AS b,
+       |         MAX(sim) AS w
+       |       FROM pairs JOIN rep ra ON ra.id = pairs.va
+       |                  JOIN rep rb ON rb.id = pairs.vb
+       |       WHERE ra.r <> rb.r GROUP BY 1, 2),
+       |dirr AS (SELECT a AS src, b AS dst, w FROM ce
+       |         UNION ALL SELECT b, a, w FROM ce),
+       |kept AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       |         FROM (SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+       |                 ORDER BY w DESC, dst) AS rk FROM dirr)
+       |         WHERE rk <= 4),
+       |edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM kept
+       |          UNION ALL SELECT b, a FROM kept),
+       |deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg
+       |          FROM edges GROUP BY src),
+       |it0 AS (SELECT id, deg, (SELECT COUNT(*) FROM deg) AS n,
+       |        1000000000000 // (SELECT COUNT(*) FROM deg) AS pr FROM deg),
+       |$iters
+       |SELECT d.id AS vec_id, c.n_members, d.pr AS pr_e12
+       |FROM it5 d JOIN csize c ON c.r = d.id ORDER BY vec_id""".stripMargin
+  }
+
   /** DuckDB oracle for x3_mmr_rerank: the same greedy MMR selection,
     * unrolled — sel1 is the top-relevance pick, each further pick i is one
     * CTE that scores the not-yet-selected candidates against all{i-1} with
@@ -1834,6 +1890,79 @@ object Llm {
         pr.select(col("id").as("vec_id"), col("pr").as("pr_e12")).orderBy("vec_id")
       },
       Some(pagerankOracle)),
+
+    // ---- X5 pagerank, CONTRACTED — the scale form of x5_pagerank. The flat
+    // query is linear in edges, but its edge SUPPLY is the 0.35 similarity
+    // graph, and near-identical vectors (exact/near dups — at 100 TB every
+    // large corpus has them in bulk) form cliques: a c-member dup cluster
+    // contributes c²/2 edges that all carry the same information. Two
+    // standard graph reductions, both deterministic and both replayed by
+    // the oracle:
+    //   1. CONTRACTION: sim ≥ 0.98 pairs → connected components → every
+    //      member maps to its min-id representative; edges between two
+    //      clusters collapse to ONE edge weighted max member-pair sim
+    //      (clique edges vanish entirely — they are intra-cluster);
+    //   2. DEGREE CAP: each node keeps its top-4 strongest edges (sim desc,
+    //      id asc); an undirected edge survives if EITHER endpoint keeps it
+    //      (the union rule keeps the graph connected where one hub would
+    //      otherwise orphan its spokes). Iteration cost is then ≤ 8·nodes
+    //      per round no matter how dense the raw similarity graph was.
+    // Then the identical integer-e12 5-iteration walk as x5_pagerank.
+    // Output adds n_members so the contracted mass is visible.
+    Q("x5_pagerank_contracted",
+      (s, dir) => {
+        val idx = ivfPairIndex(s, dir)
+        val pairsAll = graft.Caches.persist(
+          graft.operators.IvfIndex.pairsExact(idx, 0.35)
+            .select(col("id_a"), col("id_b"), col("sim")))
+        val dupEdges = pairsAll.filter(col("sim") >= 0.98)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+        val rep = graft.Caches.persist(labelClusters(
+          idx.assigned.select(col("vec_id").as("id")), dupEdges, "id"))
+        val ce = pairsAll
+          .join(rep.select(col("id").as("id_a"), col("cluster_id").as("ra")), "id_a")
+          .join(rep.select(col("id").as("id_b"), col("cluster_id").as("rb")), "id_b")
+          .filter(col("ra") =!= col("rb"))
+          .groupBy(least(col("ra"), col("rb")).as("a"),
+            greatest(col("ra"), col("rb")).as("b"))
+          .agg(max("sim").as("w"))
+        val dirEdges = ce.select(col("a").as("src"), col("b").as("dst"), col("w"))
+          .union(ce.select(col("b").as("src"), col("a").as("dst"), col("w")))
+        val wCap = Window.partitionBy("src").orderBy(desc("w"), asc("dst"))
+        val kept = dirEdges.withColumn("rk", row_number().over(wCap))
+          .filter(col("rk") <= 4)
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        val edges = graft.Caches.persist(
+          kept.select(col("a").as("src"), col("b").as("dst"))
+            .union(kept.select(col("b").as("src"), col("a").as("dst"))))
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+          .withColumnRenamed("src", "id")
+        val tot = deg.agg(count(lit(1)).as("n"))
+        // same unrolled-lineage contract as x5_pagerank (see that query's
+        // lineage-doubling note; localCheckpoint per iteration beyond 8)
+        val PagerankIters = 5
+        var pr = deg.crossJoin(broadcast(tot))
+          .withColumn("pr", expr("1000000000000 div n"))
+        for (_ <- 1 to PagerankIters) {
+          val contrib = pr.select(col("id").as("src"), expr("pr div deg").as("c"))
+          val inc = edges.join(contrib, "src")
+            .groupBy(col("dst").as("id")).agg(sum("c").as("inc"))
+          pr = pr.drop("pr")
+            .join(inc, Seq("id"), "left")
+            .withColumn("pr", expr(
+              "(1000000000000 div n) * 15 div 100 + coalesce(inc, 0) * 85 div 100"))
+            .drop("inc")
+        }
+        val csize = rep.groupBy(col("cluster_id").as("id"))
+          .agg(count(lit(1)).as("n_members"))
+        pr.join(csize, "id")
+          .select(col("id").as("vec_id"), col("n_members"),
+            col("pr").as("pr_e12"))
+          .orderBy("vec_id")
+      },
+      Some(pagerankContractedOracle)),
 
     // ---- X3 diversity-aware rerank: greedy Maximal Marginal Relevance
     // (Carbonell & Goldstein, SIGIR'98) over each query's top-20 exact
