@@ -90,7 +90,8 @@ object Llm {
     */
   private[graft] def knnIvfApproxRaw(s: SparkSession, dir: String): DataFrame = {
     val idx = ivfIndex(s, dir)
-    val q = idx.assigned.filter(col("vec_id") % 50 === 0)
+    val q = idx.assigned.filter(
+        col("vec_id") % knnQueryStride(idx.assigned.count()) === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     graft.operators.IvfIndex.knnApprox(idx, q, k = 10, nprobe = 8)
       .select(col("query_id"), col("rk"), col("neighbor_id"),
@@ -2142,12 +2143,12 @@ object Llm {
     // clustered/isotropic fixtures; DeterminismSpec pins byte-stability.
     Q("x3_knn_ivf_approx",
       (s, dir) => knnIvfApproxRaw(s, dir),
-      Some(ivfRoutingCtes +
+      Some(qstride(ivfRoutingCtes +
         """probes AS (SELECT query_id, cell FROM (
           |    SELECT q.vec_id AS query_id, c.cell,
           |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
           |        list_cosine_similarity(q.v, c.cv) DESC, c.cell ASC) AS prk
-          |    FROM e q CROSS JOIN cent c WHERE q.vec_id % 50 = 0)
+          |    FROM e q CROSS JOIN cent c WHERE q.vec_id % QSTRIDE = 0)
           |  WHERE prk <= 8)
           |SELECT query_id, rk, neighbor_id, ROUND(s, 4) AS sim FROM (
           |  SELECT p.query_id, m.vec_id AS neighbor_id,
@@ -2159,7 +2160,7 @@ object Llm {
           |  JOIN a1 m ON m.cell = p.cell AND m.vec_id != p.query_id
           |  JOIN e q ON q.vec_id = p.query_id
           |  JOIN e n ON n.vec_id = m.vec_id)
-          |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+          |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin))),
 
     // ---- X3 LSH-bucketed top-k (SURVEY §2.11 X3's "LSH variant for
     // scale"): sign-random-projection codes (Charikar hyperplane LSH),
@@ -2176,8 +2177,11 @@ object Llm {
     // oracle-checkable ANN. LlmSpec pins recall vs x3_knn_brute on the
     // planted-cluster fixture; PlanSpec pins the equi-join shape.
     Q("x3_knn_lsh",
-      (s, dir) => knnLsh(s, embs(s, dir), col("vec_id") % 50 === 0, k = 10),
-      Some("""WITH dim AS (
+      (s, dir) => {
+        val e = embs(s, dir)
+        knnLsh(s, e, col("vec_id") % knnQueryStride(e.count()) === 0, k = 10)
+      },
+      Some(qstride("""WITH dim AS (
              |  SELECT vec_id, embedding,
              |         unnest(generate_series(1, len(embedding))) AS d
              |  FROM embeddings),
@@ -2200,7 +2204,7 @@ object Llm {
              |cand AS (
              |  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
              |  FROM bnd q JOIN bnd n ON q.b = n.b AND q.bv = n.bv
-             |  WHERE q.vec_id % 50 = 0 AND n.vec_id <> q.vec_id)
+             |  WHERE q.vec_id % QSTRIDE = 0 AND n.vec_id <> q.vec_id)
              |SELECT query_id, rk, neighbor_id, ROUND(s, 4) AS sim FROM (
              |  SELECT c.query_id, c.neighbor_id,
              |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -2211,7 +2215,7 @@ object Llm {
              |               c.neighbor_id) AS BIGINT) AS rk
              |  FROM cand c JOIN embeddings a ON a.vec_id = c.query_id
              |              JOIN embeddings b ON b.vec_id = c.neighbor_id)
-             |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+             |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin))),
 
     // ---- X3 FILTERED vector search: top-k under a metadata predicate
     // (label % 4 == 0) — the "filtered ANN" operating point every
@@ -2232,14 +2236,15 @@ object Llm {
           .filter(col("label") % 4 === 0).select("vec_id")
         val fidx = graft.operators.IvfIndex.Index(
           idx.assigned.join(keep, Seq("vec_id"), "left_semi"), idx.cells)
-        val q = idx.assigned.filter(col("vec_id") % 50 === 0)
+        val q = idx.assigned.filter(
+            col("vec_id") % knnQueryStride(idx.assigned.count()) === 0)
           .select(col("vec_id").as("query_id"), col("v").as("qv"))
         graft.operators.IvfIndex.knnExact(fidx, q, k = 10, nprobe = 3)
           .select(col("query_id"), col("rk"), col("neighbor_id"),
             round(col("s"), 4).as("sim"))
           .orderBy("query_id", "rk")
       },
-      Some("""SELECT query_id, rk, neighbor_id, ROUND(s, 4) AS sim FROM (
+      Some(qstride("""SELECT query_id, rk, neighbor_id, ROUND(s, 4) AS sim FROM (
              |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
              |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
              |                           CAST(n.embedding AS DOUBLE[])) AS s,
@@ -2249,8 +2254,8 @@ object Llm {
              |               n.vec_id) AS BIGINT) AS rk
              |  FROM embeddings q JOIN embeddings n
              |    ON n.vec_id != q.vec_id AND n.label % 4 = 0
-             |  WHERE q.vec_id % 50 = 0)
-             |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+             |  WHERE q.vec_id % QSTRIDE = 0)
+             |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin))),
 
     // ---- X3 HYBRID text+vector search (filtered RAG retrieval): top-k
     // nearest neighbors restricted to documents matching a TEXT-modality
@@ -2272,14 +2277,15 @@ object Llm {
           .select(col("doc_id").as("vec_id"))
         val fidx = graft.operators.IvfIndex.Index(
           idx.assigned.join(keep, Seq("vec_id"), "left_semi"), idx.cells)
-        val q = idx.assigned.filter(col("vec_id") % 50 === 0)
+        val q = idx.assigned.filter(
+            col("vec_id") % knnQueryStride(idx.assigned.count()) === 0)
           .select(col("vec_id").as("query_id"), col("v").as("qv"))
         graft.operators.IvfIndex.knnExact(fidx, q, k = 10, nprobe = 3)
           .select(col("query_id"), col("rk"), col("neighbor_id"),
             round(col("s"), 4).as("sim"))
           .orderBy("query_id", "rk")
       },
-      Some("""SELECT query_id, rk, neighbor_id, ROUND(s, 4) AS sim FROM (
+      Some(qstride("""SELECT query_id, rk, neighbor_id, ROUND(s, 4) AS sim FROM (
              |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
              |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
              |                           CAST(n.embedding AS DOUBLE[])) AS s,
@@ -2291,8 +2297,8 @@ object Llm {
              |    ON n.vec_id != q.vec_id AND n.vec_id IN (
              |         SELECT doc_id FROM documents
              |         WHERE lang = 'en' AND text LIKE '%data%')
-             |  WHERE q.vec_id % 50 = 0)
-             |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+             |  WHERE q.vec_id % QSTRIDE = 0)
+             |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin))),
 
     // ---- X3 BM25 lexical top-k retrieval (Robertson/Spärck Jones; the
     // Lucene-style idf = ln(1 + (N-df+0.5)/(df+0.5)), k1=1.2, b=0.75): the

@@ -472,4 +472,72 @@ class NativeKernelsSpec extends AnyFunSuite {
     val withEmpty = Seq((1L, "a"), (2L, "a")).toDF("doc_id", "w")
     assert(runBoth(withEmpty) == ((1L, 1L)))
   }
+
+  test("prefix+size-band join under planted power-law skew: exact rows, " +
+      "hot 50%-df token never reaches a prefix key") {
+    // SCALING.md claims the (prefix element, size band) join's hot-key
+    // fanout is "bounded by the threshold itself": the prefix keeps only
+    // each set's n − ⌈t·n⌉ + 1 RAREST elements, so a token planted in half
+    // the corpus sorts LAST in the global (df asc, w asc) rarity order and
+    // never becomes a join key. Verify both halves of that claim under a
+    // power-law vocabulary, then pin the measured total fanout.
+    val rng = new Random(77)
+    val t = 0.6
+    val base: Seq[(Long, List[String])] = (1L to 240L).map { i =>
+      // log-uniform rank => df ~ 1/rank (Zipf-ish mid tokens), one unique
+      // token per doc keeps the vocabulary open, "hot" rides half the docs
+      val mids = List.fill(10)(
+        s"m${math.floor(math.exp(rng.nextDouble() * math.log(500))).toInt}")
+      val ws = (mids :+ s"u$i") ++ (if (i % 2 == 0) List("hot") else Nil)
+      i -> ws.distinct
+    }
+    // planted near-dup twins: drop one mid token => J comfortably >= t
+    val twins = base.take(25).map { case (i, ws) => (i + 1000L) -> ws.tail }
+    val all = base ++ twins
+    val sets = all.map { case (i, ws) => i -> ws.toSet }.toMap
+    val naive = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      i = sets(a).intersect(sets(b)).size
+      j = i.toDouble / (sets(a).size + sets(b).size - i)
+      if j >= t
+    } yield (a, b)).toSet
+    assert(naive.size >= 25, s"planted twins must qualify: ${naive.size}")
+    val tok = all.flatMap { case (i, ws) => ws.map(w => (i, w)) }
+      .toDF("doc_id", "w")
+    // exactness through the REAL path, forced onto the prefix branch (the
+    // dispatcher would pick bitsets at this vocabulary size)
+    spark.conf.set("graft.setsim.vocabThreshold", "0")
+    val got = try {
+      graft.queries.Llm.jaccardPairsForTest(spark, tok, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    } finally {
+      spark.conf.unset("graft.setsim.vocabThreshold")
+      graft.Caches.drain(spark)
+    }
+    assert(got == naive,
+      s"skewed corpus broke exactness: missing=${naive -- got} extra=${got -- naive}")
+    // fanout audit with the operator's own arithmetic: global rarity order
+    // (df asc, w asc), integer-ceil prefix length — the hot token must sit
+    // outside every prefix, and the per-key a×b candidate total must stay
+    // linear-ish, not |docs|²
+    val df = all.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val order = df.keys.toSeq.sortBy(w => (df(w), w)).zipWithIndex.toMap
+    val tMicros = math.round(t * 1e6)
+    val prefixes = all.map { case (i, ws) =>
+      val arr = ws.map(order).sorted
+      val n = arr.length.toLong
+      val plen = (n - ((n * tMicros + 999999) / 1000000) + 1).toInt
+      i -> arr.take(plen).toSet
+    }.toMap
+    val hotIdx = order("hot")
+    assert(!prefixes.values.exists(_.contains(hotIdx)),
+      "the 50%-df token leaked into a prefix — hot-key fanout unbounded")
+    val perKey = prefixes.values.flatten.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val fanout = perKey.values.map(c => c * c).sum
+    // measured ≈ docs + planted-twin collisions; pinned with wide headroom
+    // but far below the |docs|²/2 ≈ 35k blowup a hot prefix key would cost
+    assert(fanout <= 20L * (all.size + naive.size),
+      s"prefix fanout blew past the linear bound: $fanout")
+  }
 }
