@@ -781,6 +781,25 @@ class OperatorsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "ratio=0 must record the block-scan path")
     assert(pathAfter("1000000000.0").startsWith("cellpair "),
       "ratio=inf must record the cell-pair path")
+    // and the DEFAULT gate flips on the data itself: isotropic vectors
+    // widen every radius until pruning dies (the r09 sf3 full-bench
+    // regression was this gate NOT engaging) -> block; tight clusters
+    // prune nearly everything -> cellpair
+    graft.operators.IvfIndex.pairsExact(idx, 0.6).count()
+    assert(spark.conf.get("graft.ivf.lastPairsPath").startsWith("block "),
+      s"default gate must take the block scan on isotropic data: " +
+        spark.conf.get("graft.ivf.lastPairsPath"))
+    val rng2 = new scala.util.Random(31)
+    val centers = Seq.fill(12)(Array.fill(6)(rng2.nextGaussian() * 3))
+    val clustered = (0L until 240L).map { i =>
+      val c = centers((i % 12).toInt)
+      (i, c.map(x => x + rng2.nextGaussian() * 0.02).toSeq)
+    }
+    val cidx = graft.operators.IvfIndex.build(clustered.toDF("vec_id", "v"))
+    graft.operators.IvfIndex.pairsExact(cidx, 0.95).count()
+    assert(spark.conf.get("graft.ivf.lastPairsPath").startsWith("cellpair "),
+      s"default gate must keep the pruned cell-pair plan on clustered data: " +
+        spark.conf.get("graft.ivf.lastPairsPath"))
     graft.Caches.drain(spark)
   }
 
