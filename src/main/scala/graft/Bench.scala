@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CONF: semicolon-separated key=value session confs for
+    // one-off ablations (e.g. graft.ivf.shardTarget=1000000000 to probe a
+    // scale point with sharding disabled) — full runs leave it unset
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k.trim, v.trim)
+      })
     // stale IVF parquet caches from older fmtVersions accumulate across
     // harness runs — prune once per run (current-version entries are kept)
     graft.operators.IvfIndex.pruneStaleCache(spark)

@@ -345,14 +345,20 @@ object IvfIndex {
     Index(assignedP, cells = graft.Caches.persist(cent.join(radius, Seq("cell"))))
   }
 
-  /** SHARDED build — the scale form of [[build]] for the exact PAIR family
-    * ([[pairsExact]] and its consumers). One global k-means layout fits ONE
+  /** SHARDED build — a per-ingest-slice layout for the exact PAIR family
+    * ([[pairsExact]] and its consumers) on corpora whose slices are
+    * genuinely distribution-disjoint. One global k-means layout fits ONE
     * geometry; a corpus assembled from differently-distributed slices
-    * (sources ingested at different times, the bench's rotated replicas)
-    * mixes them inside each cell, the centroids land between the slices,
-    * radii widen to cover both, and the triangle test stops pruning — the
-    * r09 30× probe measured the global cell-pair plan at ~2× the brute
-    * floor. Sharding restores locality: rows are range-partitioned by
+    * (sources ingested at different times) mixes them inside each cell,
+    * the centroids land between the slices, radii widen to cover both,
+    * and the triangle test stops pruning. Sharding restores locality —
+    * at the cost of √(shards·n) > √n cells of pruning machinery, so it
+    * only pays when slice geometry actually separates: the r10 sf3
+    * ablation on the bench's rotated-replica corpus measured global+gate
+    * at or below the sharded layout on every pair query (47.8 s vs
+    * 65.4 s on x5_neardup_ivf), which is why the pair family defaults to
+    * the global artifact and sharding is opt-in
+    * (`graft.ivf.shardTarget`). Rows are range-partitioned by
     * `vec_id` into `shards` contiguous id blocks (id locality ≈ ingest
     * locality — at 100 TB each shard is a source/time slice and builds
     * independently), and the k-means layout is trained WITHIN each shard

@@ -37,21 +37,30 @@ object Llm {
   }
 
   /** The PAIR family's index ([[graft.operators.IvfIndex.pairsExact]]
-    * consumers): range-SHARDED by vec_id into ~`graft.ivf.shardTarget`-row
-    * slices (default 2048) so each shard's k-means layout fits ONE slice's
-    * geometry and the triangle pruning survives a corpus assembled from
-    * differently-distributed ingest slices — the failure mode the 30×
-    * probe measured on the global layout. Below one shard's worth of rows
-    * this IS the knn queries' shared artifact (loadOrBuildSharded
-    * delegates), so small corpora build once, not twice.
+    * consumers). DEFAULT: the same GLOBAL artifact as the knn family —
+    * build once, share everywhere. The r10 sf3 ablation measured the
+    * alternatives head-to-head on the 30× corpus: the r9 pair-family
+    * regression was entirely the statistics gate not engaging
+    * (`x5_neardup_ivf` 95.2 s → 47.8 s global+gate), while the sharded
+    * per-slice layout ([[graft.operators.IvfIndex.buildSharded]]) paid
+    * √(shards·n) > √n cells of extra pruning machinery for no win on this
+    * corpus's geometry (65.4 s on the identical run). Sharding stays
+    * available for corpora whose ingest slices are genuinely
+    * distribution-disjoint (where one global k-means layout mixes slices
+    * inside each cell and radii stop pruning): set
+    * `graft.ivf.shardTarget` to the intended rows-per-slice and the pair
+    * family builds the per-slice layout instead (0 = off, the default).
     */
   private def ivfPairIndex(s: SparkSession, dir: String): graft.operators.IvfIndex.Index = {
-    val e = embs(s, dir).select(col("vec_id"),
-      VF.toDouble(col("embedding")).as("v"))
     val target = s.conf.getOption("graft.ivf.shardTarget")
-      .map(_.toLong).getOrElse(2048L)
-    val shards = ((e.count() + target - 1) / target).toInt
-    graft.operators.IvfIndex.loadOrBuildSharded(e, key = dir, shards)
+      .map(_.toLong).getOrElse(0L)
+    if (target <= 0L) ivfIndex(s, dir)
+    else {
+      val e = embs(s, dir).select(col("vec_id"),
+        VF.toDouble(col("embedding")).as("v"))
+      val shards = ((e.count() + target - 1) / target).toInt
+      graft.operators.IvfIndex.loadOrBuildSharded(e, key = dir, shards)
+    }
   }
 
   /** Release this session's query-local caches (delegates to the registry —

@@ -39,4 +39,41 @@ class DeterminismSpec extends AnyFunSuite {
     }
     assert(bad.isEmpty, bad.mkString("\n"))
   }
+
+  test("buildSharded layout is bit-identical under 8 vs 3 shuffle partitions") {
+    // The registry sweep above exercises the sharded pair index only at
+    // sf0.001, where it DELEGATES to the unsharded build (n < shardTarget).
+    // Force a multi-shard build here: the shard split rides a range
+    // exchange, whose boundaries re-sample per action (the RangedNtile
+    // trap) — the k-means layout must not depend on the partitioning.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rng = new scala.util.Random(59)
+    val vecs = (0L until 300L).map { i =>
+      val slice = (i / 100L).toInt
+      (i, Seq.tabulate(6)(d =>
+        rng.nextGaussian() + (if (d == slice) 5.0 else 0.0)))
+    }
+    def layout(parts: Int): (Seq[String], Seq[String]) = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try {
+        val idx = graft.operators.IvfIndex.buildSharded(
+          vecs.toDF("vec_id", "v"), shards = 3)
+        val a = idx.assigned.select("vec_id", "cell")
+          .orderBy("vec_id").collect().toSeq.map(_.toString)
+        val c = idx.cells.select(col("cell"), col("cv"), col("r"), col("cnt"))
+          .orderBy("cell").collect().toSeq.map(_.toString)
+        (a, c)
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", 8)
+        graft.Caches.drain(spark)
+      }
+    }
+    val (a8, c8) = layout(8)
+    val (a3, c3) = layout(3)
+    assert(a8 == a3, s"assignments diverged: first diff at ${
+      a8.zip(a3).indexWhere { case (x, y) => x != y }}")
+    assert(c8 == c3, s"cell stats diverged: first diff at ${
+      c8.zip(c3).indexWhere { case (x, y) => x != y }}")
+  }
 }
