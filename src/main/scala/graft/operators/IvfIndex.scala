@@ -608,8 +608,7 @@ object IvfIndex {
   def pairsExact(idx: Index, t: Double): DataFrame = {
     val spark = idx.assigned.sparkSession
     NativeExpressions.register(spark)
-    val cp = survivingCellPairs(idx, t)
-    // STATISTICS GATE (two aggregations over ≤ k ≈ √n cell rows): when
+    // STATISTICS GATE (one tiny collect over ≤ k ≈ √n cell rows): when
     // the triangle test stops pruning — adversarially mixed geometry
     // widens radii until most cell pairs survive (the r09 sf3 probe: one
     // index absorbing 30 interleaved replicas) — the cell-pair plan
@@ -620,19 +619,101 @@ object IvfIndex {
     // but only while the corpus side fits the broadcast bound; above it
     // the distributed cell-pair join is still the right plan even
     // unpruned (never a driver-sized broadcast at 100 TB).
-    val cnts = idx.cells.select(col("cell"), col("cnt"))
-    val scannedRow = cp
-      .join(cnts.select(col("cell").as("ca"), col("cnt").as("cca")), "ca")
-      .join(cnts.select(col("cell").as("cb"), col("cnt").as("ccb")), "cb")
-      .agg(sum(col("cca") * col("ccb"))).head()
-    val scanned = if (scannedRow.isNullAt(0)) 0L else scannedRow.getLong(0)
-    val total = idx.cells.agg(sum("cnt")).head().getLong(0)
+    // dev knob for A/B-ing the gate's own cost: skip the eager statistics
+    // entirely and keep the cell-pair plan (NOT for production — an
+    // unpruned corpus would pay the member-expansion overhead unguarded)
+    if (spark.conf.getOption("graft.ivf.pairGateDisabled").contains("true")) {
+      spark.conf.set("graft.ivf.lastPairsPath", "cellpair gate-disabled")
+      return pairsCellPlan(idx, survivingCellPairs(idx, t), t)
+    }
+    // The statistics live on ≤ k ≈ √n cell rows. Below a cap, collect them
+    // once and compute scanned/total AND the surviving pair list in the
+    // DRIVER (k² float ops over a few hundred rows, identical IEEE
+    // arithmetic to survivingCellPairs — java.lang.Math acos/cos, dots in
+    // array order): running them as Spark jobs cost ~1.5 s of fixed stage
+    // overhead PER pairsExact CALL at local[32] (measured at the 10×
+    // point), dwarfing the arithmetic, and the cell-pair plan can then
+    // broadcast the surviving pairs as a LOCAL relation instead of
+    // re-deriving them through a cross-join subplan. Above the cap (a
+    // corpus far past the broadcast bound) the decision and the pair
+    // derivation stay distributed. The gate only picks between two EXACT
+    // plans, so a last-ulp divergence could never change results.
+    val statsCap = spark.conf.getOption("graft.ivf.gateCollectCap")
+      .map(_.toInt).getOrElse(4096)
+    val cellRows = idx.cells
+      .select(col("cell"), col("cv"), col("cnrm"), col("r"), col("cnt"))
+      .limit(statsCap + 1).collect()
+    if (cellRows.length > statsCap) {
+      // distributed gate: one aggregation action over the lazy cross-join
+      val cp = survivingCellPairs(idx, t)
+      val cnts = idx.cells.select(col("cell"), col("cnt"))
+      val statsRow = cp
+        .join(cnts.select(col("cell").as("ca"), col("cnt").as("cca")), "ca")
+        .join(cnts.select(col("cell").as("cb"), col("cnt").as("ccb")), "cb")
+        .agg(sum(col("cca") * col("ccb")).as("sc"))
+        .crossJoin(idx.cells.agg(sum("cnt").as("tot")))
+        .head()
+      val scanned = if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0)
+      val total = statsRow.getLong(1)
+      return pairsDecide(idx, t, scanned, total, cp)
+    }
+    val ids = cellRows.map(_.getLong(0))
+    val cv = cellRows.map(_.getSeq[Double](1).toArray)
+    val cn = cellRows.map(_.getDouble(2))
+    val r = cellRows.map(_.getDouble(3))
+    val cnt = cellRows.map(_.getLong(4))
+    val k = cellRows.length
+    val survived = Seq.newBuilder[(Long, Long)]
+    var sc = 0L; var tot = 0L; var i = 0
+    while (i < k) {
+      tot += cnt(i)
+      var j = 0
+      while (j < k) {
+        var d = 0.0; var p = 0
+        val a = cv(i); val b = cv(j)
+        while (p < a.length) { d += a(p) * b(p); p += 1 }
+        val th = math.acos(math.min(1.0, math.max(-1.0, d / (cn(i) * cn(j)))))
+        if (math.cos(math.max(th - r(i) - r(j), 0.0)) >= t - 1e-9) {
+          sc += cnt(i) * cnt(j)
+          survived += ((ids(i), ids(j)))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    import spark.implicits._
+    pairsDecide(idx, t, sc, tot, broadcast(survived.result().toDF("ca", "cb")))
+  }
+
+  /** The gate decision + plan tail shared by [[pairsExact]]'s driver-side
+    * and distributed statistics paths. `cp` holds the surviving ordered
+    * cell pairs — a local broadcast relation (driver path) or the lazy
+    * [[survivingCellPairs]] cross-join (distributed path).
+    */
+  private def pairsDecide(idx: Index, t: Double, scanned: Long, total: Long,
+      cp: DataFrame): DataFrame = {
+    val spark = idx.assigned.sparkSession
+    // CALIBRATION (r10, measured at ratio≈1.0 on the bench corpus, where
+    // the triangle test prunes nothing): the cell-pair plan and the block
+    // NLJ evaluate the same ~n²/2 dot products, so the ratio alone cannot
+    // separate them — the crossover is in the CONSTANTS. At 20k rows the
+    // cell-pair plan won 2× (3.99 s vs 8.6 s: the NLJ pays its broadcast
+    // build + per-combination condition machinery); at 60k the NLJ won 2×
+    // (47.8 s vs 95.2 s: the expansion's 1.5e7-row sort/exchange starts to
+    // spill). Block therefore needs BOTH a dead-pruning ratio (default
+    // 0.95 — below it the cell-pair plan genuinely skips work) and a row
+    // floor (default 30k — below it the NLJ's constants lose), and stays
+    // inside the broadcast bound (above it the distributed cell-pair join
+    // is the only sound plan at any ratio — never a driver-sized
+    // broadcast at 100 TB).
     val gate = spark.conf.getOption("graft.ivf.pairScanRatio")
-      .map(_.toDouble).getOrElse(0.5)
+      .map(_.toDouble).getOrElse(0.95)
+    val minRows = spark.conf.getOption("graft.ivf.blockMinRows")
+      .map(_.toLong).getOrElse(30000L)
     val bcLimit = spark.conf.getOption("graft.ivf.broadcastThreshold")
       .map(_.toLong).getOrElse(100000L)
     val takeBlock = scanned.toDouble >= gate * total.toDouble * total.toDouble &&
-      total <= bcLimit
+      total > minRows && total <= bcLimit
     // make the plan choice OBSERVABLE: tests pin it, and a bench run can be
     // audited after the fact instead of inferring the path from timings
     spark.conf.set("graft.ivf.lastPairsPath",
@@ -651,18 +732,21 @@ object IvfIndex {
           VF.dotNative(col("va"), col("vb")) / (col("na") * col("nb")))
         .filter(col("sim") >= t)
         .select(col("id_a"), col("id_b"), col("sim"))
-    } else {
-      val ma = idx.assigned.select(col("vec_id").as("id_a"), col("v").as("va"),
-        col("nrm").as("na"), col("cell").as("ca"))
-      val mb = idx.assigned.select(col("vec_id").as("id_b"), col("v").as("vb"),
-        col("nrm").as("nb"), col("cell").as("cb"))
-      ma.join(broadcast(cp), "ca")
-        .join(mb, Seq("cb"))
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("sim",
-          VF.dotNative(col("va"), col("vb")) / (col("na") * col("nb")))
-        .filter(col("sim") >= t)
-        .select(col("id_a"), col("id_b"), col("sim"))
-    }
+    } else pairsCellPlan(idx, cp, t)
+  }
+
+  /** The pruned cell-pair scan — the distributed branch of [[pairsExact]]. */
+  private def pairsCellPlan(idx: Index, cp: DataFrame, t: Double): DataFrame = {
+    val ma = idx.assigned.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"), col("cell").as("ca"))
+    val mb = idx.assigned.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("cell").as("cb"))
+    ma.join(broadcast(cp), "ca")
+      .join(mb, Seq("cb"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim",
+        VF.dotNative(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= t)
+      .select(col("id_a"), col("id_b"), col("sim"))
   }
 }

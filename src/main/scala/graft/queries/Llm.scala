@@ -1862,8 +1862,16 @@ object Llm {
         val idx = ivfPairIndex(s, dir)
         val pairs = graft.operators.IvfIndex.pairsExact(idx, 0.35)
           .select(col("id_a").as("src"), col("id_b").as("dst"))
-        val edges = graft.Caches.persist(
-          pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst"))))
+        // EAGER localCheckpoint, not persist: the loop references edges ~2x
+        // per unrolled iteration from independently-planned stages, and a
+        // cache (lazy OR count()-forced) still left the expensive pairsExact
+        // upstream re-executing downstream (measured 16.3-17.5 s vs 12.9 s
+        // at the 10x point with the cell-pair source); checkpointing severs
+        // the lineage so the loop's cost is independent of which pairsExact
+        // plan the gate chose
+        val edges = pairs
+          .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+          .localCheckpoint(true)
         // deg deliberately NOT persisted either — A/B profiled: caching it
         // measured 3.5 s steady vs 2.1-2.8 s lazy (the InMemoryRelation
         // blocks AQE's broadcast of the re-aggregated node frame; the
@@ -1922,9 +1930,15 @@ object Llm {
     Q("x5_pagerank_contracted",
       (s, dir) => {
         val idx = ivfPairIndex(s, dir)
-        val pairsAll = graft.Caches.persist(
-          graft.operators.IvfIndex.pairsExact(idx, 0.35)
-            .select(col("id_a"), col("id_b"), col("sim")))
+        // EAGER localCheckpoint, not persist: the contraction + loop below
+        // reference this frame from many independently-planned stages, and
+        // a lazy (or even count()-forced) cache still left the expensive
+        // pair scan re-executing downstream (measured 36 s vs 20 s solo at
+        // the 10x point); checkpointing severs the lineage so downstream
+        // cost is independent of which pairsExact plan the gate chose
+        val pairsAll = graft.operators.IvfIndex.pairsExact(idx, 0.35)
+          .select(col("id_a"), col("id_b"), col("sim"))
+          .localCheckpoint(true)
         val dupEdges = pairsAll.filter(col("sim") >= 0.98)
           .select(col("id_a").as("src"), col("id_b").as("dst"))
         val rep = graft.Caches.persist(labelClusters(
@@ -1944,9 +1958,11 @@ object Llm {
           .select(least(col("src"), col("dst")).as("a"),
             greatest(col("src"), col("dst")).as("b"))
           .distinct()
-        val edges = graft.Caches.persist(
-          kept.select(col("a").as("src"), col("b").as("dst"))
-            .union(kept.select(col("b").as("src"), col("a").as("dst"))))
+        // eager checkpoint: the loop references edges twice per unrolled
+        // iteration (see x5_pagerank's edges note)
+        val edges = kept.select(col("a").as("src"), col("b").as("dst"))
+          .union(kept.select(col("b").as("src"), col("a").as("dst")))
+          .localCheckpoint(true)
         val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
           .withColumnRenamed("src", "id")
         val tot = deg.agg(count(lit(1)).as("n"))

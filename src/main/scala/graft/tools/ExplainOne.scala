@@ -18,6 +18,9 @@ object ExplainOne {
     spark.sparkContext.setLogLevel("WARN")
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
     df.collect()
+    // surface the pair-scan gate's recorded decision when the query hit it
+    spark.conf.getOption("graft.ivf.lastPairsPath")
+      .foreach(p => println(s"==== graft.ivf.lastPairsPath: $p"))
     println(s"==== $name optimized ====")
     println(df.queryExecution.optimizedPlan.toString)
     println(s"==== $name physical ====")

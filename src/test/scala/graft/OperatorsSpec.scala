@@ -331,11 +331,17 @@ class OperatorsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     val idx = graft.operators.IvfIndex.build(vecs.toDF("vec_id", "v"))
     def run(ratio: String): (Set[(Long, Long)], String) = {
       spark.conf.set("graft.ivf.pairScanRatio", ratio)
+      // the row floor would veto block on a 200-row fixture — disable it
+      // here so the ratio knob is the thing under test
+      spark.conf.set("graft.ivf.blockMinRows", "0")
       try {
         val df = graft.operators.IvfIndex.pairsExact(idx, 0.6)
         val rows = df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
         (rows, df.queryExecution.executedPlan.toString)
-      } finally spark.conf.unset("graft.ivf.pairScanRatio")
+      } finally {
+        spark.conf.unset("graft.ivf.pairScanRatio")
+        spark.conf.unset("graft.ivf.blockMinRows")
+      }
     }
     val (bruteRows, brutePlan) = run("0.0")
     val (cellRows, cellPlan) = run("1000000000.0")
@@ -770,6 +776,10 @@ class OperatorsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     val e = (0L until 150L).map(i => (i, Seq.fill(6)(rng.nextGaussian())))
       .toDF("vec_id", "v")
     val idx = graft.operators.IvfIndex.build(e)
+    // the row floor would veto block on these tiny fixtures — disable it so
+    // the ratio logic is the thing under test (its own default is pinned
+    // separately below)
+    spark.conf.set("graft.ivf.blockMinRows", "0")
     def pathAfter(ratio: String): String = {
       spark.conf.set("graft.ivf.pairScanRatio", ratio)
       try {
@@ -781,13 +791,13 @@ class OperatorsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "ratio=0 must record the block-scan path")
     assert(pathAfter("1000000000.0").startsWith("cellpair "),
       "ratio=inf must record the cell-pair path")
-    // and the DEFAULT gate flips on the data itself: isotropic vectors
+    // and the DEFAULT ratio flips on the data itself: isotropic vectors
     // widen every radius until pruning dies (the r09 sf3 full-bench
     // regression was this gate NOT engaging) -> block; tight clusters
     // prune nearly everything -> cellpair
     graft.operators.IvfIndex.pairsExact(idx, 0.6).count()
     assert(spark.conf.get("graft.ivf.lastPairsPath").startsWith("block "),
-      s"default gate must take the block scan on isotropic data: " +
+      s"default ratio must take the block scan on isotropic data: " +
         spark.conf.get("graft.ivf.lastPairsPath"))
     val rng2 = new scala.util.Random(31)
     val centers = Seq.fill(12)(Array.fill(6)(rng2.nextGaussian() * 3))
@@ -799,6 +809,15 @@ class OperatorsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     graft.operators.IvfIndex.pairsExact(cidx, 0.95).count()
     assert(spark.conf.get("graft.ivf.lastPairsPath").startsWith("cellpair "),
       s"default gate must keep the pruned cell-pair plan on clustered data: " +
+        spark.conf.get("graft.ivf.lastPairsPath"))
+    spark.conf.unset("graft.ivf.blockMinRows")
+    // the ROW FLOOR's default: on a corpus below graft.ivf.blockMinRows the
+    // NLJ's constants lose to the cell-pair plan even at ratio 1.0
+    // (measured: 3.99 s vs 8.6 s at the 10x point), so dead pruning alone
+    // must NOT flip a small corpus to block
+    graft.operators.IvfIndex.pairsExact(idx, 0.6).count()
+    assert(spark.conf.get("graft.ivf.lastPairsPath").startsWith("cellpair "),
+      s"default row floor must keep small corpora on the cell-pair plan: " +
         spark.conf.get("graft.ivf.lastPairsPath"))
     graft.Caches.drain(spark)
   }
