@@ -2154,6 +2154,44 @@ object Llm {
              |  WHERE q.vec_id % QSTRIDE = 0)
              |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin))),
 
+    // ---- X3 exact top-k over the per-ingest-slice SHARDED layout
+    // (IvfIndex.buildSharded, shards=4 forced so the multi-shard path runs
+    // at every SF): the layout a 100 TB deployment uses when its ingest
+    // slices are distribution-disjoint — each slice's k-means is trained
+    // locally, so cell radii describe one slice's geometry and cross-slice
+    // cell pairs prune (the global layout mixes slices inside each cell
+    // and stops pruning; SCALING.md r10 has the ablation, which is why the
+    // OTHER queries default to the global artifact). knnExact is EXACT
+    // over ANY layout — only pruning effectiveness varies — so the
+    // brute-force SQL is the oracle and the full neighbor lists
+    // hash-match; DeterminismSpec's registry sweep additionally pins the
+    // sharded build byte-stable across shuffle-partition counts.
+    Q("x3_knn_ivf_sharded",
+      (s, dir) => {
+        val e = embs(s, dir).select(col("vec_id"),
+          VF.toDouble(col("embedding")).as("v"))
+        val idx = graft.operators.IvfIndex.loadOrBuildSharded(
+          e, key = dir, shards = 4)
+        val q = idx.assigned.filter(
+            col("vec_id") % knnQueryStride(idx.assigned.count()) === 0)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        graft.operators.IvfIndex.knnExact(idx, q, k = 10, nprobe = 3)
+          .select(col("query_id"), col("rk"), col("neighbor_id"),
+            round(col("s"), 4).as("sim"))
+          .orderBy("query_id", "rk")
+      },
+      Some(qstride("""SELECT query_id, rk, neighbor_id, ROUND(s, 4) AS sim FROM (
+             |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+             |                           CAST(n.embedding AS DOUBLE[])) AS s,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+             |                                      CAST(n.embedding AS DOUBLE[])) DESC,
+             |               n.vec_id) AS BIGINT) AS rk
+             |  FROM embeddings q JOIN embeddings n ON n.vec_id != q.vec_id
+             |  WHERE q.vec_id % QSTRIDE = 0)
+             |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin))),
+
     // ---- X3 approximate IVF top-k (the classic ANN operating point):
     // scan only the nprobe nearest cells per query — recall traded for a
     // HARD scanned-fraction bound (~nprobe/√n of the corpus), the knob a
