@@ -796,6 +796,61 @@ object Llm {
     size(toks) >= 5 && size(filter(toks, x => x.isin(stop: _*))) >= 1
   }
 
+  /** DSIR feature rows over `d` (doc_id, text): one row per token carrying
+    * the 1024-bucket hashed-unigram feature and the target-membership flag
+    * (the corpus's own quality gate — DSIR's classic setup, where a cheap
+    * seed heuristic defines the target distribution). ONE definition
+    * shared by the batch x4_dsir query and the delta-table trainer the
+    * streaming [[graft.streaming.Streams.dsirScreen]] consumes, so the
+    * online and offline featurizations are structurally incapable of
+    * diverging. Requires NativeExpressions registered.
+    */
+  private[graft] def dsirTok(d: DataFrame): DataFrame = {
+    val toks = TF.tokens(col("text"))
+    d.select(col("doc_id"), qualityPredicate.as("tgt"),
+        explode(call_function("graft_wordhash62", toks)).as("h"))
+      .select(col("doc_id"), col("tgt"), expr("pmod(h, 1024)").as("b"))
+  }
+
+  /** Per-bucket DSIR importance deltas from a [[dsirTok]] frame:
+    * d_e6 = round(1e6 · (ln p̂_target(b) − ln p̂_raw(b))) with add-one
+    * smoothing — integer micro-units BEFORE the per-doc sum, so the
+    * aggregation is order-independent (the x4_lm_score precedent).
+    */
+  private[graft] def dsirDeltasFromTok(tok: DataFrame): DataFrame = {
+    val cnt = tok.groupBy("b").agg(count(lit(1)).as("rc"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("tc"))
+    val tot = cnt.agg(sum("rc").as("rn"), sum("tc").as("tn"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("b"), round((
+        log((col("tc") + 1).cast("double") / (col("tn") + 1024).cast("double")) -
+        log((col("rc") + 1).cast("double") / (col("rn") + 1024).cast("double")))
+        * 1000000).cast("long").as("d_e6"))
+  }
+
+  /** Train the DSIR delta table on `d` and collect it for ONLINE scoring:
+    * returns (bucket → d_e6, default d_e6 for buckets the training corpus
+    * never produced — the add-one-smoothed value at zero counts, NOT 0).
+    * Bounded by construction: ≤ 1024 rows ever reach the driver. This is
+    * the offline half of a production DSIR deployment; the streaming
+    * screen applies the frozen table per incoming document.
+    */
+  private[graft] def dsirDeltaMap(s: SparkSession, d: DataFrame)
+      : (Map[Long, Long], Long) = {
+    graft.functions.NativeExpressions.register(s)
+    val tok = dsirTok(d)
+    val m = dsirDeltasFromTok(tok).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val Array(rn, tn) = tok.agg(count(lit(1)),
+      sum(when(col("tgt"), 1L).otherwise(0L))).head() match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val default = math.round((
+      math.log(1.0 / (tn + 1024).toDouble) -
+      math.log(1.0 / (rn + 1024).toDouble)) * 1000000)
+    (m, default)
+  }
+
   /** LEARNED quality classifier — the shipped artifact of an offline
     * logistic-regression distillation of [[qualityPredicate]] (trained once
     * over the x4_hash_embed 32-bucket count features of the sf0.1 corpus;
@@ -3406,22 +3461,8 @@ object Llm {
     Q("x4_dsir",
       (s, dir) => {
         graft.functions.NativeExpressions.register(s)
-        val toks = TF.tokens(col("text"))
-        val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
-        val isTarget = size(toks) >= 5 &&
-          size(filter(toks, x => x.isin(stop: _*))) >= 1
-        val tok = docs(s, dir)
-          .select(col("doc_id"), isTarget.as("tgt"),
-            explode(call_function("graft_wordhash62", toks)).as("h"))
-          .select(col("doc_id"), col("tgt"), expr("pmod(h, 1024)").as("b"))
-        val cnt = tok.groupBy("b").agg(count(lit(1)).as("rc"),
-          sum(when(col("tgt"), 1L).otherwise(0L)).as("tc"))
-        val tot = cnt.agg(sum("rc").as("rn"), sum("tc").as("tn"))
-        val delta = cnt.crossJoin(broadcast(tot))
-          .select(col("b"), round((
-            log((col("tc") + 1).cast("double") / (col("tn") + 1024).cast("double")) -
-            log((col("rc") + 1).cast("double") / (col("rn") + 1024).cast("double")))
-            * 1000000).cast("long").as("d_e6"))
+        val tok = dsirTok(docs(s, dir))
+        val delta = dsirDeltasFromTok(tok)
         val perDoc = tok.join(broadcast(delta), "b")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_tokens"), sum("d_e6").as("logw_e6"))

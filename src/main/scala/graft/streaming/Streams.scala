@@ -799,6 +799,43 @@ object Streams {
         .select(col("doc_id").as("vec_id"), col("v")))
   }
 
+  /** Streaming DSIR selection gate — the online half of importance
+    * resampling (Xie et al., NeurIPS'23): the delta table is TRAINED
+    * OFFLINE on a reference corpus ([[graft.queries.Llm.dsirDeltaMap]],
+    * ≤ 1024 entries by construction) and FROZEN into this screen as a map
+    * literal; each incoming document is then scored with pure per-row
+    * expressions — tokenize with the SAME portable hash as the batch
+    * query, look every token's bucket up in the frozen map (unseen
+    * buckets take the add-one-smoothed default, not 0), sum the integer
+    * micro-unit deltas. Stateless append-mode projection: no watermark,
+    * no state store, scales with input partitions — while the batch twin
+    * x4_dsir and this screen share the featurization helpers, so a doc
+    * scores IDENTICALLY online and offline (StreamingSpec pins
+    * cell-identical logw_e6 against the batch pipeline).
+    *
+    * `minLogwE6` gates admission: DSIR's Gumbel-top-k draw needs the
+    * whole candidate pool, so a STREAM admits by threshold instead (the
+    * standard online surrogate — the threshold is calibrated offline from
+    * the batch draw's score floor).
+    */
+  def dsirScreen(incoming: DataFrame, deltaE6: Map[Long, Long],
+      defaultE6: Long, minLogwE6: Long): DataFrame = {
+    graft.functions.NativeExpressions.register(incoming.sparkSession)
+    val toks = split(col("text"), " ")
+    val buckets = transform(
+      call_function("graft_wordhash62", toks), h => pmod(h, lit(1024L)))
+    val mapLit =
+      if (deltaE6.isEmpty) map_from_arrays(array(), array())
+      else map(deltaE6.toSeq.sortBy(_._1)
+        .flatMap { case (b, d) => Seq(lit(b), lit(d)) }: _*)
+    val logw = aggregate(buckets, lit(0L),
+      (acc, b) => acc + coalesce(element_at(mapLit, b), lit(defaultE6)))
+    incoming.select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        logw.as("logw_e6"))
+      .withColumn("admitted", col("logw_e6") >= minLogwE6)
+  }
+
   /** Streaming QUALITY screen — the third ingest gate beside the MinHash
     * and embedding near-dup screens: score each incoming document with the
     * same pure expressions as the batch `x4_quality`/`x4_repetition`

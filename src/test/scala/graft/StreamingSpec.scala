@@ -1161,6 +1161,47 @@ class StreamingSpec extends AnyFunSuite {
     graft.Caches.drain(spark)
   }
 
+  test("streaming DSIR screen scores cell-identically to the batch x4_dsir " +
+      "pipeline; unseen buckets take the smoothed default") {
+    import graft.streaming.Streams
+    // offline half: train the delta table on the corpus
+    val d = graft.Tables.load(spark, SparkTestSession.sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val (deltas, default) = graft.queries.Llm.dsirDeltaMap(spark, d)
+    assert(deltas.nonEmpty && deltas.size <= 1024)
+    assert(default != 0L, "smoothed default for unseen buckets must not be 0")
+    // batch reference: the same per-doc (n_tokens, logw_e6) the x4_dsir
+    // query computes before its Gumbel draw — via the SHARED helpers
+    val tok = graft.queries.Llm.dsirTok(d)
+    val batch = tok
+      .join(broadcast(graft.queries.Llm.dsirDeltasFromTok(tok)), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("d_e6").as("logw_e6"))
+      .as[(Long, Long, Long)].collect().toSet
+    // online half: stream the SAME documents through the frozen screen
+    val in = MemoryStream[(Long, String)](spark)
+    val screened = Streams.dsirScreen(in.toDF().toDF("doc_id", "text"),
+      deltas, default, minLogwE6 = 0L)
+    assert(screened.isStreaming, "screen must stay a streaming plan")
+    val q = screened.writeStream.format("memory")
+      .queryName("dsir_screen").outputMode("append").start()
+    val docsLocal = d.as[(Long, String)].collect().toSeq
+    in.addData(docsLocal: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("dsir_screen")
+      .select("doc_id", "n_tokens", "logw_e6")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"online/offline DSIR scores diverged: only-stream=" +
+        s"${(streamed -- batch).take(3)} only-batch=${(batch -- streamed).take(3)}")
+    // admission threshold behaves: everything scores, flag = logw >= min
+    val flags = spark.table("dsir_screen")
+      .select("doc_id", "logw_e6", "admitted")
+      .as[(Long, Long, Boolean)].collect()
+    assert(flags.forall { case (_, w, a) => a == (w >= 0L) })
+    graft.Caches.drain(spark)
+  }
+
   test("streaming quality screen gates on length, stopwords, and repetition") {
     val in = MemoryStream[(Long, String)](spark)
     val screened = Streams.qualityScreen(in.toDF().toDF("doc_id", "text"))
