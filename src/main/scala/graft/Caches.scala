@@ -26,15 +26,45 @@ object Caches {
   private val reg = new java.util.HashMap[
     SparkSession, scala.collection.mutable.ArrayBuffer[DataFrame]]()
 
-  /** Persist `df` (default MEMORY_AND_DISK) and register it for `drain`. */
-  def persist(df: DataFrame): DataFrame = reg.synchronized {
-    var buf = reg.get(df.sparkSession)
-    if (buf == null) {
-      buf = scala.collection.mutable.ArrayBuffer[DataFrame]()
-      reg.put(df.sparkSession, buf)
+  // an active scope() on this thread captures persists INSTEAD of the
+  // session registry — so long-lived library sinks (foreachBatch bodies)
+  // can release exactly the frames their own batch registered without
+  // drain()'s global sweep unpersisting frames owned by other queries
+  // running concurrently on the same session
+  private val local =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[DataFrame]]
+
+  /** Persist `df` (default MEMORY_AND_DISK) and register it for `drain` —
+    * or, inside a [[scoped]] block on this thread, for that scope's exit.
+    */
+  def persist(df: DataFrame): DataFrame = {
+    val l = local.get()
+    if (l != null) { l += df; return df.persist() }
+    reg.synchronized {
+      var buf = reg.get(df.sparkSession)
+      if (buf == null) {
+        buf = scala.collection.mutable.ArrayBuffer[DataFrame]()
+        reg.put(df.sparkSession, buf)
+      }
+      buf += df
     }
-    buf += df
     df.persist()
+  }
+
+  /** Run `body`; on exit unpersist ONLY the frames `persist`ed during it on
+    * this thread. Every plan the body wants to outlive the scope must be
+    * materialized (e.g. `localCheckpoint(eager = true)`) before it returns —
+    * lazy plans would recompute. Nested scopes release innermost-first.
+    */
+  def scoped[T](body: => T): T = {
+    val buf = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val prev = local.get()
+    local.set(buf)
+    try body
+    finally {
+      local.set(prev)
+      buf.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** Unpersist every frame registered for `s` since the last drain. */

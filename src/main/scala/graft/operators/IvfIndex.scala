@@ -168,8 +168,12 @@ object IvfIndex {
     val root = new java.io.File(cacheRoot(spark))
     val safe = key.replaceAll("[^A-Za-z0-9._-]", "_")
     // anchored both ends and matched whole-name: key "test" must not also
-    // claim another key's directory like "embtest-n120-v3"
-    val shape = ("^" + java.util.regex.Pattern.quote(safe) + raw"-n\d+-v$fmtVersion$$").r
+    // claim another key's directory like "embtest-n120-v3". The optional
+    // -sh<S> group covers the SHARDED artifacts of the same key
+    // ([[loadOrBuildSharded]] writes key-sh<S>-n<N>-v<fmt>) — erasure must
+    // reach every stored copy, not just the global layout's.
+    val shape = ("^" + java.util.regex.Pattern.quote(safe) +
+      raw"(-sh\d+)?-n\d+-v$fmtVersion$$").r
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(): Unit
     }
@@ -185,7 +189,12 @@ object IvfIndex {
         val post = forget(idx, keys)
         val nNew = post.assigned.count()
         if (nNew != before) {
-          val out = new java.io.File(root, s"$safe-n$nNew-v$fmtVersion")
+          // re-key under the survivor count, preserving the -sh<S> segment
+          // so the shrunken source cache-HITS the same (sharded or global)
+          // layout it used before the forget
+          val sh = shape.findFirstMatchIn(dir.getName)
+            .flatMap(m => Option(m.group(1))).getOrElse("")
+          val out = new java.io.File(root, s"$safe$sh-n$nNew-v$fmtVersion")
           post.assigned.write.mode("overwrite")
             .parquet(new java.io.File(out, "assigned").getPath)
           post.cells.write.mode("overwrite")
@@ -264,6 +273,25 @@ object IvfIndex {
       }
       .foreach(rm)
   }
+
+  /** Record a pairsExact plan decision. `graft.ivf.lastPairsPath` keeps the
+    * most recent decision (the quick probe tests pin); because a query can
+    * call pairsExact several times — or two queries can share a session —
+    * every decision is ALSO appended (seq-numbered, bounded to the last 64)
+    * to `graft.ivf.pairsPathLog`, so an after-the-fact audit sees each
+    * call's choice instead of only whichever call planned last.
+    */
+  private def recordPairsPath(spark: SparkSession, entry: String): Unit =
+    synchronized {
+      spark.conf.set("graft.ivf.lastPairsPath", entry)
+      val seq = spark.conf.getOption("graft.ivf.pairsPathSeq")
+        .map(_.toLong).getOrElse(0L) + 1
+      spark.conf.set("graft.ivf.pairsPathSeq", seq.toString)
+      val prior = spark.conf.getOption("graft.ivf.pairsPathLog")
+        .map(_.split('\n').toSeq).getOrElse(Seq.empty)
+      spark.conf.set("graft.ivf.pairsPathLog",
+        (prior :+ s"#$seq $entry").takeRight(64).mkString("\n"))
+    }
 
   private def clampAcos(c: org.apache.spark.sql.Column) =
     acos(least(greatest(c, lit(-1.0)), lit(1.0)))
@@ -623,7 +651,7 @@ object IvfIndex {
     // entirely and keep the cell-pair plan (NOT for production — an
     // unpruned corpus would pay the member-expansion overhead unguarded)
     if (spark.conf.getOption("graft.ivf.pairGateDisabled").contains("true")) {
-      spark.conf.set("graft.ivf.lastPairsPath", "cellpair gate-disabled")
+      recordPairsPath(spark, "cellpair gate-disabled")
       return pairsCellPlan(idx, survivingCellPairs(idx, t), t)
     }
     // The statistics live on ≤ k ≈ √n cell rows. Below a cap, collect them
@@ -716,7 +744,7 @@ object IvfIndex {
       total > minRows && total <= bcLimit
     // make the plan choice OBSERVABLE: tests pin it, and a bench run can be
     // audited after the fact instead of inferring the path from timings
-    spark.conf.set("graft.ivf.lastPairsPath",
+    recordPairsPath(spark,
       s"${if (takeBlock) "block" else "cellpair"} scanned=$scanned " +
         s"total=$total ratio=${scanned.toDouble / math.max(1.0, total.toDouble * total.toDouble)}")
     if (takeBlock) {

@@ -717,6 +717,7 @@ object Streams {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.Caches.scoped {
         val s = batch.sparkSession
         val VF = graft.functions.VectorFunctions
         // (re)build the store on the first batch of THIS incarnation: the
@@ -757,11 +758,15 @@ object Streams {
         // holds O(index) cached state instead of O(batches).
         cur = graft.operators.IvfIndex.Index(
           cur.assigned.localCheckpoint(true), cur.cells.localCheckpoint(true))
-        graft.Caches.drain(s)
         idx = Some(cur)
         b.groupBy("op").agg(count(lit(1)).as("n"))
           .write.mode("overwrite").parquet(s"$path/_audit/batch_id=$batchId")
         b.unpersist(): Unit
+        // scope exit unpersists ONLY the frames forget/append registered in
+        // THIS batch — never a global drain, so other queries sharing the
+        // session keep their caches (the checkpoint above already freed the
+        // store's state from those frames)
+        }
       }
       .start()
   }
@@ -824,12 +829,16 @@ object Streams {
     val toks = split(col("text"), " ")
     val buckets = transform(
       call_function("graft_wordhash62", toks), h => pmod(h, lit(1024L)))
-    val mapLit =
-      if (deltaE6.isEmpty) map_from_arrays(array(), array())
-      else map(deltaE6.toSeq.sortBy(_._1)
-        .flatMap { case (b, d) => Seq(lit(b), lit(d)) }: _*)
-    val logw = aggregate(buckets, lit(0L),
-      (acc, b) => acc + coalesce(element_at(mapLit, b), lit(defaultE6)))
+    // an empty map would type as map<null,null> and fail element_at's
+    // analysis with a bigint key — short-circuit to the all-default score
+    val logw =
+      if (deltaE6.isEmpty) size(toks).cast("long") * lit(defaultE6)
+      else {
+        val mapLit = map(deltaE6.toSeq.sortBy(_._1)
+          .flatMap { case (b, d) => Seq(lit(b), lit(d)) }: _*)
+        aggregate(buckets, lit(0L),
+          (acc, b) => acc + coalesce(element_at(mapLit, b), lit(defaultE6)))
+      }
     incoming.select(col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
         logw.as("logw_e6"))

@@ -18,9 +18,10 @@ object ExplainOne {
     spark.sparkContext.setLogLevel("WARN")
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
     df.collect()
-    // surface the pair-scan gate's recorded decision when the query hit it
-    spark.conf.getOption("graft.ivf.lastPairsPath")
-      .foreach(p => println(s"==== graft.ivf.lastPairsPath: $p"))
+    // surface the pair-scan gate's recorded decisions when the query hit it
+    // (the seq-numbered log covers queries that call pairsExact repeatedly)
+    spark.conf.getOption("graft.ivf.pairsPathLog")
+      .foreach(p => println(s"==== graft.ivf.pairsPathLog:\n$p"))
     println(s"==== $name optimized ====")
     println(df.queryExecution.optimizedPlan.toString)
     println(s"==== $name physical ====")

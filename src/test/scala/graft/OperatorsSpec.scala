@@ -713,6 +713,51 @@ class OperatorsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("IvfIndex.forgetStored reaches SHARDED cache entries (erasure covers every stored copy)") {
+    val root = java.nio.file.Files.createTempDirectory("ivf-forget-sh").toFile
+    val old = spark.conf.getOption("graft.ivf.cacheDir")
+    spark.conf.set("graft.ivf.cacheDir", root.getAbsolutePath)
+    try {
+      val rng = new scala.util.Random(29)
+      val all = (0 until 160).map(i =>
+        (i.toLong, Seq.fill(5)(rng.nextGaussian())))
+      val e = all.toDF("vec_id", "v")
+      // the same key stores BOTH layouts — erasure must rewrite both
+      graft.operators.IvfIndex.loadOrBuild(e, "shtest")
+      graft.operators.IvfIndex.loadOrBuildSharded(e, "shtest", shards = 4)
+      val v = graft.operators.IvfIndex.fmtVersion
+      assert(new java.io.File(root, s"shtest-n160-v$v").isDirectory &&
+        new java.io.File(root, s"shtest-sh4-n160-v$v").isDirectory)
+      val goneIds = Seq(7L, 62L, 133L, 140L)
+      val (rewritten, removed) = graft.operators.IvfIndex.forgetStored(
+        spark, "shtest", goneIds.toDF("vec_id"))
+      assert(rewritten == 2 && removed == 8L,
+        s"expected both layouts rewritten, got ($rewritten, $removed)")
+      // forgotten vectors left storage in BOTH artifacts; survivor-count
+      // re-key preserves the shard segment
+      assert(!new java.io.File(root, s"shtest-n160-v$v").exists())
+      assert(!new java.io.File(root, s"shtest-sh4-n160-v$v").exists())
+      val shDir = new java.io.File(root, s"shtest-sh4-n156-v$v")
+      assert(new java.io.File(shDir, "assigned/_SUCCESS").isFile &&
+        new java.io.File(shDir, "cells/_SUCCESS").isFile)
+      val stored = spark.read
+        .parquet(new java.io.File(shDir, "assigned").getPath)
+      assert(stored.count() == 156 &&
+        stored.filter(col("vec_id").isin(goneIds: _*)).count() == 0)
+      // the shrunken source cache-HITS the rewritten sharded artifact
+      val mtime = shDir.lastModified()
+      val shrunk = e.filter(!col("vec_id").isin(goneIds: _*))
+      val idx = graft.operators.IvfIndex.loadOrBuildSharded(shrunk, "shtest", 4)
+      assert(shDir.lastModified() == mtime,
+        "loadOrBuildSharded rebuilt instead of hitting the forgotten index")
+      assert(idx.assigned.count() == 156)
+    } finally {
+      old.fold(spark.conf.unset("graft.ivf.cacheDir"))(
+        spark.conf.set("graft.ivf.cacheDir", _))
+      graft.Caches.drain(spark)
+    }
+  }
+
   /** A corpus assembled from differently-distributed contiguous id slices —
     * the geometry that defeated the GLOBAL layout's triangle pruning in the
     * r09 30x probe. Slice s lives at ids [s*per, (s+1)*per) and clusters
@@ -850,5 +895,22 @@ class OperatorsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
         spark.conf.set("graft.ivf.cacheDir", _))
       graft.Caches.drain(spark)
     }
+  }
+
+  test("Caches.scoped releases only its own frames; outer caches survive") {
+    val outer = graft.Caches.persist(Seq(1L).toDF("x"))
+    outer.count()
+    var inner: org.apache.spark.sql.DataFrame = null
+    graft.Caches.scoped {
+      inner = graft.Caches.persist(Seq(2L).toDF("y"))
+      inner.count()
+      assert(inner.storageLevel.useMemory || inner.storageLevel.useDisk)
+    }
+    assert(inner.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "scope exit must unpersist the frames it registered")
+    assert(outer.storageLevel.useMemory || outer.storageLevel.useDisk,
+      "a scoped exit must NOT sweep caches owned by the surrounding session")
+    graft.Caches.drain(spark)
+    assert(outer.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
   }
 }

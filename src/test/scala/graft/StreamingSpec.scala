@@ -1202,6 +1202,18 @@ class StreamingSpec extends AnyFunSuite {
     graft.Caches.drain(spark)
   }
 
+  test("dsirScreen with an EMPTY delta map scores every token at the default") {
+    import graft.streaming.Streams
+    // regression: an empty map literal used to type as map<null,null> and
+    // fail element_at's analysis — the screen must fall back to the
+    // all-default score instead
+    val df = Seq((1L, "a b c"), (2L, "x")).toDF("doc_id", "text")
+    val got = Streams.dsirScreen(df, Map.empty, defaultE6 = 7L, minLogwE6 = 20L)
+      .select("doc_id", "n_tokens", "logw_e6", "admitted")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(got == Set((1L, 3L, 21L, true), (2L, 1L, 7L, false)))
+  }
+
   test("streaming quality screen gates on length, stopwords, and repetition") {
     val in = MemoryStream[(Long, String)](spark)
     val screened = Streams.qualityScreen(in.toDF().toDF("doc_id", "text"))
