@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -103,6 +103,54 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectCount =
     copy(left = newLeft, right = newRight)
+}
+
+/** 1-based index of the FIRST position (capped at `limit`) where two long
+  * arrays hold equal values; 0 when none do. The exactly-once emission
+  * kernel for banded candidate joins: a pair colliding in several bands is
+  * kept only where its band index equals this value, so no dedup exchange
+  * ever sees the collision redundancy. Codegen'd — the HOF spelling
+  * (zip_with + array_position) interprets its lambda per element with
+  * boxing, and candidate joins evaluate this on every enumerated row.
+  */
+case class FirstEqualIndex(left: Expression, right: Expression,
+    limit: Expression) extends TernaryExpression {
+
+  override def first: Expression = left
+  override def second: Expression = right
+  override def third: Expression = limit
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lim = math.min(math.min(x.numElements(), y.numElements()),
+      c.asInstanceOf[Int])
+    var i = 0
+    while (i < lim) {
+      if (x.getLong(i) == y.getLong(i)) return (i + 1).toLong
+      i += 1
+    }
+    0L
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
+      val i = ctx.freshName("i"); val lim = ctx.freshName("lim")
+      s"""
+         |int $lim = java.lang.Math.min(
+         |  java.lang.Math.min($a.numElements(), $b.numElements()), $c);
+         |${ev.value} = 0L;
+         |for (int $i = 0; $i < $lim; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) { ${ev.value} = $i + 1; break; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): FirstEqualIndex =
+    copy(left = newFirst, right = newSecond, limit = newThird)
 }
 
 /** Build a fixed-width bitmask (`words` longs) from an `array<long>` of bit
@@ -807,6 +855,10 @@ object NativeExpressions {
     registry.createOrReplaceTempFunction(
       "graft_isect",
       (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_first_eq",
+      (args: Seq[Expression]) => FirstEqualIndex(args(0), args(1), args(2)),
+      "built-in")
     registry.createOrReplaceTempFunction(
       "graft_minhash",
       (args: Seq[Expression]) => MinHashSignature64(args(0),

@@ -259,6 +259,58 @@ object Llm {
       .orderBy("query_id", "rk")
   }
 
+  /** Hyperplane-LSH candidate EDGES over the embeddings table — the banded
+    * edge supply for the `_lsh` graph variants (pagerank, semdedup): every
+    * vector gets 16 bands of 8 sign-random-projection bits (Charikar
+    * hyperplane LSH, PORTABLE quantized-integer arithmetic — the same
+    * kernel as x3_knn_lsh, so the DuckDB oracle replays the candidate set
+    * bit-for-bit); a pair is a candidate iff some band agrees, emitted
+    * exactly once at its FIRST agreeing band (graft_first_eq — no dedup
+    * exchange), then verified at exact cosine ≥ `t`.
+    *
+    * The contract is the published LSH trade: the edge set is a
+    * DETERMINISTIC SUBSET of the exact similarity graph whose per-edge
+    * recall rises with similarity (P = 1 − (1 − (1 − θ/π)^8)^16: ~0.99 at
+    * sim 0.9, ~0.8 at 0.7, ~0.3 at the 0.35 tail), while candidate
+    * enumeration touches ~16/2^8 ≈ 6% of all pairs instead of all of
+    * them. On a near-dup-clustered corpus (the 100 TB shape) the
+    * surviving skeleton carries the dedup/centrality signal — it is the
+    * high-sim edges that both pagerank mass and semdedup decisions ride;
+    * the bench's isotropic tail (every qualifying pair at sim 0.35-0.55)
+    * is the published construction's worst case and is measured as such
+    * in LlmSpec + SCALING.md. The exact-edge forms stay registered as
+    * audit twins.
+    */
+  private[graft] def hyperplaneEdgePairs(s: SparkSession, emb: DataFrame,
+      t: Double, bands: Int = 16, bitsPerBand: Int = 8): DataFrame = {
+    graft.functions.NativeExpressions.register(s)
+    val e = graft.Caches.persist(emb.select(col("vec_id"),
+        VF.toDouble(col("embedding")).as("v"),
+        call_function("graft_hyperplane_bands", col("embedding"),
+          lit(bands), lit(bitsPerBand)).as("bks"))
+      .withColumn("nrm", VF.l2Norm(col("v"))))
+    val bcThreshold = s.conf.getOption("graft.ivf.broadcastThreshold")
+      .map(_.toLong).getOrElse(100000L)
+    val bs: DataFrame => DataFrame =
+      if (e.count() <= bcThreshold) broadcast else identity
+    val bnd = e.select(col("vec_id"), col("bks"),
+      posexplode(col("bks")).as(Seq("b", "bv")))
+    val cand = bnd.as("a").join(bnd.as("b"),
+        col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(col("a.b") + 1 === call_function("graft_first_eq",
+        col("a.bks"), col("b.bks"), lit(bands)))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    cand
+      .join(bs(e.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na"))), "id_a")
+      .join(bs(e.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb"))), "id_b")
+      .withColumn("sim", VF.dotNative(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= t)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
   /** Exact all-pairs Jaccard >= t, dispatching on vocabulary size (counted
     * with one tiny action — an AQE-style statistics-driven plan choice):
     *
@@ -745,6 +797,212 @@ object Llm {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Band budget for the cross-stratum tier of [[containmentLshPairs]] —
+    * the LSH-Ensemble conversion (Zhu et al., VLDB'16): a pair at
+    * containment ≥ t whose sets fall g geometric strata apart has size
+    * ratio < 2^(g+1), hence Jaccard ≥ t / (1 + 2^(g+1) − t); the number of
+    * r=1 bands needed for ≥90% per-pair recall at that Jaccard floor is
+    * ⌈ln 10 / −ln(1 − J_min)⌉, capped at the K=32 signatures computed
+    * (beyond gap 2 the cap bites and recall degrades — the documented
+    * accuracy/cost dial of every LSH-Ensemble construction; raise K to
+    * push the reachable gap). t = 9/10 gives budgets 10 (g=1), 20 (g=2),
+    * 32 (g ≥ 3). The oracle SQL embeds the same constants via this
+    * function, so both engines draw identical candidate sets.
+    */
+  private[graft] def containmentBandsForGap(g: Int): Int = {
+    val t = 0.9
+    val jmin = t / (1.0 + (1L << (g + 1)).toDouble - t)
+    math.min(32, math.ceil(math.log(10.0) / -math.log1p(-jmin)).toInt)
+  }
+
+  /** Sub-quadratic CONTAINMENT near-dup pairs — the 100 TB scale path for
+    * [[containmentPairs]]' asymmetric criterion C(a,b) = |A∩B| / min(|A|,|B|)
+    * ≥ num/den, via size-stratified MinHash banding (the LSH-Ensemble
+    * construction, Zhu et al. VLDB'16). The exact NLJ/prefix twin compares
+    * every distinct set against every other however the corpus grows; this
+    * path's banding keys are vocabulary-local, so disjoint sub-corpora
+    * (sources ingested at different times — the bench's replicated
+    * corpus) never collide and total work grows LINEARLY in the number of
+    * slices instead of quadratically in global distinct sets.
+    *
+    * Construction:
+    *  1. Docs collapse to DISTINCT token-hash sets (portable
+    *     graft_wordhash62, sorted) exactly as the Jaccard family does —
+    *     identical sets pair trivially at C = 1 via the block-pair
+    *     expansion, never through the index.
+    *  2. Sets land in geometric size strata s = ⌊log2 n⌋, computed as
+    *     binary digit length (integer-exact in both engines — an FP log2
+    *     can land a half-ulp under an integer and mis-shelve every
+    *     power-of-two-sized set).
+    *  3. SAME-stratum pairs (ratio < 2 ⟹ J ≥ t/(3−t) ≈ 0.43 at t = 0.9)
+    *     band at r=2 × 16 — the x2_minhash_lsh regime.
+    *  4. CROSS-strata pairs — the snippet-in-document asymmetry Jaccard
+    *     banding can't see — band at r=1 with the per-gap budget of
+    *     [[containmentBandsForGap]], joined on (k, sig, TARGET stratum) so
+    *     a hot minimum (closed vocabularies concentrate the min of every
+    *     permutation) never fans out across stratum combinations.
+    *  5. Candidates are verified EXACTLY (sorted-array intersection), so
+    *     false positives cost only the verify; misses are the bounded
+    *     ≤10% per-pair recall loss, pinned against the exact twin in
+    *     LlmSpec on planted snippet-in-doc fixtures.
+    *
+    * Every candidate pair is emitted EXACTLY ONCE — at its FIRST agreeing
+    * band — by a stateless filter over the carried signature arrays (the
+    * simhash pigeonhole's trick), so no dropDuplicates exchange ever sees
+    * the ~10× band-collision redundancy. The whole hash pipeline is the
+    * portable mod-prime family: DuckDB replays candidates bit-for-bit
+    * (its replay is doc-level — identical sets share every signature, so
+    * the expanded pair set is identical).
+    */
+  private[graft] def containmentLshPairs(s: SparkSession, d0: DataFrame,
+      num: Int, den: Int): DataFrame = {
+    graft.functions.NativeExpressions.register(s)
+    val K = 32; val bands2 = 16
+    val P31 = 2147483647L
+    val sets = graft.Caches.persist(
+      d0.select(col("doc_id"),
+          sort_array(array_distinct(call_function("graft_wordhash62",
+            TF.tokenSet(col("text"))))).as("hs"))
+        .groupBy("hs")
+        .agg(min("doc_id").as("sid"), collect_list("doc_id").as("members"),
+          count(lit(1)).as("m"))
+        .withColumn("n", size(col("hs")).cast("long"))
+        // integer ⌊log2 n⌋ = binary digit length − 1 (exact; n ≥ 1)
+        .withColumn("strat", (length(conv(col("n"), 10, 2)) - 1).cast("int")))
+    val sig = graft.Caches.persist(sets.select(col("sid"), col("strat"),
+      call_function("graft_minhash_portable", col("hs"), lit(K)).as("sig")))
+    // ---- tier 1: same-stratum, r=2 × 16 bands. Rows carry the full band-key
+    // array so the join can emit each pair ONLY at its first agreeing band.
+    val bkArr = array((0 until bands2).map { b =>
+      element_at(col("sig"), 2 * b + 1) * P31 + element_at(col("sig"), 2 * b + 2)
+    }: _*)
+    val b2 = sig.select(col("sid"), col("strat"), bkArr.as("bks"))
+      .select(col("sid"), col("strat"), col("bks"),
+        posexplode(col("bks")).as(Seq("band", "bk")))
+    val cand0 = b2.as("a").join(b2.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.strat") === col("b.strat") && col("a.sid") < col("b.sid"))
+      // first agreeing band (1-based kernel; band is 0-based): a pair
+      // agreeing in several bands is kept exactly once, with no dedup
+      // exchange and no per-element lambda interpretation
+      .filter(col("a.band") + 1 === call_function("graft_first_eq",
+        col("a.bks"), col("b.bks"), lit(bands2)))
+      .select(col("a.sid").as("sa"), col("b.sid").as("sb"))
+    // ---- tier 2: cross-strata, r=1 with per-gap band budgets. The PROBE
+    // side replicates each set toward every higher stratum within reach
+    // (tgt = strat + g) so the join key (k, sig value, tgt stratum) keeps a
+    // hot minimum's bucket from pairing strata combinations wholesale.
+    val statRow = sets.agg(min("strat"), max("strat")).head()
+    val (minS, maxS) =
+      if (statRow.isNullAt(0)) (0, 0) else (statRow.getInt(0), statRow.getInt(1))
+    val maxGap = maxS - minS
+    val candG: DataFrame = if (maxGap <= 0) null else {
+      val gaps = array((1 to maxGap).map(g =>
+        struct(lit(g).as("g"), lit(containmentBandsForGap(g)).as("bud"))): _*)
+      val b1 = sig.select(col("sid"), col("strat"), col("sig"),
+        posexplode(col("sig")).as(Seq("k", "sv")))
+      val probe = b1.select(col("sid"), col("strat"), col("sig"), col("k"),
+          col("sv"), explode(gaps).as("gb"))
+        .select(col("sid"), col("strat"), col("sig"), col("k"), col("sv"),
+          (col("strat") + col("gb.g")).as("tgt"), col("gb.bud").as("bud"))
+        .filter(col("k") < col("bud") && col("tgt") <= lit(maxS))
+      probe.as("a").join(b1.as("b"),
+          col("a.k") === col("b.k") && col("a.sv") === col("b.sv") &&
+            col("a.tgt") === col("b.strat"))
+        // first agreeing signature within this gap's budget — candidates
+        // surface exactly once however many of the budgeted hashes agree
+        .filter(col("a.k") + 1 === call_function("graft_first_eq",
+          col("a.sig"), col("b.sig"), col("a.bud")))
+        .select(least(col("a.sid"), col("b.sid")).as("sa"),
+          greatest(col("a.sid"), col("b.sid")).as("sb"))
+    }
+    val cand = if (candG == null) cand0 else cand0.unionAll(candG)
+    // ---- exact verify per candidate set pair. The set frame is ~100×
+    // smaller than the corpus (and sublinear in replicated corpora), so it
+    // broadcasts while small and falls back to a shuffle join beyond the
+    // threshold — never a driver-sized broadcast at 100 TB.
+    val bcThreshold = s.conf.getOption("graft.containment.broadcastThreshold")
+      .map(_.toLong).getOrElse(300000L)
+    val bs: DataFrame => DataFrame =
+      if (sets.count() <= bcThreshold) broadcast else identity
+    val verified = cand
+      .join(bs(sets.select(col("sid").as("sa"), col("hs").as("ha"),
+        col("n").as("na"), col("members").as("mem_a"))), "sa")
+      .join(bs(sets.select(col("sid").as("sb"), col("hs").as("hb"),
+        col("n").as("nb"), col("members").as("mem_b"))), "sb")
+      .withColumn("i", call_function("graft_isect", col("ha"), col("hb")))
+      .filter(col("i") * den >= least(col("na"), col("nb")) * num)
+      .withColumn("containment_e4", expr("i * 10000 div least(na, nb)"))
+      .withColumn("jaccard_e4", expr("i * 10000 div (na + nb - i)"))
+    val crossPairs = verified
+      .select(explode(col("mem_a")).as("x"), col("mem_b"),
+        col("containment_e4"), col("jaccard_e4"))
+      .repartition(col("x"))
+      .select(col("x"), explode(col("mem_b")).as("y"),
+        col("containment_e4"), col("jaccard_e4"))
+      .select(least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"),
+        col("containment_e4"), col("jaccard_e4"))
+    // identical sets: C = 1 by definition — block-pair self-join (the
+    // minhashLshPairs machinery) spreads one big group's m²/2 expansion
+    // over ~m parallel cells instead of one task
+    val mem = sets.filter(col("m") > 1)
+      .select(col("sid"), explode(col("members")).as("x"),
+        ceil(sqrt(col("m"))).cast("int").as("nb"))
+      .repartition(col("sid"), col("x"))
+      .withColumn("p", pmod(xxhash64(col("x")), col("nb")).cast("int"))
+    val aSide = mem.select(col("sid"), col("x").as("xa"),
+      col("p").as("ka"), explode(sequence(col("p"), col("nb") - 1)).as("kb"))
+    val bSide = mem.select(col("sid"), col("x").as("xb"),
+      explode(sequence(lit(0), col("p"))).as("ka"), col("p").as("kb"))
+    val intraPairs = aSide
+      .join(bSide, Seq("sid", "ka", "kb"))
+      .filter(col("ka") =!= col("kb") || col("xa") < col("xb"))
+      .select(least(col("xa"), col("xb")).as("doc_a"),
+        greatest(col("xa"), col("xb")).as("doc_b"),
+        lit(10000L).as("containment_e4"), lit(10000L).as("jaccard_e4"))
+    crossPairs.unionAll(intraPairs).orderBy("doc_a", "doc_b")
+  }
+
+  /** The shared 5-iteration integer-e12 PageRank walk over an UNDIRECTED
+    * pair list (`src`, `dst`) — the decisions step of all three x5_pagerank
+    * forms. Edges are symmetrized and EAGERLY localCheckpointed: the loop
+    * references them ~2× per unrolled iteration from independently-planned
+    * stages, and a cache (lazy or count()-forced) still left the expensive
+    * pair supply re-executing inside the loop (measured 36 s vs 20 s solo
+    * at the 10× point); checkpointing severs the lineage so loop cost is
+    * independent of which pair plan produced the edges. The rank frame is
+    * deliberately NOT materialized per iteration (tiny; AQE broadcasts the
+    * contribution joins, and a barrier per iteration measured 9.5 s vs
+    * 2.4 s at sf0.1) — but pr appears twice per unrolled iteration, so the
+    * lazy plan doubles per round: fine at 5, localCheckpoint per iteration
+    * beyond 8.
+    */
+  private def pagerankE12(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("src", "id")
+    val tot = deg.agg(count(lit(1)).as("n"))
+    val PagerankIters = 5
+    require(PagerankIters <= 8,
+      "unrolled-lineage pagerank: localCheckpoint per iteration beyond 8")
+    var pr = deg.crossJoin(broadcast(tot))
+      .withColumn("pr", expr("1000000000000 div n"))
+    for (_ <- 1 to PagerankIters) {
+      val contrib = pr.select(col("id").as("src"), expr("pr div deg").as("c"))
+      val inc = edges.join(contrib, "src")
+        .groupBy(col("dst").as("id")).agg(sum("c").as("inc"))
+      pr = pr.drop("pr")
+        .join(inc, Seq("id"), "left")
+        .withColumn("pr", expr(
+          "(1000000000000 div n) * 15 div 100 + coalesce(inc, 0) * 85 div 100"))
+        .drop("inc")
+    }
+    pr.select(col("id").as("vec_id"), col("pr").as("pr_e12"))
+  }
+
   /** Pairs→components→decisions: the shared step that turns a similarity
     * pair list into cluster labels. Vertices carry `id`; undirected edges
     * carry (`src`,`dst`); every vertex comes back labeled with its cluster
@@ -1229,12 +1487,14 @@ object Llm {
       .orderBy("doc_id")
   }
 
-  /** DuckDB oracle for x5_pagerank: the same fixed-point-free 5-iteration
-    * integer PageRank, unrolled as chained CTEs (it1..it5), each iteration
-    * textually identical to the Spark loop body — both engines do the same
-    * floor divisions in the same order, so the ranks hash-match exactly.
+  /** DuckDB oracle for x5_pagerank (and its LSH-edge variant): the same
+    * fixed-point-free 5-iteration integer PageRank, unrolled as chained
+    * CTEs (it1..it5), each iteration textually identical to the Spark loop
+    * body — both engines do the same floor divisions in the same order, so
+    * the ranks hash-match exactly. `pairsCtes` supplies the edge source as
+    * one or more CTE definitions ending in `pairs(va, vb)`.
     */
-  private val pagerankOracle: String = {
+  private def pagerankOracleWith(pairsCtes: String): String = {
     val iters = (1 to 5).map { i =>
       s"""it$i AS (SELECT d.id, d.deg, d.n,
          |  (1000000000000 // d.n) * 15 // 100 + COALESCE(s.inc, 0) * 85 // 100 AS pr
@@ -1243,10 +1503,7 @@ object Llm {
          |  FROM edges e JOIN it${i - 1} p ON e.src = p.id GROUP BY e.dst) s USING (id))"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
-       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-       |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-       |          CAST(b.embedding AS DOUBLE[])) >= 0.35),
+    s"""WITH $pairsCtes,
        |edges AS (SELECT va AS src, vb AS dst FROM pairs
        |          UNION ALL SELECT vb, va FROM pairs),
        |deg AS (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY src),
@@ -1255,6 +1512,50 @@ object Llm {
        |$iters
        |SELECT id AS vec_id, pr AS pr_e12 FROM it5 ORDER BY vec_id""".stripMargin
   }
+
+  private val pagerankOracle: String = pagerankOracleWith(
+    """pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |          CAST(b.embedding AS DOUBLE[])) >= 0.35)""".stripMargin)
+
+  /** The hyperplane-LSH candidate CTE chain for the `_lsh` graph variants:
+    * replays graft_hyperplane_bands (16 bands × 8 sign bits of quantized
+    * integer projections — deterministic portable arithmetic) and emits
+    * `pairs(va, vb)` = band-colliding pairs verified at exact cosine ≥ `t`.
+    * Shared by the pagerank and semdedup LSH oracles so the candidate
+    * replay is textually identical.
+    */
+  private def hyperplanePairsCtes(t: Double, extraPred: String = ""): String =
+    s"""dim AS (
+       |  SELECT vec_id, embedding,
+       |         unnest(generate_series(1, len(embedding))) AS d
+       |  FROM embeddings),
+       |qd AS (
+       |  SELECT vec_id, d - 1 AS d0,
+       |         CAST(FLOOR(CAST(embedding[d] AS DOUBLE) * 1000000) AS BIGINT) AS q
+       |  FROM dim),
+       |bits AS (SELECT unnest(generate_series(0, 127)) AS j),
+       |proj AS (
+       |  SELECT qd.vec_id, b.j,
+       |         SUM(CASE WHEN ((1000003 * (b.j * 4096 + qd.d0) * (b.j * 4096 + qd.d0)
+       |                         + 7919 * (b.j * 4096 + qd.d0) + 17)
+       |                        % 2147483647) % 2 = 0
+       |                  THEN qd.q ELSE -qd.q END) AS p
+       |  FROM qd CROSS JOIN bits b GROUP BY 1, 2),
+       |bnd AS (
+       |  SELECT vec_id, j // 8 AS b,
+       |         SUM(CASE WHEN p >= 0 THEN 1 << (j % 8) ELSE 0 END) AS bv
+       |  FROM proj GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS va, b2.vec_id AS vb
+       |  FROM bnd a JOIN bnd b2
+       |    ON a.b = b2.b AND a.bv = b2.bv AND a.vec_id < b2.vec_id),
+       |pairs AS (SELECT va, vb FROM cand
+       |  JOIN embeddings ea ON ea.vec_id = va
+       |  JOIN embeddings eb ON eb.vec_id = vb
+       |  WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |          CAST(eb.embedding AS DOUBLE[])) >= $t$extraPred)""".stripMargin
 
   /** DuckDB oracle for x5_pagerank_contracted: all-pairs sims → 0.98
     * contraction via recursive-CTE reachability (min reachable id = the
@@ -1501,6 +1802,67 @@ object Llm {
              |FROM inter JOIN cnt ca ON ca.doc_id = doc_a
              |           JOIN cnt cb ON cb.doc_id = doc_b
              |WHERE i * 10 >= least(ca.n, cb.n) * 9
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ---- X2 CONTAINMENT at scale: size-stratified MinHash banding (the
+    // LSH-Ensemble construction) — candidates from vocabulary-local band
+    // buckets instead of the exact twin's global distinct-set NLJ, then
+    // exact verification, so disjoint corpus slices cost linear total work.
+    // Same output contract as x2_containment (C >= 0.9, e4 integer
+    // ratios); the pair set is the banding's >=90%-recall subset, replayed
+    // bit-for-bit by the oracle (portable mod-prime hashes; doc-level
+    // replay — identical token sets share every signature). See
+    // containmentLshPairs above for the two-tier banding and budgets.
+    Q("x2_containment_lsh",
+      (s, dir) => containmentLshPairs(s, docs(s, dir), 9, 10),
+      Some(s"""WITH tok AS (SELECT doc_id,
+             |    unnest(list_distinct(string_split(text,' '))) AS w FROM documents),
+             |th AS (SELECT doc_id,
+             |    (list_reduce([CAST(0 AS BIGINT)] ||
+             |       [CAST(unicode(c) AS BIGINT) FOR c IN string_split(w,'')],
+             |       (a,b) -> (a*31+b) % 1000000007) * 2147483648 +
+             |     list_reduce([CAST(0 AS BIGINT)] ||
+             |       [CAST(unicode(c) AS BIGINT) FOR c IN string_split(w,'')],
+             |       (a,b) -> (a*131+b) % 2147483647)) AS h
+             |  FROM tok),
+             |hsets AS (SELECT doc_id, list_sort(list_distinct(list(h))) AS hs,
+             |    len(list_distinct(list(h))) AS n,
+             |    length(to_base(len(list_distinct(list(h))), 2)) - 1 AS st
+             |  FROM th GROUP BY doc_id),
+             |fam AS (SELECT doc_id, k,
+             |    MIN((((506952114*(k+1)+1) % 2147483647) * (h % 2147483647)
+             |         + ((40503*(k+1)+17) % 2147483647)) % 2147483647) AS sig
+             |  FROM th CROSS JOIN (SELECT unnest(range(0,32)) AS k) ks
+             |  GROUP BY doc_id, k),
+             |famst AS (SELECT f.doc_id, f.k, f.sig, h2.st
+             |  FROM fam f JOIN hsets h2 USING (doc_id)),
+             |band AS (SELECT f0.doc_id, f0.st, f0.k // 2 AS b,
+             |    f0.sig * 2147483647 + f1.sig AS bk
+             |  FROM famst f0 JOIN famst f1
+             |    ON f0.doc_id = f1.doc_id AND f1.k = f0.k + 1
+             |  WHERE f0.k % 2 = 0),
+             |cand0 AS (SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+             |  FROM band a JOIN band b2
+             |    ON a.b = b2.b AND a.bk = b2.bk AND a.st = b2.st
+             |   AND a.doc_id < b2.doc_id),
+             |cand1 AS (SELECT least(a.doc_id, b2.doc_id) AS doc_a,
+             |    greatest(a.doc_id, b2.doc_id) AS doc_b
+             |  FROM famst a JOIN famst b2
+             |    ON a.k = b2.k AND a.sig = b2.sig AND b2.st > a.st
+             |   AND a.k < CASE b2.st - a.st
+             |             WHEN 1 THEN ${containmentBandsForGap(1)}
+             |             WHEN 2 THEN ${containmentBandsForGap(2)}
+             |             ELSE 32 END),
+             |cand AS (SELECT DISTINCT doc_a, doc_b FROM
+             |  (SELECT * FROM cand0 UNION ALL SELECT * FROM cand1)),
+             |ver AS (SELECT doc_a, doc_b, len(list_intersect(x.hs, y.hs)) AS i,
+             |    x.n AS na, y.n AS nb
+             |  FROM cand JOIN hsets x ON x.doc_id = doc_a
+             |            JOIN hsets y ON y.doc_id = doc_b)
+             |SELECT doc_a, doc_b,
+             |  CAST(i * 10000 // least(na, nb) AS BIGINT) AS containment_e4,
+             |  CAST(i * 10000 // (na + nb - i) AS BIGINT) AS jaccard_e4
+             |FROM ver WHERE i * 10 >= least(na, nb) * 9
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // ---- X2 exact BIGRAM-set Jaccard (word-order-sensitive near-dup). The
@@ -1900,6 +2262,44 @@ object Llm {
              |FROM reach r JOIN embeddings e ON e.vec_id = r.a
              |GROUP BY r.a, e.label ORDER BY vec_id""".stripMargin)),
 
+    // ---- X5 SemDeDup over the LSH-CANDIDATE edge graph — the 100 TB
+    // default of x5_semdedup (which stays registered as the audit twin).
+    // Same SemDeDup decisions step (within-label components at cosine
+    // >= 0.4, keep the min-id representative), but the pair supply is
+    // hyperplaneEdgePairs' banded candidates instead of the exact
+    // cell-pair scan — generation touches ~6% of all pairs, and missing
+    // a low-sim edge can only SPLIT a component (never merge two), so the
+    // variant dedups a deterministic subset: conservative in exactly the
+    // direction a keep/drop gate must be (it keeps more, never drops a
+    // non-duplicate). Oracle replays candidates + reachability exactly.
+    Q("x5_semdedup_lsh",
+      (s, dir) => {
+        val labels = graft.Caches.persist(
+          embs(s, dir).select(col("vec_id"), col("label")))
+        val pairs = hyperplaneEdgePairs(s, embs(s, dir), 0.4)
+          .join(labels.select(col("vec_id").as("id_a"), col("label").as("la")), "id_a")
+          .join(labels.select(col("vec_id").as("id_b"), col("label").as("lb")), "id_b")
+          .filter(col("la") === col("lb"))
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+        labelClusters(embs(s, dir).select(col("vec_id").as("id")), pairs, "vec_id")
+          .join(labels, "vec_id")
+          .select(col("vec_id"), col("label"), col("cluster_id"),
+            (col("vec_id") === col("cluster_id")).as("kept"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH RECURSIVE ${hyperplanePairsCtes(0.4,
+                " AND ea.label = eb.label")},
+             |edges AS (SELECT va AS a, vb AS b FROM pairs
+             |          UNION ALL SELECT vb, va FROM pairs),
+             |reach(a, b) AS (
+             |  SELECT vec_id, vec_id FROM embeddings
+             |  UNION
+             |  SELECT reach.a, e.b FROM reach JOIN edges e ON reach.b = e.a)
+             |SELECT r.a AS vec_id, e.label, MIN(r.b) AS cluster_id,
+             |  r.a = MIN(r.b) AS kept
+             |FROM reach r JOIN embeddings e ON e.vec_id = r.a
+             |GROUP BY r.a, e.label ORDER BY vec_id""".stripMargin)),
+
     // ---- X5 graph centrality over the near-dup graph: 5-iteration PageRank
     // (damping 0.85) on the exact similarity edges the clustering query
     // already mines — inside a dedup cluster it ranks the most-connected
@@ -1915,54 +2315,32 @@ object Llm {
     Q("x5_pagerank",
       (s, dir) => {
         val idx = ivfPairIndex(s, dir)
+        // edge supply + the shared walk (pagerankE12 holds the measured
+        // checkpoint/materialization decisions — see its doc)
         val pairs = graft.operators.IvfIndex.pairsExact(idx, 0.35)
           .select(col("id_a").as("src"), col("id_b").as("dst"))
-        // EAGER localCheckpoint, not persist: the loop references edges ~2x
-        // per unrolled iteration from independently-planned stages, and a
-        // cache (lazy OR count()-forced) still left the expensive pairsExact
-        // upstream re-executing downstream (measured 16.3-17.5 s vs 12.9 s
-        // at the 10x point with the cell-pair source); checkpointing severs
-        // the lineage so the loop's cost is independent of which pairsExact
-        // plan the gate chose
-        val edges = pairs
-          .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
-          .localCheckpoint(true)
-        // deg deliberately NOT persisted either — A/B profiled: caching it
-        // measured 3.5 s steady vs 2.1-2.8 s lazy (the InMemoryRelation
-        // blocks AQE's broadcast of the re-aggregated node frame; the
-        // replayed aggregations over the persisted edge cache are cheaper)
-        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-          .withColumnRenamed("src", "id")
-        val tot = deg.agg(count(lit(1)).as("n"))
-        // deliberately NOT persisted per iteration: the rank frame is tiny
-        // (one row per node), so leaving the 5 unrolled iterations as ONE
-        // lazy plan lets AQE broadcast every contribution join and fuse the
-        // chain — measured 2.4 s at sf0.1 vs 9.5+ s with a materialization
-        // barrier per iteration (the barrier costs more than the replayed
-        // tiny aggregations it saves; the expensive frame, `edges`, IS
-        // persisted above)
-        // pr appears TWICE per unrolled iteration, so the lazy logical plan
-        // roughly doubles each round (~2^iters repeated subtrees). Fine at
-        // 5; beyond ~8 the PLANNING itself blows up — if this count is ever
-        // raised, localCheckpoint the rank frame each iteration instead.
-        val PagerankIters = 5
-        require(PagerankIters <= 8,
-          "unrolled-lineage pagerank: localCheckpoint per iteration beyond 8")
-        var pr = deg.crossJoin(broadcast(tot))
-          .withColumn("pr", expr("1000000000000 div n"))
-        for (_ <- 1 to PagerankIters) {
-          val contrib = pr.select(col("id").as("src"), expr("pr div deg").as("c"))
-          val inc = edges.join(contrib, "src")
-            .groupBy(col("dst").as("id")).agg(sum("c").as("inc"))
-          pr = pr.drop("pr")
-            .join(inc, Seq("id"), "left")
-            .withColumn("pr", expr(
-              "(1000000000000 div n) * 15 div 100 + coalesce(inc, 0) * 85 div 100"))
-            .drop("inc")
-        }
-        pr.select(col("id").as("vec_id"), col("pr").as("pr_e12")).orderBy("vec_id")
+        pagerankE12(pairs).orderBy("vec_id")
       },
       Some(pagerankOracle)),
+
+    // ---- X5 pagerank over the LSH-CANDIDATE edge graph — the 100 TB
+    // default (the exact-edge form above stays registered as the audit
+    // twin). Edge supply = hyperplaneEdgePairs: banded sign-projection
+    // collisions verified at exact cosine >= 0.35, so edge generation
+    // touches ~6% of all pairs instead of the n²/2 the exact supply's
+    // block scan pays on pruning-hostile geometry. The walk itself is the
+    // identical integer-e12 iteration; the oracle replays the hyperplane
+    // candidates bit-for-bit and then the same unrolled CTEs, so ranks
+    // hash-match exactly. The graph is the deterministic high-recall-at-
+    // high-sim subset (see hyperplaneEdgePairs' recall contract): on a
+    // near-dup-clustered 100 TB corpus that subset carries the centrality
+    // signal; the isotropic bench tail is its measured worst case.
+    Q("x5_pagerank_lsh",
+      (s, dir) => pagerankE12(
+        hyperplaneEdgePairs(s, embs(s, dir), 0.35)
+          .select(col("id_a").as("src"), col("id_b").as("dst")))
+        .orderBy("vec_id"),
+      Some(pagerankOracleWith(hyperplanePairsCtes(0.35)))),
 
     // ---- X5 pagerank, CONTRACTED — the scale form of x5_pagerank. The flat
     // query is linear in edges, but its edge SUPPLY is the 0.35 similarity
@@ -2013,34 +2391,13 @@ object Llm {
           .select(least(col("src"), col("dst")).as("a"),
             greatest(col("src"), col("dst")).as("b"))
           .distinct()
-        // eager checkpoint: the loop references edges twice per unrolled
-        // iteration (see x5_pagerank's edges note)
-        val edges = kept.select(col("a").as("src"), col("b").as("dst"))
-          .union(kept.select(col("b").as("src"), col("a").as("dst")))
-          .localCheckpoint(true)
-        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-          .withColumnRenamed("src", "id")
-        val tot = deg.agg(count(lit(1)).as("n"))
-        // same unrolled-lineage contract as x5_pagerank (see that query's
-        // lineage-doubling note; localCheckpoint per iteration beyond 8)
-        val PagerankIters = 5
-        var pr = deg.crossJoin(broadcast(tot))
-          .withColumn("pr", expr("1000000000000 div n"))
-        for (_ <- 1 to PagerankIters) {
-          val contrib = pr.select(col("id").as("src"), expr("pr div deg").as("c"))
-          val inc = edges.join(contrib, "src")
-            .groupBy(col("dst").as("id")).agg(sum("c").as("inc"))
-          pr = pr.drop("pr")
-            .join(inc, Seq("id"), "left")
-            .withColumn("pr", expr(
-              "(1000000000000 div n) * 15 div 100 + coalesce(inc, 0) * 85 div 100"))
-            .drop("inc")
-        }
-        val csize = rep.groupBy(col("cluster_id").as("id"))
+        // the shared walk (pagerankE12 holds the checkpoint/lineage notes)
+        val pr = pagerankE12(
+          kept.select(col("a").as("src"), col("b").as("dst")))
+        val csize = rep.groupBy(col("cluster_id").as("vec_id"))
           .agg(count(lit(1)).as("n_members"))
-        pr.join(csize, "id")
-          .select(col("id").as("vec_id"), col("n_members"),
-            col("pr").as("pr_e12"))
+        pr.join(csize, "vec_id")
+          .select(col("vec_id"), col("n_members"), col("pr_e12"))
           .orderBy("vec_id")
       },
       Some(pagerankContractedOracle)),

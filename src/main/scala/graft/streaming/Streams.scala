@@ -714,6 +714,14 @@ object Streams {
       onBatchProgress: (Long, String) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     var idx: Option[graft.operators.IvfIndex.Index] = None
+    // the PREVIOUS batch's localCheckpoint frames — released explicitly
+    // after each rebase. Left to the ContextCleaner they linger until a
+    // driver GC (weak-reference reclamation), and a long-lived store on a
+    // large-heap driver accumulates one checkpointed (assigned, cells)
+    // pair per batch — the linear block growth the 100-batch soak test
+    // caught. Only frames THIS sink checkpointed are tracked; the
+    // caller-owned seed is never unpersisted.
+    var prevCp: Option[graft.operators.IvfIndex.Index] = None
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -758,6 +766,13 @@ object Streams {
         // holds O(index) cached state instead of O(batches).
         cur = graft.operators.IvfIndex.Index(
           cur.assigned.localCheckpoint(true), cur.cells.localCheckpoint(true))
+        // the new checkpoints are fully materialized — release the previous
+        // batch's blocks NOW instead of waiting for a driver GC
+        prevCp.foreach { p =>
+          releaseLocalCheckpoint(p.assigned)
+          releaseLocalCheckpoint(p.cells)
+        }
+        prevCp = Some(cur)
         idx = Some(cur)
         b.groupBy("op").agg(count(lit(1)).as("n"))
           .write.mode("overwrite").parquet(s"$path/_audit/batch_id=$batchId")
@@ -782,6 +797,23 @@ object Streams {
     * incarnations — it is the store's durable base artifact
     * ([[graft.operators.IvfIndex.loadOrBuild]] at scale).
     */
+  /** Release the persisted blocks behind a `localCheckpoint(true)` frame.
+    * `DataFrame.unpersist()` is a NO-OP for checkpoints — the blocks hang
+    * off the truncated plan's internal RDD, not the cache manager — and the
+    * ContextCleaner only reclaims them at a driver GC, so a long-running
+    * sink that checkpoints per batch accumulates one block set per batch
+    * on a large-heap driver (caught by the 100-batch soak test). Walks the
+    * analyzed plan for its LogicalRDD leaves and unpersists their RDDs
+    * directly. Only call once every consumer of the frame has run — a
+    * checkpointed RDD has no lineage to recompute evicted blocks from.
+    */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false): Unit
+      case _ => ()
+    }
+
   private def replayLiveOps(s: SparkSession,
       seed: graft.operators.IvfIndex.Index, path: String, batchId: Long)
       : graft.operators.IvfIndex.Index = {
@@ -1074,6 +1106,10 @@ object Streams {
         // executor memory for frames no one can reach
         val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
         def pin(df: DataFrame): DataFrame = { persisted += df; df.persist() }
+        // batch-scoped localCheckpoints released alongside the pins: their
+        // blocks outlive the batch otherwise (see releaseLocalCheckpoint)
+        val checkpointed = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        def cp(df: DataFrame): DataFrame = { checkpointed += df; df }
         try {
         val in = pin(batch.select("doc_id", "text"))
         // stage 1: quality — the funnel's own predicate
@@ -1090,16 +1126,17 @@ object Streams {
         val wD = org.apache.spark.sql.expressions.Window
           .partitionBy("h").orderBy("doc_id")
         val seen = readStateBefore(s, s"$path/_state/digests", digestSchema, batchId)
-        val keepers = qual
+        val keepers = cp(qual
           .withColumn("rn", row_number().over(wD)).filter(col("rn") === 1)
           .join(seen, Seq("h"), "left_anti")
-          .select("doc_id", "text", "h").localCheckpoint(true)
+          .select("doc_id", "text", "h").localCheckpoint(true))
         // stage 3: near-dup — candidates from the shared-token inverted
         // join, exact Jaccard >= t verify, then ONE CC step over the
         // batch keepers + the reps of every prior cluster they touch
         val stateToks = readStateBefore(s, s"$path/_state/toks", tokSchema, batchId)
-        val memRep = readSnapshotBefore(s, s"$path/_state/memrep", repSchema, batchId)
-          .localCheckpoint(true)
+        val memRep = cp(
+          readSnapshotBefore(s, s"$path/_state/memrep", repSchema, batchId)
+            .localCheckpoint(true))
         val newToks = pin(keepers.select(col("doc_id"),
           explode(TF.tokenSet(col("text"))).as("w")))
         val newCnt = pin(newToks.groupBy("doc_id").agg(count(lit(1)).as("na")))
@@ -1126,8 +1163,8 @@ object Streams {
         // reps); component label = min id = the funnel's representative
         val nodes = keepers.select(col("doc_id").as("id"))
           .union(repHits.select(col("dst").as("id"))).distinct()
-        val comp = graft.operators.ConnectedComponents(
-          nodes, repHits.union(pairs)).localCheckpoint(true)
+        val comp = cp(graft.operators.ConnectedComponents(
+          nodes, repHits.union(pairs)).localCheckpoint(true))
         val admitted = comp.filter(col("id") === col("component"))
           .join(keepers.select(col("doc_id").as("id")), "id")
           .select(col("id").as("doc_id"))
@@ -1156,6 +1193,7 @@ object Streams {
             .join(comp.toDF("member_id", "rep_id"), "member_id")
             .select("member_id", "rep_id"))
           .localCheckpoint(true)
+        checkpointed += remapped
         remapped.write.mode("overwrite")
           .parquet(s"$path/_state/memrep/batch_id=$batchId")
         onBatchProgress(batchId, "memrep")
@@ -1175,6 +1213,7 @@ object Streams {
         onBatchProgress(batchId, "decisions")
         } finally {
           persisted.foreach(_.unpersist(blocking = false))
+          checkpointed.foreach(releaseLocalCheckpoint)
           graft.Caches.drain(s) // operators' query-local persists
         }
       }
@@ -1236,6 +1275,7 @@ object Streams {
       gens.filter(_ != top)
         .foreach(b => rm(new java.io.File(s"$dir/batch_id=$b")))
       new java.io.File(s"$dir/batch_id=$top", "_folded").delete()
+      releaseLocalCheckpoint(merged) // fold done — blocks are dead weight
       gens.length
     }
   }

@@ -142,6 +142,152 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("x2_containment_lsh: exact-subset precision + >=90% recall on planted snippet-in-doc fixtures") {
+    import spark.implicits._
+    // planted corpus, OPEN vocabulary (the regime the exact twin's bitset
+    // path can't take): 40 big docs of ~48 distinct words; for 20 of them a
+    // SNIPPET of 8-12 of their own words (containment 1.0, Jaccard ~0.17 —
+    // two strata down, invisible to plain Jaccard banding); 10 same-stratum
+    // near-copies at C ~0.93; plus 3 exact duplicates (the intra-set path)
+    val rng = new scala.util.Random(41)
+    val vocab = (0 until 400).map(i => s"w$i")
+    def sample(n: Int, from: Seq[String]): Seq[String] =
+      rng.shuffle(from).take(n)
+    val bigs = (0 until 40).map(i =>
+      (100L + i, sample(48, vocab).mkString(" ")))
+    val snippets = (0 until 20).map { i =>
+      val bigWords = bigs(i)._2.split(" ").toSeq
+      (300L + i, sample(8 + rng.nextInt(5), bigWords).mkString(" "))
+    }
+    val nearCopies = (0 until 10).map { i =>
+      val bigWords = bigs(20 + i)._2.split(" ").toSeq
+      // drop 2 of 48, add 2 fresh: C = 46/48 ≈ 0.958, same stratum
+      (500L + i, (sample(46, bigWords) ++ sample(2, vocab.drop(350)))
+        .mkString(" "))
+    }
+    val dups = (0 until 3).map(i => (700L + i, bigs(30)._2))
+    val d = (bigs ++ snippets ++ nearCopies ++ dups).toDF("doc_id", "text")
+    val tok = d.select(col("doc_id"), explode(TF.tokenSet(col("text"))).as("w"))
+    val exact = graft.queries.Llm
+      .containmentPairsForTest(spark, tok, 9, 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    val lsh = graft.queries.Llm.containmentLshPairs(spark, d, 9, 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    graft.Caches.drain(spark)
+    // precision is one-sided exact: every emitted pair passed the exact
+    // verify, so it must appear in the exact twin's list WITH the same
+    // integer scores (the 62-bit token hashes stand in for the tokens)
+    val falsePos = lsh.keySet -- exact.keySet
+    assert(falsePos.isEmpty, s"false positives: ${falsePos.take(5)}")
+    val scoreDiff = lsh.filter { case (k, v) => exact(k) != v }
+    assert(scoreDiff.isEmpty, s"score mismatch: ${scoreDiff.take(3)}")
+    // planted snippet pairs: gap 2 → band budget 20 at Jmin ~0.11, so the
+    // per-pair candidate probability at the planted J ~0.17 is ≥ 0.97
+    val planted = snippets.map(s => (100L + (s._1 - 300L), s._1)).toSet
+    assert(planted.forall(exact.contains), "fixture bug: a plant isn't exact-qualified")
+    val plantRecall = planted.count(lsh.contains).toDouble / planted.size
+    assert(plantRecall >= 0.9,
+      s"snippet-in-doc recall $plantRecall over ${planted.size} plants")
+    // overall recall across every qualifying pair class
+    val recall = exact.keySet.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall over ${exact.size} true pairs")
+    // the near-copy and exact-dup plants ride the high-probability tiers —
+    // demand all of them
+    val sure = (0 until 10).map(i => (120L + i, 500L + i)).toSet ++
+      Set((130L, 700L), (700L, 701L), (700L, 702L), (701L, 702L))
+    assert(sure.forall(lsh.contains),
+      s"missed high-J plants: ${sure.filterNot(lsh.contains)}")
+  }
+
+  test("x2_containment_lsh on the corpus: subset of x2_containment with identical scores, recall >= 0.9") {
+    val exact = q("x2_containment")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    graft.Caches.drain(spark)
+    val lsh = q("x2_containment_lsh")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    graft.Caches.drain(spark)
+    val falsePos = lsh.keySet -- exact.keySet
+    assert(falsePos.isEmpty, s"false positives: ${falsePos.take(5)}")
+    assert(lsh.forall { case (k, v) => exact(k) == v }, "score mismatch vs exact twin")
+    val recall = exact.keySet.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall over ${exact.size} true pairs")
+  }
+
+  test("hyperplaneEdgePairs: exact-subset precision; >=90% recall on planted high-sim clusters; semdedup_lsh refines the exact clustering") {
+    import spark.implicits._
+    // (1) corpus precision: every emitted edge is in the exact >=0.35 pair
+    // list with the identical sim (the verify step IS the exact criterion)
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val VF = graft.functions.VectorFunctions
+    val e = emb.select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VF.l2Norm(col("v")))
+    graft.functions.NativeExpressions.register(spark)
+    val exact = e.as("a").crossJoin(e.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", call_function("graft_dot", col("a.v"), col("b.v"))
+        / (col("a.nrm") * col("b.nrm")))
+      .filter(col("sim") >= 0.35)
+      .select(col("a.vec_id"), col("b.vec_id"), col("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = graft.queries.Llm.hyperplaneEdgePairs(spark, emb, 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    graft.Caches.drain(spark)
+    assert((lsh.keySet -- exact.keySet).isEmpty,
+      s"false-positive edges: ${(lsh.keySet -- exact.keySet).take(5)}")
+    assert(lsh.forall { case (k, s) => exact(k) == s }, "edge sims diverged")
+    // the corpus tail sits at sim 0.35-0.55 — hyperplane LSH's worst case;
+    // record the floor the SCALING.md contract documents rather than a bar
+    // the construction cannot honestly meet there
+    val tailRecall = exact.keySet.count(lsh.contains).toDouble / exact.size
+    assert(tailRecall > 0.1, s"isotropic-tail recall collapsed: $tailRecall")
+    // (2) planted clustered fixture — the 100 TB shape the variant is FOR:
+    // 30 clusters of 5 near-identical vectors (pairwise sim >= 0.9); the
+    // per-pair candidate probability at 0.9 is ~0.99, demand >= 90%
+    val rng = new scala.util.Random(83)
+    val centers = Seq.fill(30)(Array.fill(16)(rng.nextGaussian()))
+    val planted = centers.zipWithIndex.flatMap { case (c, ci) =>
+      (0 until 5).map(j => ((ci * 10 + j).toLong,
+        c.map(x => (x + rng.nextGaussian() * 0.02).toFloat).toSeq))
+    }
+    val pd = planted.toDF("vec_id", "embedding")
+    val pe = pd.select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VF.l2Norm(col("v")))
+    val pExact = pe.as("a").crossJoin(pe.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", call_function("graft_dot", col("a.v"), col("b.v"))
+        / (col("a.nrm") * col("b.nrm")))
+      .filter(col("sim") >= 0.9)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pExact.size >= 250, s"fixture bug: only ${pExact.size} high-sim pairs")
+    val pLsh = graft.queries.Llm.hyperplaneEdgePairs(spark, pd, 0.9)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.Caches.drain(spark)
+    val recall = pExact.count(pLsh.contains).toDouble / pExact.size
+    assert(recall >= 0.9,
+      s"planted-cluster recall $recall over ${pExact.size} pairs")
+    // (3) decision safety: x5_semdedup_lsh REFINES x5_semdedup — a missing
+    // low-sim edge can only split a component, never merge two, so any two
+    // docs the LSH variant co-clusters must be co-clustered by the exact
+    // twin (the conservative direction for a keep/drop gate)
+    val exactClusters = q("x5_semdedup")
+      .select("vec_id", "cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caches.drain(spark)
+    val lshClusters = q("x5_semdedup_lsh")
+      .select("vec_id", "cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    graft.Caches.drain(spark)
+    val byLsh = lshClusters.groupBy(_._2).values
+    assert(byLsh.forall(g => g.map(x => exactClusters(x._1)).distinct.size == 1),
+      "x5_semdedup_lsh merged docs the exact twin separates")
+  }
+
   test("x3_knn_ivf_approx is internally consistent and a valid ANN answer") {
     import spark.implicits._
     // raw neighbor lists (the registered query aggregates them into the

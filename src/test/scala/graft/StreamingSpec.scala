@@ -959,6 +959,94 @@ class StreamingSpec extends AnyFunSuite {
     graft.Caches.drain(spark)
   }
 
+  test("live store SOAK: 100 batches with periodic compaction hold a bounded " +
+      "footprint, stable latency, and exact final answers") {
+    import graft.streaming.Streams
+    val VF = graft.functions.VectorFunctions
+    val rng = new scala.util.Random(211)
+    val dim = 4
+    val centers = Seq.fill(3)(Array.fill(dim)(rng.nextGaussian()))
+    def near(c: Array[Double]): Seq[Float] =
+      c.map(x => (x + rng.nextGaussian() * 0.01).toFloat).toSeq
+    val seedVecs = (0L until 40L).map(i => (i, near(centers((i % 3).toInt))))
+    val seed = graft.operators.IvfIndex.build(
+      seedVecs.toDF("vec_id", "embedding")
+        .select(col("vec_id"), VF.toDouble(col("embedding")).as("v")))
+    val dir = java.nio.file.Files.createTempDirectory("ann_live_soak").toString
+    val in = MemoryStream[(Long, Seq[Float], String)](spark)
+    val q = Streams.annLiveStoreSink(
+      in.toDF().toDF("doc_id", "embedding", "op"), seed,
+      s"$dir/out", s"$dir/ckpt", k = 2)
+    // logical state the store must track across the whole run
+    val state = scala.collection.mutable.Map(seedVecs: _*)
+    val batches = 100
+    val compactEvery = 20
+    val latency = new Array[Double](batches)
+    var maxPersisted = 0
+    var maxGens = 0
+    (0 until batches).foreach { i =>
+      // each batch: one fresh put, one re-put of an existing id (moves
+      // cluster), one delete of an existing id — the full CDC mix forever
+      val fresh = (1000L + i, near(centers((i % 3))))
+      val moveId = state.keys.min
+      val moved = near(centers(((i + 1) % 3)))
+      val delId = state.keys.max
+      val t0 = System.nanoTime()
+      in.addData((fresh._1, fresh._2, "put"), (moveId, moved, "put"),
+        (delId, Seq.empty[Float], "delete"))
+      q.processAllAvailable()
+      latency(i) = (System.nanoTime() - t0) / 1e9
+      state += fresh; state(moveId) = moved; state -= delId
+      if ((i + 1) % compactEvery == 0) {
+        Streams.liveStoreCompact(spark, s"$dir/out")
+        // the committed prefix folds to ONE generation; only batches since
+        // the fold (plus the never-folded top) may pile above it
+        val gens = new java.io.File(s"$dir/out/_state/ops").listFiles()
+          .count(_.getName.startsWith("batch_id="))
+        maxGens = math.max(maxGens, gens)
+        assert(gens <= 2, s"log not folding: $gens generations after compact")
+      }
+      maxPersisted = math.max(maxPersisted,
+        spark.sparkContext.getPersistentRDDs.size)
+    }
+    // footprint: the per-batch localCheckpoint rebase + scoped cache
+    // release must hold persisted blocks at O(index), not O(batches) —
+    // allow slack for the async ContextCleaner but fail on linear growth
+    assert(maxPersisted < 40,
+      s"persisted-RDD count grew with batch count: $maxPersisted")
+    // latency: the steady state must not drift upward as history grows —
+    // compare the middle-decile median to the last-decile median (medians
+    // over 10 samples absorb GC/compaction spikes; 2x is far below the
+    // O(batches) drift this guards against, which measured >10x pre-fix)
+    def median(xs: Array[Double]) = xs.sorted.apply(xs.length / 2)
+    val mid = median(latency.slice(40, 50))
+    val late = median(latency.slice(90, 100))
+    assert(late <= mid * 2.0,
+      s"per-batch latency drifting: median batch 40-50 = $mid s, " +
+        s"batch 90-100 = $late s")
+    // exactness after the full run: probe lookups (batch 100) must answer
+    // identically to a fresh index built over the logical survivor set —
+    // 100 batches of upserts/deletes plus five compactions must not have
+    // drifted the store's membership or geometry
+    val probes = Seq((9000L, near(centers(0))), (9001L, near(centers(1))),
+      (9002L, near(centers(2))))
+    in.addData(probes.map { case (i, v) => (i, v, "put") }: _*)
+    q.processAllAvailable(); q.stop()
+    val ref = graft.operators.IvfIndex.build(
+      state.toSeq.sortBy(_._1).toDF("vec_id", "embedding")
+        .select(col("vec_id"), VF.toDouble(col("embedding")).as("v")))
+    val expect = Streams.annLookup(
+        probes.toDF("doc_id", "embedding"), ref, k = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val got = spark.read.parquet(s"$dir/out/lookups/batch_id=$batches")
+      .select("doc_id", "rk", "neighbor_id", "sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == expect,
+      s"soaked store diverged from the survivor-built index: " +
+        s"only-stream=${got -- expect} only-ref=${expect -- got}")
+    graft.Caches.drain(spark)
+  }
+
   test("live store log compaction folds to one generation and restarts " +
       "onto identical membership") {
     import graft.streaming.Streams
