@@ -274,6 +274,52 @@ object IvfIndex {
       .foreach(rm)
   }
 
+  /** Evict SUPERSEDED same-version cache generations: the cache key embeds
+    * the source row count, so every ingest/forget that changes the count
+    * writes a NEW `key-nN-v<fmt>` directory and strands the old one —
+    * [[pruneStaleCache]] only reclaims other-VERSION entries, and nothing
+    * else evicts, so a long-lived deployment accrues one index per corpus
+    * size forever. For each (key, shard-layout) group, keep the `keepLast`
+    * most recently written generations (the newest is the live one — both
+    * the build and the forgetStored rewrite stamp a fresh mtime) and
+    * delete the rest. Same conservatism as the version prune: only
+    * full-key-shaped directories whose children are exactly the
+    * `assigned`/`cells` pair are touched. The [[graft.sources.Snapshot]]
+    * `vacuum` pattern, applied to the index artifact store. Returns the
+    * number of generations removed.
+    */
+  def vacuumCache(spark: SparkSession, keepLast: Int = 1): Int = {
+    require(keepLast >= 1, "vacuum must keep at least the live generation")
+    val root = new java.io.File(cacheRoot(spark))
+    val keyShape = raw"^(.*?)((?:-sh\d+)?)-n\d+-v$fmtVersion$$".r
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    def indexShaped(f: java.io.File): Boolean = {
+      val children = Option(f.listFiles()).getOrElse(Array.empty)
+      children.nonEmpty &&
+        children.forall(c => c.isDirectory &&
+          (c.getName == "assigned" || c.getName == "cells"))
+    }
+    val groups = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .flatMap { f =>
+        f.getName match {
+          case keyShape(key, sh) if indexShaped(f) => Some(((key, sh), f))
+          case _ => None
+        }
+      }
+      .groupBy(_._1)
+    var removed = 0
+    groups.values.foreach { entries =>
+      entries.map(_._2).sortBy(-_.lastModified())
+        .drop(keepLast)
+        .foreach { f => rm(f); removed += 1 }
+    }
+    removed
+  }
+
   /** Record a pairsExact plan decision. `graft.ivf.lastPairsPath` keeps the
     * most recent decision (the quick probe tests pin); because a query can
     * call pairsExact several times — or two queries can share a session —

@@ -1109,6 +1109,43 @@ object Llm {
     (m, default)
   }
 
+  /** The DSIR delta table as a DURABLE, ATOMICALLY-SWAPPABLE artifact —
+    * the retrain protocol for a long-lived [[graft.streaming.Streams]]
+    * DSIR screen. Storage is a [[graft.sources.Snapshot]] table (≤ 1025
+    * rows: one per bucket plus the smoothed default under the reserved
+    * bucket −1), so a retrain is `Snapshot.update`'s stage-then-CAS
+    * pointer swap: readers of the previous generation are untouched, a
+    * concurrent retrain loses the CAS loudly instead of interleaving, and
+    * the screen adopts the new map at its next micro-batch without a
+    * stream restart. [[dsirArtifactLoad]] resolves the pointer ONCE and
+    * reads that generation, so a batch can never mix two generations'
+    * deltas.
+    */
+  private[graft] def dsirArtifactFrame(s: SparkSession, d: DataFrame): DataFrame = {
+    val (m, dflt) = dsirDeltaMap(s, d)
+    import s.implicits._
+    (m.toSeq.sortBy(_._1) :+ (-1L, dflt)).toDF("b", "d_e6")
+  }
+
+  private[graft] def dsirArtifactInit(s: SparkSession, d: DataFrame,
+      path: String): Unit =
+    graft.sources.Snapshot.init(s, path, dsirArtifactFrame(s, d))
+
+  /** Retrain on `d` and swap atomically; returns the new generation. */
+  private[graft] def dsirArtifactRetrain(s: SparkSession, d: DataFrame,
+      path: String): Long =
+    graft.sources.Snapshot.update(s, path)(_ => dsirArtifactFrame(s, d))
+
+  /** Load (bucket → d_e6, default, generation) from the live artifact. */
+  private[graft] def dsirArtifactLoad(s: SparkSession, path: String)
+      : (Map[Long, Long], Long, Long) = {
+    val gen = graft.sources.Snapshot.currentGen(path).getOrElse(
+      throw new IllegalArgumentException(s"not a DSIR artifact: $path"))
+    val rows = graft.sources.Snapshot.readAt(s, path, gen)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (rows - (-1L), rows(-1L), gen)
+  }
+
   /** LEARNED quality classifier — the shipped artifact of an offline
     * logistic-regression distillation of [[qualityPredicate]] (trained once
     * over the x4_hash_embed 32-bucket count features of the sf0.1 corpus;

@@ -877,6 +877,34 @@ object Streams {
       .withColumn("admitted", col("logw_e6") >= minLogwE6)
   }
 
+  /** [[dsirScreen]] with a LIVE delta artifact — the retrain-without-restart
+    * deployment of the DSIR gate. Each micro-batch resolves the artifact's
+    * current generation ONCE ([[graft.queries.Llm.dsirArtifactLoad]] — a
+    * [[graft.sources.Snapshot]] pointer read, so a concurrent
+    * `dsirArtifactRetrain` swap is adopted atomically at the NEXT batch
+    * boundary and no batch ever mixes two generations' deltas), scores the
+    * batch with the same pure expressions as the frozen screen, and lands
+    * it under the overwrite-by-batch-directory exactly-once rule with the
+    * scoring generation stamped on every row (`delta_gen` — the audit
+    * column that makes "which model scored this" answerable after the
+    * fact). An IDEMPOTENT swap (retrain on the same corpus) is
+    * golden-tested to score cell-identically across the boundary.
+    */
+  def dsirScreenSink(incoming: DataFrame, artifactPath: String,
+      minLogwE6: Long, out: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val (deltas, default, gen) =
+          graft.queries.Llm.dsirArtifactLoad(s, artifactPath)
+        dsirScreen(batch, deltas, default, minLogwE6)
+          .withColumn("delta_gen", lit(gen))
+          .write.mode("overwrite").parquet(s"$out/batch_id=$batchId"): Unit
+      }
+      .start()
+
   /** Streaming QUALITY screen — the third ingest gate beside the MinHash
     * and embedding near-dup screens: score each incoming document with the
     * same pure expressions as the batch `x4_quality`/`x4_repetition`

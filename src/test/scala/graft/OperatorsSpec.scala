@@ -913,4 +913,50 @@ class OperatorsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     graft.Caches.drain(spark)
     assert(outer.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
   }
+
+  test("IvfIndex.vacuumCache evicts superseded same-version generations per (key, layout)") {
+    val root = java.nio.file.Files.createTempDirectory("ivf-vacuum").toFile
+    val old = spark.conf.getOption("graft.ivf.cacheDir")
+    spark.conf.set("graft.ivf.cacheDir", root.getAbsolutePath)
+    try {
+      val rng = new scala.util.Random(37)
+      val all = (0 until 120).map(i =>
+        (i.toLong, Seq.fill(5)(rng.nextGaussian())))
+      val e = all.toDF("vec_id", "v")
+      val v = graft.operators.IvfIndex.fmtVersion
+      // two generations of the same key (the corpus shrank), one sharded
+      // layout of the same key, and an unrelated key
+      graft.operators.IvfIndex.loadOrBuild(e, "vac")
+      graft.operators.IvfIndex.loadOrBuild(
+        e.filter(col("vec_id") < 110), "vac")
+      graft.operators.IvfIndex.loadOrBuildSharded(e, "vac", shards = 4)
+      graft.operators.IvfIndex.loadOrBuild(e, "vacother")
+      // make the generation order unambiguous whatever the build timing
+      assert(new java.io.File(root, s"vac-n120-v$v")
+        .setLastModified(System.currentTimeMillis() - 3600000L))
+      // a name-shaped directory with non-index contents must never be
+      // touched (the cache root may be a shared scratch dir)
+      val decoy = new java.io.File(root, s"vac-n999-v$v")
+      assert(new java.io.File(decoy, "assigned").mkdirs())
+      java.nio.file.Files.write(
+        new java.io.File(decoy, "keepme.txt").toPath, "x".getBytes)
+      val removed = graft.operators.IvfIndex.vacuumCache(spark, keepLast = 1)
+      assert(removed == 1, s"expected exactly the stale generation, got $removed")
+      assert(!new java.io.File(root, s"vac-n120-v$v").exists(),
+        "the superseded generation must be evicted")
+      assert(new java.io.File(root, s"vac-n110-v$v").isDirectory,
+        "the live (newest) generation must survive")
+      assert(new java.io.File(root, s"vac-sh4-n120-v$v").isDirectory,
+        "a different layout of the same key is its own group")
+      assert(new java.io.File(root, s"vacother-n120-v$v").isDirectory)
+      assert(new java.io.File(decoy, "keepme.txt").isFile,
+        "non-index-shaped directories are never touched")
+      // keepLast=2 with only one generation per group removes nothing
+      assert(graft.operators.IvfIndex.vacuumCache(spark, keepLast = 2) == 0)
+    } finally {
+      old.fold(spark.conf.unset("graft.ivf.cacheDir"))(
+        spark.conf.set("graft.ivf.cacheDir", _))
+      graft.Caches.drain(spark)
+    }
+  }
 }

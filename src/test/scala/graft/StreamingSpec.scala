@@ -1290,6 +1290,61 @@ class StreamingSpec extends AnyFunSuite {
     graft.Caches.drain(spark)
   }
 
+  test("DSIR live screen adopts an atomic delta-map retrain at the batch " +
+      "boundary; an idempotent swap is cell-identical") {
+    import graft.streaming.Streams
+    val d = graft.Tables.load(spark, SparkTestSession.sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("dsir_live").toString
+    val art = s"$dir/artifact"
+    graft.queries.Llm.dsirArtifactInit(spark, d, art)
+    assert(graft.sources.Snapshot.currentGen(art).contains(0L))
+    val docsLocal = d.as[(Long, String)].collect().toSeq
+    val in = MemoryStream[(Long, String)](spark)
+    val q = Streams.dsirScreenSink(in.toDF().toDF("doc_id", "text"), art,
+      minLogwE6 = 0L, s"$dir/out", s"$dir/ckpt")
+    def feed(): Unit = { in.addData(docsLocal: _*); q.processAllAvailable() }
+    feed() // batch 0 scores under generation 0
+    // IDEMPOTENT swap: retrain on the SAME corpus — new generation,
+    // identical content; the screen must score cell-identically across
+    // the boundary (the safety property of a routine artifact refresh)
+    assert(graft.queries.Llm.dsirArtifactRetrain(spark, d, art) == 1L)
+    feed() // batch 1 scores under generation 1
+    // REAL retrain: extend the corpus with junk docs (new vocabulary,
+    // fails the target heuristic) — the deltas genuinely change
+    val junk = (0 until 60).map(i =>
+      ((900000 + i).toLong, Array.fill(30)("zzjunk" + (i % 7)).mkString(" ")))
+    val d2 = d.unionByName(junk.toDF("doc_id", "text"))
+    assert(graft.queries.Llm.dsirArtifactRetrain(spark, d2, art) == 2L)
+    feed() // batch 2 scores under generation 2
+    q.stop()
+    def batchRows(b: Int) = spark.read.parquet(s"$dir/out/batch_id=$b")
+      .select("doc_id", "n_tokens", "logw_e6", "admitted", "delta_gen")
+      .as[(Long, Long, Long, Boolean, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val b0 = batchRows(0); val b1 = batchRows(1); val b2 = batchRows(2)
+    assert(b0.values.forall(_._4 == 0L) && b1.values.forall(_._4 == 1L) &&
+      b2.values.forall(_._4 == 2L), "delta_gen must stamp the scoring artifact")
+    // idempotent swap: identical scores, only the generation stamp moved
+    assert(b0.keySet == b1.keySet &&
+      b0.forall { case (k, (n, w, a, _)) =>
+        val (n1, w1, a1, _) = b1(k); n == n1 && w == w1 && a == a1 },
+      "an idempotent artifact swap changed scores")
+    // real retrain: batch 2 must equal the frozen screen under the NEW map
+    // (loaded directly) and actually differ from the generation-0 scores
+    val (m2, dflt2, _) = graft.queries.Llm.dsirArtifactLoad(spark, art)
+    val expect2 = Streams.dsirScreen(
+        docsLocal.toDF("doc_id", "text"), m2, dflt2, minLogwE6 = 0L)
+      .select("doc_id", "n_tokens", "logw_e6", "admitted")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(b2.forall { case (k, (n, w, a, _)) => expect2(k) == ((n, w, a)) },
+      "post-retrain stream scores diverged from the frozen screen on the new map")
+    assert(b2.exists { case (k, (_, w, _, _)) => b0(k)._2 != w },
+      "the retrain changed no score — the swap cannot have taken effect")
+    graft.Caches.drain(spark)
+  }
+
   test("dsirScreen with an EMPTY delta map scores every token at the default") {
     import graft.streaming.Streams
     // regression: an empty map literal used to type as map<null,null> and
