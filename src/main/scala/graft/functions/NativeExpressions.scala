@@ -153,6 +153,173 @@ case class FirstEqualIndex(left: Expression, right: Expression,
     copy(left = newFirst, right = newSecond, limit = newThird)
 }
 
+/** PQ encode: 16 4-bit codes for a 64-dim quantized vector against a flat
+  * codebook literal (1024 doubles, laid out [sub][cid][pos] =
+  * sub·64 + cid·4 + pos). Per subvector: argmin over the 16 centroids of
+  * the exact integer squared-L2, strict `<` so the smallest cid wins ties
+  * — the same rule as the driver-side trainer and the oracle's
+  * (d asc, cid asc) ranking, so codes are bit-identical to the relational
+  * encode this kernel replaced (the 205M-row join+aggregate+window shape
+  * cost more than the whole rest of the PQ search at the 100× probe).
+  */
+case class PqEncode(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val q8 = a.asInstanceOf[ArrayData].toDoubleArray()
+    val cb = b.asInstanceOf[ArrayData].toDoubleArray()
+    val m = 16; val k = 16; val dsub = q8.length / m
+    val out = new Array[Long](m)
+    var sub = 0
+    while (sub < m) {
+      var best = 0; var bestD = Double.MaxValue
+      var cid = 0
+      while (cid < k) {
+        var d = 0.0; var p = 0
+        while (p < dsub) {
+          val t = q8(sub * dsub + p) - cb(sub * (k * dsub) + cid * dsub + p)
+          d += t * t; p += 1
+        }
+        if (d < bestD) { bestD = d; best = cid }
+        cid += 1
+      }
+      out(sub) = best.toLong
+      sub += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Per-query ADC lookup table: 256 doubles [sub][cid] = sub·16 + cid, each
+  * the exact integer squared-L2 between the query's subvector and that
+  * centroid. One row per QUERY (the fixed budget), so interpretation cost
+  * is irrelevant; the table rides a broadcast into [[AdcDistance]].
+  */
+case class PqQueryTable(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val q8 = a.asInstanceOf[ArrayData].toDoubleArray()
+    val cb = b.asInstanceOf[ArrayData].toDoubleArray()
+    val m = 16; val k = 16; val dsub = q8.length / m
+    val out = new Array[Double](m * k)
+    var sub = 0
+    while (sub < m) {
+      var cid = 0
+      while (cid < k) {
+        var d = 0.0; var p = 0
+        while (p < dsub) {
+          val t = q8(sub * dsub + p) - cb(sub * (k * dsub) + cid * dsub + p)
+          d += t * t; p += 1
+        }
+        out(sub * k + cid) = d
+        cid += 1
+      }
+      sub += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqQueryTable =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Asymmetric-distance lookup: Σ_sub qtab[sub·16 + code[sub]] — the ADC
+  * hot loop, evaluated once per (vector, query) pair. Codegen'd: the scan
+  * is corpus × queries rows, and every distance term is an exact integer
+  * in doubles, so this 16-add fold is bit-equal to the relational
+  * per-(sub,cid) join + SUM it replaced at a tiny fraction of the cost.
+  */
+case class AdcDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val code = a.asInstanceOf[ArrayData]
+    val qtab = b.asInstanceOf[ArrayData]
+    var s = 0.0
+    var sub = 0
+    val m = code.numElements()
+    while (sub < m) {
+      s += qtab.getDouble(sub * 16 + code.getLong(sub).toInt)
+      sub += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val m = ctx.freshName("m")
+      val s = ctx.freshName("s")
+      s"""
+         |int $m = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $m; $i++) {
+         |  $s += $b.getDouble($i * 16 + (int) $a.getLong($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcDistance =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Σ popcount(a[i] XOR b[i]) over two equal-length long arrays — the
+  * Hamming distance between two packed sign-bit signatures. The cheap
+  * prefilter between band-collision candidates and the full-vector cosine
+  * verify: candidates already carry both signature arrays for the
+  * first-agreeing-band filter, so this costs no extra data movement and
+  * drops the ~95% of bucket collisions that random geometry produces
+  * before any vector is shuffled. Codegen'd — evaluated per candidate row.
+  */
+case class XorPopcount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0; var c = 0L
+    while (i < n) {
+      c += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i))
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $c = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $c += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): XorPopcount =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Build a fixed-width bitmask (`words` longs) from an `array<long>` of bit
   * indices — the set-as-bitset encoding for vocabulary-bounded Jaccard.
   */
@@ -859,6 +1026,18 @@ object NativeExpressions {
       "graft_first_eq",
       (args: Seq[Expression]) => FirstEqualIndex(args(0), args(1), args(2)),
       "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_xor_popcnt",
+      (args: Seq[Expression]) => XorPopcount(args(0), args(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_pq_encode",
+      (args: Seq[Expression]) => PqEncode(args(0), args(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_pq_qtab",
+      (args: Seq[Expression]) => PqQueryTable(args(0), args(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_adc",
+      (args: Seq[Expression]) => AdcDistance(args(0), args(1)), "built-in")
     registry.createOrReplaceTempFunction(
       "graft_minhash",
       (args: Seq[Expression]) => MinHashSignature64(args(0),

@@ -164,7 +164,7 @@ object Llm {
     val idx = ivfIndex(s, dir)
     // one shared PQ build (quantize/train/encode/ADC-table) with the flat
     // x3_knn_pq — the IVF difference is ONLY the probe filter below
-    val (codes0, qd) = pqBuild(s, idx.assigned.select("vec_id", "v"))
+    val (codes0, qtabs) = pqBuild(s, idx.assigned.select("vec_id", "v"))
     val codes = codes0.join(idx.assigned.select("vec_id", "cell"), "vec_id")
     // queries + their nprobe=8 probed cells (knnApprox's convention);
     // same fixed query budget as pqBuild's ADC table
@@ -180,13 +180,14 @@ object Llm {
       .filter(col("prk") <= 8)
       .select("query_id", "cell")
     // ADC over probed members only; 100-candidate pool (the 10x oversize
-    // the 4-bit codes need — same sizing as x3_knn_pq)
+    // the 4-bit codes need — same sizing as x3_knn_pq); one native
+    // 16-lookup fold per (member, probing query) row
     val wpool = Window.partitionBy("query_id").orderBy(asc("adist"), asc("neighbor_id"))
     val pool = codes.join(broadcast(probed), "cell")
       .filter(col("vec_id") =!= col("query_id"))
-      .join(broadcast(qd), Seq("query_id", "sub", "cid"))
-      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
-      .agg(sum("d").as("adist"))
+      .join(broadcast(qtabs), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        call_function("graft_adc", col("code"), col("qtab")).as("adist"))
       .withColumn("prk", row_number().over(wpool))
       .filter(col("prk") <= 100)
       .select("query_id", "neighbor_id")
@@ -261,38 +262,87 @@ object Llm {
 
   /** Hyperplane-LSH candidate EDGES over the embeddings table — the banded
     * edge supply for the `_lsh` graph variants (pagerank, semdedup): every
-    * vector gets 16 bands of 8 sign-random-projection bits (Charikar
-    * hyperplane LSH, PORTABLE quantized-integer arithmetic — the same
-    * kernel as x3_knn_lsh, so the DuckDB oracle replays the candidate set
-    * bit-for-bit); a pair is a candidate iff some band agrees, emitted
-    * exactly once at its FIRST agreeing band (graft_first_eq — no dedup
-    * exchange), then verified at exact cosine ≥ `t`.
+    * vector gets [[hyperplaneEdgeGeometry]]'s bands of sign-random-
+    * projection bits (Charikar hyperplane LSH, PORTABLE quantized-integer
+    * arithmetic — the same kernel as x3_knn_lsh, so the DuckDB oracle
+    * replays the candidate set bit-for-bit); a pair is a candidate iff
+    * some band agrees, emitted exactly once at its FIRST agreeing band
+    * (graft_first_eq — no dedup exchange), then verified at exact cosine
+    * ≥ `t`.
     *
     * The contract is the published LSH trade: the edge set is a
     * DETERMINISTIC SUBSET of the exact similarity graph whose per-edge
-    * recall rises with similarity (P = 1 − (1 − (1 − θ/π)^8)^16: ~0.99 at
-    * sim 0.9, ~0.8 at 0.7, ~0.3 at the 0.35 tail), while candidate
-    * enumeration touches ~16/2^8 ≈ 6% of all pairs instead of all of
-    * them. On a near-dup-clustered corpus (the 100 TB shape) the
-    * surviving skeleton carries the dedup/centrality signal — it is the
-    * high-sim edges that both pagerank mass and semdedup decisions ride;
-    * the bench's isotropic tail (every qualifying pair at sim 0.35-0.55)
-    * is the published construction's worst case and is measured as such
-    * in LlmSpec + SCALING.md. The exact-edge forms stay registered as
-    * audit twins.
+    * recall rises with similarity (P = 1 − (1 − (1 − θ/π)^bits)^bands:
+    * ≥ 0.99 at sim 0.9 at every corpus size by the geometry rule; lower
+    * down-sim, and the reachable sim floor rises as bits grow with n —
+    * the standard LSH capacity dial), while candidate enumeration stays
+    * ~bands/2^bits ≈ a constant multiple of n instead of quadratic. On a
+    * near-dup-clustered corpus (the 100 TB shape) the surviving skeleton
+    * carries the dedup/centrality signal — it is the high-sim edges that
+    * both pagerank mass and semdedup decisions ride; the bench's
+    * isotropic tail (every qualifying pair at sim 0.35-0.55) is the
+    * published construction's worst case and is measured as such in
+    * LlmSpec + SCALING.md. The exact-edge forms stay registered as audit
+    * twins.
     */
+  /** Band geometry for [[hyperplaneEdgePairs]], STATISTICS-GATED on the
+    * corpus size: bits = max(8, bitlength((n−1) div 32)) holds the expected
+    * band-bucket at ≤ ~32 members, so candidate enumeration stays
+    * Σ m²/2 · bands ≈ 16·n instead of growing quadratically at fixed bucket
+    * width (the 100× probe hung on 8-bit buckets of ~780 members); bands
+    * double to 32 once bits exceed 8 to hold high-sim recall
+    * (1 − (1 − p^bits)^bands ≥ 0.99 at sim 0.9 for every n). Integer
+    * bit-length arithmetic — the oracle derives the identical pair from
+    * COUNT(*) with to_base, no FP log anywhere.
+    */
+  private[graft] def hyperplaneEdgeGeometry(n: Long): (Int, Int) = {
+    val bits = math.min(24, math.max(8, java.lang.Long.SIZE -
+      java.lang.Long.numberOfLeadingZeros(math.max(1L, (n - 1) / 32))))
+    val bands = if (bits <= 8) 16 else 32
+    (bands, bits)
+  }
+
+  /** Hamming-prefilter cutoff for [[hyperplaneEdgePairs]]: a sim ≥ t pair's
+    * per-bit agreement probability is f = 1 − acos(t)/π, so its
+    * disagreement count over the total = bands·bits signature bits is
+    * Binomial(total, 1−f) — cut 3σ above that mean (keeps ≥ 99.8% of
+    * threshold-sim pairs, ~everything above) while random pairs
+    * (agreement ½) overwhelmingly fail. Computed ONCE per (t, bits) in
+    * Scala and inlined as INTEGER literals into both the plan and the
+    * oracle's CASE ladder — the acos/sqrt never evaluate inside either
+    * engine, so no cross-engine FP boundary exists.
+    */
+  private[graft] def hyperplaneMaxDisagree(t: Double, bits: Int): Int = {
+    val bands = if (bits <= 8) 16 else 32
+    val total = bands * bits
+    val f = 1.0 - math.acos(t) / math.Pi
+    val minAgree =
+      math.floor(total * f - 3.0 * math.sqrt(total * f * (1.0 - f))).toInt
+    total - minAgree
+  }
+
   private[graft] def hyperplaneEdgePairs(s: SparkSession, emb: DataFrame,
-      t: Double, bands: Int = 16, bitsPerBand: Int = 8): DataFrame = {
+      t: Double): DataFrame = {
     graft.functions.NativeExpressions.register(s)
-    val e = graft.Caches.persist(emb.select(col("vec_id"),
-        VF.toDouble(col("embedding")).as("v"),
-        call_function("graft_hyperplane_bands", col("embedding"),
+    val e0 = graft.Caches.persist(emb.select(col("vec_id"),
+      VF.toDouble(col("embedding")).as("v")))
+    val n = e0.count()
+    val (bands, bitsPerBand) = hyperplaneEdgeGeometry(n)
+    val e = graft.Caches.persist(e0.select(col("vec_id"), col("v"),
+        call_function("graft_hyperplane_bands", col("v"),
           lit(bands), lit(bitsPerBand)).as("bks"))
       .withColumn("nrm", VF.l2Norm(col("v"))))
-    val bcThreshold = s.conf.getOption("graft.ivf.broadcastThreshold")
-      .map(_.toLong).getOrElse(100000L)
+    // the verify attach: candidates outnumber vectors ~300:1 on mid-sim-
+    // heavy geometry, so shuffling 64-dim vectors onto every candidate row
+    // dominated the whole query (138 s of 209 at the 100× probe); the
+    // (id → vector) map is ~0.5 KB/row, so up to 1M vectors (~0.5 GB) it
+    // rides a broadcast and the verify is two in-memory hash probes.
+    // Above the threshold the shuffle join returns — the honest
+    // distributed plan at 100 TB, linear in candidates.
+    val bcThreshold = s.conf.getOption("graft.lsh.broadcastThreshold")
+      .map(_.toLong).getOrElse(1000000L)
     val bs: DataFrame => DataFrame =
-      if (e.count() <= bcThreshold) broadcast else identity
+      if (n <= bcThreshold) broadcast else identity
     val bnd = e.select(col("vec_id"), col("bks"),
       posexplode(col("bks")).as(Seq("b", "bv")))
     val cand = bnd.as("a").join(bnd.as("b"),
@@ -300,6 +350,12 @@ object Llm {
           col("a.vec_id") < col("b.vec_id"))
       .filter(col("a.b") + 1 === call_function("graft_first_eq",
         col("a.bks"), col("b.bks"), lit(bands)))
+      // Hamming prefilter over the signatures ALREADY on the row: random
+      // bucket collisions (the overwhelming majority on weakly-clustered
+      // geometry) die here, before any 64-dim vector is shuffled into the
+      // verify joins — measured 171 s → ~14 s at the 100× probe
+      .filter(call_function("graft_xor_popcnt", col("a.bks"), col("b.bks"))
+        <= lit(hyperplaneMaxDisagree(t, bitsPerBand)))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
     cand
       .join(bs(e.select(col("vec_id").as("id_a"), col("v").as("va"),
@@ -917,12 +973,16 @@ object Llm {
           greatest(col("a.sid"), col("b.sid")).as("sb"))
     }
     val cand = if (candG == null) cand0 else cand0.unionAll(candG)
-    // ---- exact verify per candidate set pair. The set frame is ~100×
-    // smaller than the corpus (and sublinear in replicated corpora), so it
-    // broadcasts while small and falls back to a shuffle join beyond the
-    // threshold — never a driver-sized broadcast at 100 TB.
+    // ---- exact verify per candidate set pair. Candidates outnumber sets
+    // by orders of magnitude, so the verify must probe a broadcast of the
+    // ~400 B/row set frame rather than shuffle hash arrays onto every
+    // candidate (the 100× probe measured 345 s vs 75 s for exactly this
+    // plan flip when the set count crossed the old 300k threshold); up to
+    // 1M sets (~0.4 GB) it broadcasts, beyond that the shuffle join is
+    // the honest distributed plan — never a driver-sized broadcast at
+    // 100 TB.
     val bcThreshold = s.conf.getOption("graft.containment.broadcastThreshold")
-      .map(_.toLong).getOrElse(300000L)
+      .map(_.toLong).getOrElse(1000000L)
     val bs: DataFrame => DataFrame =
       if (sets.count() <= bcThreshold) broadcast else identity
     val verified = cand
@@ -978,7 +1038,7 @@ object Llm {
     * lazy plan doubles per round: fine at 5, localCheckpoint per iteration
     * beyond 8.
     */
-  private def pagerankE12(pairs: DataFrame): DataFrame = {
+  private[graft] def pagerankE12(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
@@ -1235,8 +1295,13 @@ object Llm {
     * (sub, cid, pos, c) broadcast frame both x3_knn_pq and x3_knn_ivfpq
     * consume.
     */
-  private[graft] def pqCodebookDf(s: SparkSession,
-      sample: Array[Array[Double]]): DataFrame = {
+  /** The trained codebook as the FLAT layout the native PQ kernels consume:
+    * 1024 doubles at [sub][cid][pos] = sub·64 + cid·4 + pos. Training is
+    * unchanged (driver-side Lloyd over the capped sample — identical
+    * centroids to [[pqCodebookDf]], which is now a thin view of this).
+    */
+  private[graft] def pqCodebookFlat(s: SparkSession,
+      sample: Array[Array[Double]]): Array[Double] = {
     val m = 16; val k = 16; val dsub = 4
     require(sample.length >= k, s"PQ needs >= $k training vectors")
     var cent = Array.tabulate(m, k, dsub)(
@@ -1266,9 +1331,18 @@ object Llm {
         if (cnts(sub)(cid) == 0) cent(sub)(cid)(p)
         else math.floor(sums(sub)(cid)(p).toDouble / cnts(sub)(cid)))
     }
+    (for (sub <- 0 until m; cid <- 0 until k; p <- 0 until dsub)
+      yield cent(sub)(cid)(p)).toArray
+  }
+
+  private[graft] def pqCodebookDf(s: SparkSession,
+      sample: Array[Array[Double]]): DataFrame = {
+    val m = 16; val k = 16; val dsub = 4
+    val flat = pqCodebookFlat(s, sample)
     import s.implicits._
     (for (sub <- 0 until m; cid <- 0 until k; p <- 0 until dsub)
-      yield (sub.toLong, cid.toLong, p.toLong, cent(sub)(cid)(p)))
+      yield (sub.toLong, cid.toLong, p.toLong,
+        flat(sub * k * dsub + cid * dsub + p)))
       .toDF("sub", "cid", "pos", "c")
   }
 
@@ -1309,31 +1383,27 @@ object Llm {
     val e8 = graft.Caches.persist(vecs
       .withColumn("ma", when(maxabs === 0.0, 1.0).otherwise(maxabs))
       .select(col("vec_id"), transform(col("v"),
-        x => floor(x * lit(127.0) / col("ma") + lit(0.5)).cast("double"))
+        x => floor(x * lit(127.0) / col("ma") + 0.5).cast("double"))
         .as("q8")))
-    // long form: one row per (vec_id, sub 0..15, pos 0..3) — the
-    // relational shape the encode and ADC joins consume
-    val sv = e8.select(col("vec_id"),
-        posexplode(col("q8")).as(Seq("i", "x")))
-      .select(col("vec_id"), expr("CAST(i div 4 AS BIGINT)").as("sub"),
-        expr("CAST(i % 4 AS BIGINT)").as("pos"), col("x"))
-    val cb = pqCodebookDf(s, pqTrainSample(s, e8))
-    // encode: nearest centroid per (vec, sub) — one broadcast join +
-    // aggregation + ranking window; 16 4-bit codes per vector
-    val wA = Window.partitionBy("vec_id", "sub").orderBy(asc("d"), asc("cid"))
-    val codes = sv.join(broadcast(cb), Seq("sub", "pos"))
-      .groupBy("vec_id", "sub", "cid")
-      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
-      .withColumn("rk", row_number().over(wA))
-      .filter(col("rk") === 1)
-      .select("vec_id", "sub", "cid")
-    // ADC: per-query lookup table (query subvector -> every centroid);
+    // the trained codebook rides as a 1024-double LITERAL (it was already
+    // driver-resident after training) and encode/table-build become ONE
+    // native pass per row. The prior relational shape — posexplode to
+    // (vec, sub, pos) rows, broadcast-join the codebook, 16-way aggregate,
+    // rank window — streamed 64·16 rows per vector through a 20M-group
+    // sort-based aggregation and dominated the whole PQ search 10:1 at the
+    // 100x probe. Every distance is an exact integer in doubles, so codes
+    // and tables are bit-identical to the relational form (the ties rule —
+    // strict <, min cid — is the trainer's own; NativeKernelsSpec
+    // cross-checks against the relational reference).
+    val cbLit = typedLit(pqCodebookFlat(s, pqTrainSample(s, e8)).toSeq)
+    val codes = e8.select(col("vec_id"),
+      call_function("graft_pq_encode", col("q8"), cbLit).as("code"))
+    // ADC: per-query 256-entry lookup table (subvector -> every centroid);
     // query set bounded by the fixed budget (knnQueryStride), never q ∝ n
-    val qd = sv.filter(col("vec_id") % knnQueryStride(e8.count()) === 0)
-      .join(broadcast(cb), Seq("sub", "pos"))
-      .groupBy(col("vec_id").as("query_id"), col("sub"), col("cid"))
-      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
-    (codes, qd)
+    val qtabs = e8.filter(col("vec_id") % knnQueryStride(e8.count()) === 0)
+      .select(col("vec_id").as("query_id"),
+        call_function("graft_pq_qtab", col("q8"), cbLit).as("qtab"))
+    (codes, qtabs)
   }
 
   /** BPE merge training (Sennrich et al., ACL'16) over a `(w, freq)` word
@@ -1557,14 +1627,23 @@ object Llm {
       |          CAST(b.embedding AS DOUBLE[])) >= 0.35)""".stripMargin)
 
   /** The hyperplane-LSH candidate CTE chain for the `_lsh` graph variants:
-    * replays graft_hyperplane_bands (16 bands × 8 sign bits of quantized
-    * integer projections — deterministic portable arithmetic) and emits
-    * `pairs(va, vb)` = band-colliding pairs verified at exact cosine ≥ `t`.
-    * Shared by the pagerank and semdedup LSH oracles so the candidate
-    * replay is textually identical.
+    * replays graft_hyperplane_bands (quantized-integer sign projections —
+    * deterministic portable arithmetic) under the SAME statistics-gated
+    * geometry as [[hyperplaneEdgeGeometry]] — bits = max(8,
+    * bitlength((n−1) div 32)) and bands = 16/32, both derived from
+    * COUNT(*) with integer to_base arithmetic, so the two engines can
+    * never disagree about the layout — and emits `pairs(va, vb)` =
+    * band-colliding pairs verified at exact cosine ≥ `t`. Shared by the
+    * pagerank and semdedup LSH oracles so the candidate replay is
+    * textually identical.
     */
   private def hyperplanePairsCtes(t: Double, extraPred: String = ""): String =
-    s"""dim AS (
+    s"""geo AS (
+       |  SELECT bits, CASE WHEN bits <= 8 THEN 16 ELSE 32 END AS bands
+       |  FROM (SELECT GREATEST(8, length(to_base(
+       |          GREATEST((COUNT(*) - 1) // 32, 1), 2))) AS bits
+       |        FROM embeddings)),
+       |dim AS (
        |  SELECT vec_id, embedding,
        |         unnest(generate_series(1, len(embedding))) AS d
        |  FROM embeddings),
@@ -1572,23 +1651,37 @@ object Llm {
        |  SELECT vec_id, d - 1 AS d0,
        |         CAST(FLOOR(CAST(embedding[d] AS DOUBLE) * 1000000) AS BIGINT) AS q
        |  FROM dim),
-       |bits AS (SELECT unnest(generate_series(0, 127)) AS j),
-       |proj AS (
+       |bits AS (SELECT unnest(range(0,
+       |    (SELECT bands * bits FROM geo))) AS j),
+       |proj AS MATERIALIZED (
        |  SELECT qd.vec_id, b.j,
        |         SUM(CASE WHEN ((1000003 * (b.j * 4096 + qd.d0) * (b.j * 4096 + qd.d0)
        |                         + 7919 * (b.j * 4096 + qd.d0) + 17)
        |                        % 2147483647) % 2 = 0
        |                  THEN qd.q ELSE -qd.q END) AS p
        |  FROM qd CROSS JOIN bits b GROUP BY 1, 2),
-       |bnd AS (
-       |  SELECT vec_id, j // 8 AS b,
-       |         SUM(CASE WHEN p >= 0 THEN 1 << (j % 8) ELSE 0 END) AS bv
+       |bnd AS MATERIALIZED (
+       |  SELECT vec_id, j // (SELECT bits FROM geo) AS b,
+       |         SUM(CASE WHEN p >= 0
+       |             THEN 1 << CAST(j % (SELECT bits FROM geo) AS INT)
+       |             ELSE 0 END) AS bv
        |  FROM proj GROUP BY 1, 2),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT a.vec_id AS va, b2.vec_id AS vb
        |  FROM bnd a JOIN bnd b2
        |    ON a.b = b2.b AND a.bv = b2.bv AND a.vec_id < b2.vec_id),
-       |pairs AS (SELECT va, vb FROM cand
+       |ham AS MATERIALIZED (
+       |  SELECT c.va, c.vb FROM cand c
+       |  JOIN bnd x ON x.vec_id = c.va
+       |  JOIN bnd y ON y.vec_id = c.vb AND y.b = x.b
+       |  GROUP BY c.va, c.vb
+       |  HAVING CAST(SUM(bit_count(xor(x.bv, y.bv))) AS BIGINT) <=
+       |    CASE (SELECT bits FROM geo)
+       |      ${(8 to 24).map(b =>
+              s"WHEN $b THEN ${hyperplaneMaxDisagree(t, b)}")
+              .mkString("\n       |      ")}
+       |      ELSE 0 END),
+       |pairs AS (SELECT va, vb FROM ham
        |  JOIN embeddings ea ON ea.vec_id = va
        |  JOIN embeddings eb ON eb.vec_id = vb
        |  WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
@@ -3115,13 +3208,16 @@ object Llm {
           embs(s, dir).select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
             .withColumn("nrm", VF.l2Norm(col("v"))))
         // quantize/train/encode/ADC-table: ONE shared build (pqBuild)
-        // with x3_knn_ivfpq — this flat search scans the WHOLE code table
-        val (codes, qd) = pqBuild(s, ef.select("vec_id", "v"))
+        // with x3_knn_ivfpq — this flat search scans the WHOLE code table:
+        // corpus x queries rows, each ONE native 16-lookup fold
+        // (graft_adc); the per-query top-100 rank prunes inside
+        // WindowGroupLimit before any exchange
+        val (codes, qtabs) = pqBuild(s, ef.select("vec_id", "v"))
         val wp = Window.partitionBy("query_id").orderBy(asc("adist"), asc("neighbor_id"))
-        val pool = codes.join(broadcast(qd), Seq("sub", "cid"))
+        val pool = codes.crossJoin(broadcast(qtabs))
           .filter(col("vec_id") =!= col("query_id"))
-          .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
-          .agg(sum("d").as("adist"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            call_function("graft_adc", col("code"), col("qtab")).as("adist"))
           .withColumn("rk8", row_number().over(wp))
           .filter(col("rk8") <= 100)
           .select("query_id", "neighbor_id")

@@ -106,12 +106,31 @@ object ScaleCorpus {
         // otherwise see metadata inconsistent with the text they group
         .withColumn("n_chars", length(col("text")).cast("long"))
         .select("doc_id", "text", "lang", "source", "n_chars"))
+    // circular shift by r (mod the 64 dims — a raw r-shift goes negative in
+    // slice at k > 64); once the shifts wrap (r >= 64) a replica would
+    // repeat replica r-64's vectors exactly, manufacturing cross-replica
+    // sim-1.0 dup pairs the corpus never asked for — so wrapped replicas
+    // additionally negate the odd-indexed elements (norm-preserving, and
+    // on isotropic vectors the alternate-sign flip drives the cosine to
+    // the two halves' difference ~ 0). Replicas 1..63 are BIT-IDENTICAL
+    // to the pre-fix remap, so the existing sf1/sf3 corpora and their
+    // budget pins are unchanged.
     replicate("embeddings")((e, r) =>
       if (r == 0) e
-      else e.select(
-        (col("vec_id") + lit(r * Off)).as("vec_id"),
-        concat(slice(col("embedding"), r + 1, 64 - r),
-          slice(col("embedding"), 1, r)).as("embedding"),
-        col("label")))
+      else {
+        val sh = r % 64
+        val shifted =
+          if (sh == 0) col("embedding")
+          else concat(slice(col("embedding"), sh + 1, 64 - sh),
+            slice(col("embedding"), 1, sh))
+        val dec =
+          if (r < 64) shifted
+          else transform(shifted,
+            (x, i) => when(i % 2 === 1, -x).otherwise(x))
+        e.select(
+          (col("vec_id") + lit(r * Off)).as("vec_id"),
+          dec.as("embedding"),
+          col("label"))
+      })
   }
 }

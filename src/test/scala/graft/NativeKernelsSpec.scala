@@ -540,4 +540,67 @@ class NativeKernelsSpec extends AnyFunSuite {
     assert(fanout <= 20L * (all.size + naive.size),
       s"prefix fanout blew past the linear bound: $fanout")
   }
+
+  test("graft_pq_encode / graft_pq_qtab / graft_adc equal the relational " +
+      "join+aggregate+rank PQ reference") {
+    // the kernels replaced a posexplode -> broadcast-join -> 16-way
+    // aggregate -> rank-window pipeline; every distance is an exact
+    // integer in doubles, so the outputs must be BIT-identical, ties
+    // included (strict <, min cid)
+    val rng = new scala.util.Random(59)
+    val vecs = (0 until 120).map(i =>
+      (i.toLong, Seq.fill(64)(rng.nextGaussian())))
+    val e8 = vecs.toDF("vec_id", "v")
+      .withColumn("ma", array_max(transform(col("v"), x => abs(x))))
+      .select(col("vec_id"), transform(col("v"),
+        x => floor(x * lit(127.0) / col("ma") + 0.5).cast("double")).as("q8"))
+      .persist()
+    val sample = graft.queries.Llm.pqTrainSample(spark, e8)
+    val flat = graft.queries.Llm.pqCodebookFlat(spark, sample)
+    val cb = graft.queries.Llm.pqCodebookDf(spark, sample)
+    val cbLit = typedLit(flat.toSeq)
+    // relational reference: encode
+    val sv = e8.select(col("vec_id"), posexplode(col("q8")).as(Seq("i", "x")))
+      .select(col("vec_id"), expr("CAST(i div 4 AS BIGINT)").as("sub"),
+        expr("CAST(i % 4 AS BIGINT)").as("pos"), col("x"))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "sub").orderBy(asc("d"), asc("cid"))
+    val refCodes = sv.join(broadcast(cb), Seq("sub", "pos"))
+      .groupBy("vec_id", "sub", "cid")
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
+      .withColumn("rk", row_number().over(wA)).filter(col("rk") === 1)
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("sub"), col("cid")))).as("sc"))
+      .select(col("vec_id"), expr("transform(sc, p -> p.cid)").as("code"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val gotCodes = e8.select(col("vec_id"),
+        call_function("graft_pq_encode", col("q8"), cbLit).as("code"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(gotCodes == refCodes, "native encode diverged from relational")
+    // relational reference: per-query table + summed ADC distance
+    val refQd = sv.filter(col("vec_id") < 5)
+      .join(broadcast(cb), Seq("sub", "pos"))
+      .groupBy(col("vec_id").as("query_id"), col("sub"), col("cid"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
+    val refAdist = refQd
+      .join(refCodes.toSeq.flatMap { case (v, code) =>
+          code.zipWithIndex.map { case (cid, sub) => (v, sub.toLong, cid) }
+        }.toDF("vec_id", "sub", "cid"), Seq("sub", "cid"))
+      .groupBy("query_id", "vec_id").agg(sum("d").as("adist"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val qtabs = e8.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        call_function("graft_pq_qtab", col("q8"), cbLit).as("qtab"))
+    val gotAdist = e8.select(col("vec_id"),
+        call_function("graft_pq_encode", col("q8"), cbLit).as("code"))
+      .crossJoin(broadcast(qtabs))
+      .select(col("query_id"), col("vec_id"),
+        call_function("graft_adc", col("code"), col("qtab")).as("adist"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(gotAdist == refAdist, "native ADC distances diverged from relational")
+    e8.unpersist()
+    graft.Caches.drain(spark)
+  }
 }
