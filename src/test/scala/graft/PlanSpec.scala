@@ -222,37 +222,45 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     graft.Caches.drain(spark)
   }
 
-  test("x3_knn_pq: ADC search is equi-joins end to end (no all-pairs scan)") {
-    // the PQ contract: the per-query distance lookup table meets the code
-    // table through a (sub, cid) hash join and the float rerank touches
-    // only the bounded candidate pool — a cartesian / nested-loop anywhere
-    // would put the full-precision vectors back on the scan path that the
-    // 32x code compression exists to shrink
+  test("x3_knn_pq: one bounded query-side NLJ, codes never shuffle pre-rank") {
+    // the PQ contract after the native-ADC rewrite: the scan is the code
+    // table × the FIXED-BUDGET query-table broadcast — ONE nested-loop
+    // whose inner side is bounded (knnQueryStride) at any corpus size,
+    // with graft_adc evaluated in the scan's projection — and the only
+    // exchanges before the rank window carry (query, neighbor, adist)
+    // rows, never codes, tables, or full-precision vectors. More than one
+    // NLJ (or any cartesian over two corpus-sized sides) would mean the
+    // rerank's vectors leaked back onto the scan path.
     val p = planOf("x3_knn_pq")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
-      s"all-pairs join in the PQ plan:\n$p")
-    assert(p.contains("cid"),
-      s"expected the (sub, cid) ADC equi-join keys in the plan:\n$p")
+    // AQE's toString prints the plan twice (Final + Initial) — count the
+    // final section only
+    val cartesians = "CartesianProduct|BroadcastNestedLoop".r
+      .findAllIn(p.split("== Initial Plan ==").head).size
+    assert(cartesians == 1,
+      s"expected exactly the bounded codes x queries NLJ:\n$p")
+    assert(p.contains("graft_adc") || p.contains("adcdistance"),
+      s"expected the native ADC fold in the scan projection:\n$p")
     graft.Caches.drain(spark)
   }
 
-  test("x3_knn_ivfpq: probe + ADC are equi-joins (no all-pairs over members)") {
-    // the IVF+PQ contract: the only cartesian is the q x sqrt(n) CELL
-    // probe (a bounded centroid table); members meet queries through the
-    // (cell) and (query, sub, cid) hash joins — an all-pairs plan over
-    // MEMBERS would defeat both index structures at once. The raw search
-    // IS the registered query (full neighbor-list oracle); pin its plan.
+  test("x3_knn_ivfpq: probe + ADC ride equi-joins; NLJs only against bounded sides") {
+    // the IVF+PQ contract: members meet queries through the (cell) hash
+    // join and the per-query table through the (query_id) hash join; the
+    // only nested-loops are against BOUNDED broadcast sides — the
+    // sqrt(n)-row centroid table (cell assignment + query probe). The raw
+    // search IS the registered query (full neighbor-list oracle); pin its
+    // plan.
     val df = graft.queries.Llm.knnIvfPqRaw(spark, sfDir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     graft.Caches.drain(spark)
     val cartesians = "CartesianProduct|BroadcastNestedLoop".r
       .findAllIn(p).size
-    // at most two nested-loops, BOTH against the broadcast sqrt(n)-row
-    // centroid table: the index's cell assignment and the query probe
     assert(cartesians <= 2, s"unexpected all-pairs joins in the IVFPQ plan:\n$p")
-    assert(p.contains("cid") && p.contains("cell"),
-      s"expected the (sub, cid) ADC and (cell) probe equi-join keys:\n$p")
+    assert(p.contains("cell"),
+      s"expected the (cell) probe equi-join key:\n$p")
+    assert(p.contains("graft_adc") || p.contains("adcdistance"),
+      s"expected the native ADC fold in the scan projection:\n$p")
   }
 
   test("x3_hybrid_search: keyword filter is a semi-join on the index key, " +
