@@ -871,6 +871,61 @@ object Llm {
     math.min(32, math.ceil(math.log(10.0) / -math.log1p(-jmin)).toInt)
   }
 
+  /** The shared DuckDB replay of [[containmentLshVerified]]'s candidate
+    * generation + exact verification, up to the `ver` CTE (doc_a, doc_b,
+    * intersection `i`, sizes `na`/`nb`) — both containment-LSH oracles
+    * (`x2_containment_lsh`, `x2_containment_dedup`) append their own final
+    * SELECT so the candidate replay can never drift between them. The
+    * replay is doc-level: identical token sets share every signature, so
+    * the doc-pair set equals the Spark side's set-level banding expanded
+    * over members.
+    */
+  private[graft] lazy val containmentLshOracleCtes: String =
+    s"""WITH tok AS (SELECT doc_id,
+       |    unnest(list_distinct(string_split(text,' '))) AS w FROM documents),
+       |th AS (SELECT doc_id,
+       |    (list_reduce([CAST(0 AS BIGINT)] ||
+       |       [CAST(unicode(c) AS BIGINT) FOR c IN string_split(w,'')],
+       |       (a,b) -> (a*31+b) % 1000000007) * 2147483648 +
+       |     list_reduce([CAST(0 AS BIGINT)] ||
+       |       [CAST(unicode(c) AS BIGINT) FOR c IN string_split(w,'')],
+       |       (a,b) -> (a*131+b) % 2147483647)) AS h
+       |  FROM tok),
+       |hsets AS (SELECT doc_id, list_sort(list_distinct(list(h))) AS hs,
+       |    len(list_distinct(list(h))) AS n,
+       |    length(to_base(len(list_distinct(list(h))), 2)) - 1 AS st
+       |  FROM th GROUP BY doc_id),
+       |fam AS (SELECT doc_id, k,
+       |    MIN((((506952114*(k+1)+1) % 2147483647) * (h % 2147483647)
+       |         + ((40503*(k+1)+17) % 2147483647)) % 2147483647) AS sig
+       |  FROM th CROSS JOIN (SELECT unnest(range(0,32)) AS k) ks
+       |  GROUP BY doc_id, k),
+       |famst AS (SELECT f.doc_id, f.k, f.sig, h2.st
+       |  FROM fam f JOIN hsets h2 USING (doc_id)),
+       |band AS (SELECT f0.doc_id, f0.st, f0.k // 2 AS b,
+       |    f0.sig * 2147483647 + f1.sig AS bk
+       |  FROM famst f0 JOIN famst f1
+       |    ON f0.doc_id = f1.doc_id AND f1.k = f0.k + 1
+       |  WHERE f0.k % 2 = 0),
+       |cand0 AS (SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM band a JOIN band b2
+       |    ON a.b = b2.b AND a.bk = b2.bk AND a.st = b2.st
+       |   AND a.doc_id < b2.doc_id),
+       |cand1 AS (SELECT least(a.doc_id, b2.doc_id) AS doc_a,
+       |    greatest(a.doc_id, b2.doc_id) AS doc_b
+       |  FROM famst a JOIN famst b2
+       |    ON a.k = b2.k AND a.sig = b2.sig AND b2.st > a.st
+       |   AND a.k < CASE b2.st - a.st
+       |             WHEN 1 THEN ${containmentBandsForGap(1)}
+       |             WHEN 2 THEN ${containmentBandsForGap(2)}
+       |             ELSE 32 END),
+       |cand AS (SELECT DISTINCT doc_a, doc_b FROM
+       |  (SELECT * FROM cand0 UNION ALL SELECT * FROM cand1)),
+       |ver AS (SELECT doc_a, doc_b, len(list_intersect(x.hs, y.hs)) AS i,
+       |    x.n AS na, y.n AS nb
+       |  FROM cand JOIN hsets x ON x.doc_id = doc_a
+       |            JOIN hsets y ON y.doc_id = doc_b)""".stripMargin
+
   /** Sub-quadratic CONTAINMENT near-dup pairs — the 100 TB scale path for
     * [[containmentPairs]]' asymmetric criterion C(a,b) = |A∩B| / min(|A|,|B|)
     * ≥ num/den, via size-stratified MinHash banding (the LSH-Ensemble
@@ -911,6 +966,19 @@ object Llm {
     * the expanded pair set is identical).
     */
   private[graft] def containmentLshPairs(s: SparkSession, d0: DataFrame,
+      num: Int, den: Int): DataFrame =
+    containmentLshVerified(s, d0, num, den)
+      .select(col("doc_a"), col("doc_b"), col("containment_e4"),
+        col("jaccard_e4"))
+      .orderBy("doc_a", "doc_b")
+
+  /** [[containmentLshPairs]]' verified pair stream BEFORE the presentation
+    * sort, carrying each side's distinct-set size (`na`, `nb`) so decision
+    * consumers ([[containmentDedup]]) can orient contained-vs-container
+    * without re-joining sizes onto the (at 100×, ~1e8-row) pair stream.
+    * Unordered; columns (doc_a, doc_b, na, nb, containment_e4, jaccard_e4).
+    */
+  private[graft] def containmentLshVerified(s: SparkSession, d0: DataFrame,
       num: Int, den: Int): DataFrame = {
     graft.functions.NativeExpressions.register(s)
     val K = 32; val bands2 = 16
@@ -996,23 +1064,26 @@ object Llm {
       .withColumn("jaccard_e4", expr("i * 10000 div (na + nb - i)"))
     val crossPairs = verified
       .select(explode(col("mem_a")).as("x"), col("mem_b"),
-        col("containment_e4"), col("jaccard_e4"))
+        col("na"), col("nb"), col("containment_e4"), col("jaccard_e4"))
       .repartition(col("x"))
       .select(col("x"), explode(col("mem_b")).as("y"),
-        col("containment_e4"), col("jaccard_e4"))
+        col("na"), col("nb"), col("containment_e4"), col("jaccard_e4"))
       .select(least(col("x"), col("y")).as("doc_a"),
         greatest(col("x"), col("y")).as("doc_b"),
+        // sizes travel with their doc through the id swap
+        when(col("x") < col("y"), col("na")).otherwise(col("nb")).as("na"),
+        when(col("x") < col("y"), col("nb")).otherwise(col("na")).as("nb"),
         col("containment_e4"), col("jaccard_e4"))
     // identical sets: C = 1 by definition — block-pair self-join (the
     // minhashLshPairs machinery) spreads one big group's m²/2 expansion
     // over ~m parallel cells instead of one task
     val mem = sets.filter(col("m") > 1)
-      .select(col("sid"), explode(col("members")).as("x"),
-        ceil(sqrt(col("m"))).cast("int").as("nb"))
+      .select(col("sid"), col("n"), explode(col("members")).as("x"),
+        ceil(sqrt(col("m"))).cast("int").as("nblk"))
       .repartition(col("sid"), col("x"))
-      .withColumn("p", pmod(xxhash64(col("x")), col("nb")).cast("int"))
-    val aSide = mem.select(col("sid"), col("x").as("xa"),
-      col("p").as("ka"), explode(sequence(col("p"), col("nb") - 1)).as("kb"))
+      .withColumn("p", pmod(xxhash64(col("x")), col("nblk")).cast("int"))
+    val aSide = mem.select(col("sid"), col("n"), col("x").as("xa"),
+      col("p").as("ka"), explode(sequence(col("p"), col("nblk") - 1)).as("kb"))
     val bSide = mem.select(col("sid"), col("x").as("xb"),
       explode(sequence(lit(0), col("p"))).as("ka"), col("p").as("kb"))
     val intraPairs = aSide
@@ -1020,8 +1091,43 @@ object Llm {
       .filter(col("ka") =!= col("kb") || col("xa") < col("xb"))
       .select(least(col("xa"), col("xb")).as("doc_a"),
         greatest(col("xa"), col("xb")).as("doc_b"),
+        col("n").as("na"), col("n").as("nb"),
         lit(10000L).as("containment_e4"), lit(10000L).as("jaccard_e4"))
-    crossPairs.unionAll(intraPairs).orderBy("doc_a", "doc_b")
+    crossPairs.unionAll(intraPairs)
+  }
+
+  /** CONTAINMENT near-dup as an O(n)-output dedup DECISION — the production
+    * form of [[containmentLshPairs]]. Emitting the pair LIST is inherently
+    * output-bound (the 100× probe measured ~7e8 qualifying pairs and a
+    * 25 GB presentation sort — the corpus's pair density, not the
+    * algorithm's); the decision a curation pass actually consumes is one
+    * row per CONTAINED doc: which (single, deterministic) container keeps
+    * it out of the training set. Orientation: the smaller distinct-token
+    * set is the contained side (C = |A∩B|/min is how much of the smaller
+    * set the bigger one covers); equal sizes keep the smaller doc_id, the
+    * x1 keeper convention. Best container = lexicographic max of
+    * (containment, jaccard, −container_id) — a plain partial-aggregatable
+    * `max(struct)`, so the pair stream collapses map-side BEFORE the one
+    * hash exchange on doc_id and nothing global ever sorts pairs. Output
+    * is ≤ one row per doc however the corpus grows.
+    */
+  private[graft] def containmentDedup(s: SparkSession, d0: DataFrame): DataFrame = {
+    val p = containmentLshVerified(s, d0, 9, 10)
+    p.select(
+        when(col("na") < col("nb"), col("doc_a")).otherwise(col("doc_b"))
+          .as("doc_id"),
+        when(col("na") < col("nb"), col("doc_b")).otherwise(col("doc_a"))
+          .as("container_id"),
+        col("containment_e4"), col("jaccard_e4"))
+      .groupBy("doc_id")
+      .agg(
+        max(struct(col("containment_e4"), col("jaccard_e4"),
+          (-col("container_id")).as("neg_cid"))).as("b"),
+        count(lit(1)).as("n_containers"))
+      .select(col("doc_id"), (-col("b.neg_cid")).as("container_id"),
+        col("b.containment_e4").as("containment_e4"),
+        col("b.jaccard_e4").as("jaccard_e4"), col("n_containers"))
+      .orderBy("doc_id")
   }
 
   /** The shared 5-iteration integer-e12 PageRank walk over an UNDIRECTED
@@ -1945,55 +2051,35 @@ object Llm {
     // containmentLshPairs above for the two-tier banding and budgets.
     Q("x2_containment_lsh",
       (s, dir) => containmentLshPairs(s, docs(s, dir), 9, 10),
-      Some(s"""WITH tok AS (SELECT doc_id,
-             |    unnest(list_distinct(string_split(text,' '))) AS w FROM documents),
-             |th AS (SELECT doc_id,
-             |    (list_reduce([CAST(0 AS BIGINT)] ||
-             |       [CAST(unicode(c) AS BIGINT) FOR c IN string_split(w,'')],
-             |       (a,b) -> (a*31+b) % 1000000007) * 2147483648 +
-             |     list_reduce([CAST(0 AS BIGINT)] ||
-             |       [CAST(unicode(c) AS BIGINT) FOR c IN string_split(w,'')],
-             |       (a,b) -> (a*131+b) % 2147483647)) AS h
-             |  FROM tok),
-             |hsets AS (SELECT doc_id, list_sort(list_distinct(list(h))) AS hs,
-             |    len(list_distinct(list(h))) AS n,
-             |    length(to_base(len(list_distinct(list(h))), 2)) - 1 AS st
-             |  FROM th GROUP BY doc_id),
-             |fam AS (SELECT doc_id, k,
-             |    MIN((((506952114*(k+1)+1) % 2147483647) * (h % 2147483647)
-             |         + ((40503*(k+1)+17) % 2147483647)) % 2147483647) AS sig
-             |  FROM th CROSS JOIN (SELECT unnest(range(0,32)) AS k) ks
-             |  GROUP BY doc_id, k),
-             |famst AS (SELECT f.doc_id, f.k, f.sig, h2.st
-             |  FROM fam f JOIN hsets h2 USING (doc_id)),
-             |band AS (SELECT f0.doc_id, f0.st, f0.k // 2 AS b,
-             |    f0.sig * 2147483647 + f1.sig AS bk
-             |  FROM famst f0 JOIN famst f1
-             |    ON f0.doc_id = f1.doc_id AND f1.k = f0.k + 1
-             |  WHERE f0.k % 2 = 0),
-             |cand0 AS (SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
-             |  FROM band a JOIN band b2
-             |    ON a.b = b2.b AND a.bk = b2.bk AND a.st = b2.st
-             |   AND a.doc_id < b2.doc_id),
-             |cand1 AS (SELECT least(a.doc_id, b2.doc_id) AS doc_a,
-             |    greatest(a.doc_id, b2.doc_id) AS doc_b
-             |  FROM famst a JOIN famst b2
-             |    ON a.k = b2.k AND a.sig = b2.sig AND b2.st > a.st
-             |   AND a.k < CASE b2.st - a.st
-             |             WHEN 1 THEN ${containmentBandsForGap(1)}
-             |             WHEN 2 THEN ${containmentBandsForGap(2)}
-             |             ELSE 32 END),
-             |cand AS (SELECT DISTINCT doc_a, doc_b FROM
-             |  (SELECT * FROM cand0 UNION ALL SELECT * FROM cand1)),
-             |ver AS (SELECT doc_a, doc_b, len(list_intersect(x.hs, y.hs)) AS i,
-             |    x.n AS na, y.n AS nb
-             |  FROM cand JOIN hsets x ON x.doc_id = doc_a
-             |            JOIN hsets y ON y.doc_id = doc_b)
+      Some(s"""$containmentLshOracleCtes
              |SELECT doc_a, doc_b,
              |  CAST(i * 10000 // least(na, nb) AS BIGINT) AS containment_e4,
              |  CAST(i * 10000 // (na + nb - i) AS BIGINT) AS jaccard_e4
              |FROM ver WHERE i * 10 >= least(na, nb) * 9
              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ---- X2 CONTAINMENT as a dedup DECISION (O(n) output): one row per
+    // CONTAINED doc with its single deterministic best container — the form
+    // a curation pass actually consumes, and the scale fix for the pair
+    // list's output-bound tail (the 100x probe measured ~7e8 qualifying
+    // pairs; this aggregation collapses them map-side before one exchange
+    // and emits <= n rows). Same candidates + verification as
+    // x2_containment_lsh; see containmentDedup above.
+    Q("x2_containment_dedup",
+      (s, dir) => containmentDedup(s, docs(s, dir)),
+      Some(s"""$containmentLshOracleCtes,
+             |sel AS (SELECT
+             |    CASE WHEN na < nb THEN doc_a ELSE doc_b END AS doc_id,
+             |    CASE WHEN na < nb THEN doc_b ELSE doc_a END AS container_id,
+             |    CAST(i * 10000 // least(na, nb) AS BIGINT) AS c_e4,
+             |    CAST(i * 10000 // (na + nb - i) AS BIGINT) AS j_e4
+             |  FROM ver WHERE i * 10 >= least(na, nb) * 9)
+             |SELECT doc_id,
+             |  -(max([c_e4, j_e4, -container_id]))[3] AS container_id,
+             |  (max([c_e4, j_e4, -container_id]))[1] AS containment_e4,
+             |  (max([c_e4, j_e4, -container_id]))[2] AS jaccard_e4,
+             |  CAST(COUNT(*) AS BIGINT) AS n_containers
+             |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ---- X2 exact BIGRAM-set Jaccard (word-order-sensitive near-dup). The
     // bigram vocabulary is ~900 — the dispatcher picks the multi-word bitset

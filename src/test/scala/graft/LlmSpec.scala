@@ -201,6 +201,85 @@ class LlmSpec extends AnyFunSuite {
       s"missed high-J plants: ${sure.filterNot(lsh.contains)}")
   }
 
+  /** Driver-side replay of containmentDedup's decision rule over a pair
+    * list: orient by distinct-set size (ties keep the smaller id), then per
+    * contained doc take lexicographic max of (C, J, -container).
+    */
+  private def foldDedup(pairs: Seq[(Long, Long, Long, Long)],
+      sizes: Map[Long, Long]): Map[Long, (Long, Long, Long, Long)] =
+    pairs.map { case (a, b, c, j) =>
+      if (sizes(a) < sizes(b)) (a, b, c, j) else (b, a, c, j)
+    }.groupBy(_._1).map { case (docId, rows) =>
+      val best = rows.maxBy(r => (r._3, r._4, -r._2))
+      docId -> (best._2, best._3, best._4, rows.size.toLong)
+    }
+
+  test("x2_containment_dedup == fold of x2_containment_lsh pairs; planted snippets map to their source doc") {
+    import spark.implicits._
+    // same planted corpus as the recall test above: snippets (contained in
+    // exactly one big doc at C = 1), same-stratum near-copies, exact dups
+    val rng = new scala.util.Random(41)
+    val vocab = (0 until 400).map(i => s"w$i")
+    def sample(n: Int, from: Seq[String]): Seq[String] =
+      rng.shuffle(from).take(n)
+    val bigs = (0 until 40).map(i =>
+      (100L + i, sample(48, vocab).mkString(" ")))
+    val snippets = (0 until 20).map { i =>
+      val bigWords = bigs(i)._2.split(" ").toSeq
+      (300L + i, sample(8 + rng.nextInt(5), bigWords).mkString(" "))
+    }
+    val dups = (0 until 3).map(i => (700L + i, bigs(30)._2))
+    val d = (bigs ++ snippets ++ dups).toDF("doc_id", "text")
+    val sizes = d.select(col("doc_id"), size(array_distinct(
+        TF.tokenSet(col("text")))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = graft.queries.Llm.containmentLshPairs(spark, d, 9, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    graft.Caches.drain(spark)
+    val got = graft.queries.Llm.containmentDedup(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    graft.Caches.drain(spark)
+    // exact consistency: the decision is a pure deterministic fold of the
+    // pair list — no recall slack between the two registered forms
+    assert(got == foldDedup(pairs, sizes),
+      "containmentDedup diverged from the fold of its own pair list")
+    // orientation semantics: every caught snippet is CONTAINED (never a
+    // container) and its best container is its source doc at C = 1
+    for (i <- 0 until 20; sid = 300L + i; if got.contains(sid)) {
+      val (container, c, _, _) = got(sid)
+      assert(container == 100L + i && c == 10000L,
+        s"snippet $sid: expected container ${100 + i} at C=1, got $container at $c")
+    }
+    assert((0 until 20).count(i => got.contains(300L + i)) >= 18,
+      "snippet recall below the banding's >=90% contract")
+    // exact dups keep the min id: 130 (the original) survives as the
+    // container; 700-702 are all contained with C = J = 1
+    for (id <- Seq(700L, 701L, 702L)) {
+      assert(got(id)._1 == 130L && got(id)._2 == 10000L && got(id)._3 == 10000L,
+        s"dup $id should resolve to keeper 130")
+    }
+    assert(!got.contains(130L), "the keeper must not itself be dropped")
+  }
+
+  test("x2_containment_dedup on the corpus: fold-consistent with x2_containment_lsh") {
+    val sizes = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), size(array_distinct(
+        TF.tokenSet(col("text")))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = q("x2_containment_lsh")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    graft.Caches.drain(spark)
+    val got = q("x2_containment_dedup")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    graft.Caches.drain(spark)
+    assert(got.nonEmpty && got == foldDedup(pairs, sizes),
+      "corpus containmentDedup diverged from the fold of the pair list")
+  }
+
   test("x2_containment_lsh on the corpus: subset of x2_containment with identical scores, recall >= 0.9") {
     val exact = q("x2_containment")
       .collect().map(r => ((r.getLong(0), r.getLong(1)),
