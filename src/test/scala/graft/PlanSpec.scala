@@ -181,6 +181,29 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     graft.Caches.drain(spark)
   }
 
+  test("x2_containment_dedup: pairs collapse map-side; no global sort ever sees the pair stream") {
+    // the O(n)-output contract: the verified pair stream must hit a PARTIAL
+    // max(struct)/count aggregate before the one hashpartitioning(doc_id)
+    // exchange (map-side combine — at the 100x probe the pair list is ~7e8
+    // rows and the sibling pair-list query's global sort spills ~25 GB),
+    // and the only GLOBAL sort in the plan is the presentation order over
+    // the aggregated <=-one-row-per-doc output (pair-level SortAggregate
+    // pre-sorts are partition-local: Spark picks SortAggregate for a
+    // struct-typed max, whose buffer hash agg can't hold)
+    val df = SparkEntry.queries("x2_containment_dedup")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("partial_max(struct(containment_e4"),
+      s"no map-side combine of the pair stream; plan=\n$plan")
+    val globalSorts = collectWithSubqueries(plan) {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(globalSorts.nonEmpty &&
+      globalSorts.forall(_.output.exists(_.name == "n_containers")),
+      s"a global sort runs below the aggregate (over raw pairs):\n$plan")
+    graft.Caches.drain(spark)
+  }
+
   test("dedup-family shuffles carry digests, never document bodies") {
     // the 100 TB invariant: any exchange keyed on document identity must
     // shuffle a 16-byte digest, with the body projected away beforehand —
