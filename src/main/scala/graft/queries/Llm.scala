@@ -1217,7 +1217,11 @@ object Llm {
   private[graft] def qualityPredicate: Column = {
     val toks = TF.tokens(col("text"))
     val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
-    size(toks) >= 5 && size(filter(toks, x => x.isin(stop: _*))) >= 1
+    // arrays_overlap, not filter(toks, isin): the HOF lambda evaluates
+    // interpreted per token; the native overlap probe is codegen'd and
+    // short-circuits on the first stopword (identical boolean — "at least
+    // one stopword present")
+    size(toks) >= 5 && arrays_overlap(toks, lit(stop.toArray))
   }
 
   /** DSIR feature rows over `d` (doc_id, text): one row per token carrying
@@ -4037,7 +4041,11 @@ object Llm {
     Q("x4_dsir",
       (s, dir) => {
         graft.functions.NativeExpressions.register(s)
-        val tok = dsirTok(docs(s, dir))
+        // tok feeds BOTH the delta trainer and the per-doc scorer: without
+        // the pin the tokenize+explode upstream runs twice (the
+        // one-small-frame-many-consumers re-run pitfall; measured ~2x on
+        // this query's runtime at sf0.1)
+        val tok = graft.Caches.persist(dsirTok(docs(s, dir)))
         val delta = dsirDeltasFromTok(tok)
         val perDoc = tok.join(broadcast(delta), "b")
           .groupBy("doc_id")
