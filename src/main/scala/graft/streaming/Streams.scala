@@ -306,6 +306,151 @@ object Streams {
         round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Size-stratified CONTAINMENT index over a static corpus — the streaming
+    * twin of the batch `x2_containment_dedup` decision: incoming docs are
+    * screened for being ≥90% COVERED by some corpus document (a snippet of
+    * it, or a near-copy), the asymmetric criterion the Jaccard screen
+    * ([[corpusIndex]]/[[nearDupScreen]]) cannot see. Construction reuses
+    * the exact batch machinery (portable `graft_wordhash62` distinct sets,
+    * `graft_minhash_portable` signatures, geometric size strata, the
+    * LSH-Ensemble per-gap band budgets of
+    * [[graft.queries.Llm.containmentBandsForGap]]), so screen decisions
+    * carry the same recall contract as the batch pass.
+    *
+    * Three broadcastable frames: `bands2` (16 r=2 band keys per corpus doc,
+    * same-stratum tier), `sigs` (32 r=1 signature rows per corpus doc,
+    * cross-strata tier), `sets` (the sorted hash set for the exact verify).
+    */
+  final case class ContainmentIndex(bands2: DataFrame, sigs: DataFrame,
+      sets: DataFrame, maxStrat: Int) {
+    def release(): Unit = sets.unpersist(blocking = false)
+  }
+
+  private val ContainK = 32
+  private val ContainBands2 = 16
+  private val P31 = 2147483647L
+
+  /** The 16 r=2 band keys from a 32-long signature array column. */
+  private def bandKeys2(sig: org.apache.spark.sql.Column) =
+    array((0 until ContainBands2).map { b =>
+      element_at(sig, 2 * b + 1) * P31 + element_at(sig, 2 * b + 2)
+    }: _*)
+
+  /** Per-doc (sorted distinct token-hash set, size, geometric stratum,
+    * minhash signature) — shared by the index build and the screen's
+    * incoming side so both derive from ONE featurization.
+    */
+  private def containmentSets(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+        sort_array(array_distinct(call_function("graft_wordhash62",
+          graft.functions.TextFunctions.tokenSet(col("text"))))).as("hs"))
+      .withColumn("n", size(col("hs")).cast("long"))
+      // integer ⌊log2 n⌋ = binary digit length − 1 (exact; n ≥ 1)
+      .withColumn("strat", (length(conv(col("n"), 10, 2)) - 1).cast("int"))
+      .withColumn("sig",
+        call_function("graft_minhash_portable", col("hs"), lit(ContainK)))
+
+  def containmentIndex(corpus: DataFrame): ContainmentIndex = {
+    graft.functions.NativeExpressions.register(corpus.sparkSession)
+    val sets = containmentSets(corpus)
+      .select(col("doc_id").as("corpus_id"), col("hs").as("chs"),
+        col("n").as("cn"), col("strat").as("cstrat"), col("sig").as("csig"))
+      .persist()
+    val bands2 = sets.select(col("corpus_id"), col("cstrat"),
+      posexplode(bandKeys2(col("csig"))).as(Seq("band", "bk")))
+    val sigs = sets.select(col("corpus_id"), col("cstrat"),
+      posexplode(col("csig")).as(Seq("k", "sv")))
+    val maxStrat = sets.agg(max("cstrat")).head() match {
+      case r if r.isNullAt(0) => 0
+      case r => r.getInt(0)
+    }
+    ContainmentIndex(bands2, sigs, sets.select("corpus_id", "chs", "cn"),
+      maxStrat)
+  }
+
+  /** Batch form of the containment screen (also the per-micro-batch body):
+    * one row per incoming doc that is ≥ num/den covered by some corpus doc
+    * — coverage C = |In ∩ Corp| / |In|, exact integer arithmetic — carrying
+    * its single deterministic best container (lexicographic max of
+    * (coverage, jaccard, −corpus_id), the batch dedup's decision rule) and
+    * the qualifying-container count. Admission = anti-join on the output,
+    * like [[nearDupScreen]].
+    *
+    * Candidates: same-stratum r=2×16 bands, plus the incoming doc probing
+    * toward HIGHER corpus strata at r=1 under the per-gap band budget (an
+    * incoming doc can only be covered by a same-or-larger set: coverage
+    * ≥ 0.9 is impossible against a corpus set below its stratum).
+    * Stream-static equi-joins against broadcast index frames throughout —
+    * stateless, so the foreachBatch wrapper holds nothing between batches.
+    */
+  def containmentScreen(incoming: DataFrame, index: ContainmentIndex,
+      num: Int = 9, den: Int = 10): DataFrame = {
+    graft.functions.NativeExpressions.register(incoming.sparkSession)
+    val in = containmentSets(incoming)
+    // tier 1: same stratum, r=2 × 16 band keys
+    val inB2 = in.select(col("doc_id"), col("strat"),
+      posexplode(bandKeys2(col("sig"))).as(Seq("band", "bk")))
+    val cand0 = inB2.as("a").join(broadcast(index.bands2.as("c")),
+        col("a.band") === col("c.band") && col("a.bk") === col("c.bk") &&
+          col("a.strat") === col("c.cstrat"))
+      .select(col("a.doc_id"), col("c.corpus_id"))
+    // tier 2: r=1 signature probes under the per-gap band budget — UPWARD
+    // to every reachable higher corpus stratum (snippet-in-bigger-doc),
+    // plus ONE stratum downward: coverage ≥ 0.9 against a smaller corpus
+    // set forces sizes within 1/0.9, so only a boundary-straddling
+    // gap-1 pair can qualify from below (the batch construction reaches
+    // the same pairs by probing from whichever doc is smaller)
+    val maxGap = math.max(index.maxStrat, 1)
+    val budget = graft.queries.Llm.containmentBandsForGap _
+    val targets = array(
+      (1 to maxGap).map(g => struct((col("strat") + g).as("tgt"),
+        lit(budget(g)).as("bud"))) :+
+      struct((col("strat") - 1).as("tgt"), lit(budget(1)).as("bud")): _*)
+    val probe = in.select(col("doc_id"), col("strat"),
+        posexplode(col("sig")).as(Seq("k", "sv")))
+      .withColumn("t", explode(targets))
+      .select(col("doc_id"), col("k"), col("sv"),
+        col("t.tgt").as("tgt"), col("t.bud").as("bud"))
+      .filter(col("k") < col("bud") &&
+        col("tgt") >= 0 && col("tgt") <= lit(index.maxStrat))
+    val candG = probe.as("a").join(broadcast(index.sigs.as("c")),
+        col("a.k") === col("c.k") && col("a.sv") === col("c.sv") &&
+          col("a.tgt") === col("c.cstrat"))
+      .select(col("a.doc_id"), col("c.corpus_id"))
+    val cand = cand0.unionAll(candG).dropDuplicates("doc_id", "corpus_id")
+    // exact verify (sorted-array intersection) + the batch decision rule
+    val verified = cand
+      .join(in.select(col("doc_id"), col("hs"), col("n")), "doc_id")
+      .join(broadcast(index.sets), "corpus_id")
+      .withColumn("i", call_function("graft_isect", col("hs"), col("chs")))
+      .filter(col("i") * den >= col("n") * num)
+      .withColumn("coverage_e4", expr("i * 10000 div n"))
+      .withColumn("jaccard_e4", expr("i * 10000 div (n + cn - i)"))
+    verified.groupBy("doc_id")
+      .agg(max(struct(col("coverage_e4"), col("jaccard_e4"),
+          (-col("corpus_id")).as("neg_cid"))).as("b"),
+        count(lit(1)).as("n_containers"))
+      .select(col("doc_id"), (-col("b.neg_cid")).as("contained_in"),
+        col("b.coverage_e4").as("coverage_e4"),
+        col("b.jaccard_e4").as("jaccard_e4"), col("n_containers"))
+  }
+
+  /** Streaming wrapper: screen each micro-batch against the static
+    * containment index, write flagged docs (with their best container) to
+    * `path/batch_id=N` — exactly-once per batch via overwrite-by-directory,
+    * the [[nearDupScreenSink]] contract.
+    */
+  def containmentScreenSink(stream: DataFrame, index: ContainmentIndex,
+      path: String, checkpoint: String, num: Int = 9, den: Int = 10)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        containmentScreen(batch, index, num, den).write.mode("overwrite")
+          .parquet(s"$path/batch_id=$batchId")
+      }
+      .start()
+
   /** SimHash fingerprint index over a static corpus for the streaming
     * boilerplate screen: one 62-bit fingerprint per corpus doc plus its 4
     * pigeonhole block keys (16 bits each). ~4 rows per corpus doc —

@@ -340,6 +340,57 @@ class StreamingSpec extends AnyFunSuite {
       s"expected only the planted near-dup flagged, got $flagged")
   }
 
+  test("streaming containment screen flags covered docs with their best container, admits novel docs") {
+    import graft.streaming.Streams
+    // corpus: a large doc (40 distinct words), a mid doc (35), a small doc
+    // (12) — three strata, so snippets exercise the cross-strata probe tier
+    val w = (0 until 60).map(i => s"word$i")
+    val u = (0 until 15).map(i => s"uniq$i")
+    val corpus = Seq(
+      (100L, w.slice(0, 40).mkString(" ")),
+      (101L, w.slice(20, 55).mkString(" ")),
+      (102L, w.slice(48, 60).mkString(" ")),
+      (103L, u.mkString(" ")))
+      .toDF("doc_id", "text")
+    val index = Streams.containmentIndex(corpus)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cscreen").toString
+    val in = MemoryStream[(Long, String)](spark)
+    val q = Streams.containmentScreenSink(
+      in.toDF().toDF("doc_id", "text"), index, s"$dir/out", s"$dir/ckpt")
+    in.addData(
+      // 8-word snippet of corpus doc 100 (two strata down): coverage 1.0
+      (1L, w.slice(4, 12).mkString(" ")),
+      // novel vocabulary: no container
+      (2L, (0 until 20).map(i => s"fresh$i").mkString(" ")),
+      // near-copy of 101: 33 of its 35 words + 2 novel -> coverage 33/35
+      (3L, (w.slice(20, 53) ++ Seq("novelx", "novely")).mkString(" ")))
+    q.processAllAvailable()
+    in.addData(
+      // snippet living in BOTH 100 and 101 (the 20..40 overlap): coverage
+      // ties at 1.0 and the jaccard tie-break picks the tighter container
+      // (101: J = 8/35 > 8/40)
+      (4L, w.slice(24, 32).mkString(" ")),
+      // incoming slightly LARGER than the small corpus doc, same stratum:
+      // 12/13 covered
+      (5L, (w.slice(48, 60) :+ "extraz").mkString(" ")),
+      // boundary straddle: n=16 (stratum 4) vs corpus 103's 15 (stratum 3)
+      // — only the DOWNWARD gap-1 probe can surface this candidate
+      (6L, (u :+ "extraw").mkString(" ")))
+    q.processAllAvailable(); q.stop()
+    index.release()
+    val b0 = spark.read.parquet(s"$dir/out/batch_id=0")
+      .select("doc_id", "contained_in", "coverage_e4", "n_containers")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(b0 == Set((1L, 100L, 10000L, 1L), (3L, 101L, 9428L, 1L)),
+      s"batch 0 decisions: $b0")
+    val b1 = spark.read.parquet(s"$dir/out/batch_id=1")
+      .select("doc_id", "contained_in", "coverage_e4", "n_containers")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(b1 == Set((4L, 101L, 10000L, 2L), (5L, 102L, 9230L, 1L),
+      (6L, 103L, 9375L, 1L)),
+      s"batch 1 decisions: $b1")
+  }
+
   test("composed curation pipeline: per-stage survivor sets match the batch " +
       "funnel at every batch") {
     import graft.streaming.Streams
