@@ -322,8 +322,13 @@ object Streams {
     * cross-strata tier), `sets` (the sorted hash set for the exact verify).
     */
   final case class ContainmentIndex(bands2: DataFrame, sigs: DataFrame,
-      sets: DataFrame, maxStrat: Int) {
-    def release(): Unit = sets.unpersist(blocking = false)
+      sets: DataFrame, maxStrat: Int, private val pinned: DataFrame) {
+    /** Unpersist the PINNED parent frame — `sets`/`bands2`/`sigs` are
+      * projections of it, and unpersisting a projection is a no-op on the
+      * parent's cache entry (the cache-scope leak class the round-10
+      * advice flagged on the sharded IVF cache).
+      */
+    def release(): Unit = pinned.unpersist(blocking = false)
   }
 
   private val ContainK = 32
@@ -365,7 +370,7 @@ object Streams {
       case r => r.getInt(0)
     }
     ContainmentIndex(bands2, sigs, sets.select("corpus_id", "chs", "cn"),
-      maxStrat)
+      maxStrat, pinned = sets)
   }
 
   /** Batch form of the containment screen (also the per-micro-batch body):

@@ -352,6 +352,7 @@ class StreamingSpec extends AnyFunSuite {
       (102L, w.slice(48, 60).mkString(" ")),
       (103L, u.mkString(" ")))
       .toDF("doc_id", "text")
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
     val index = Streams.containmentIndex(corpus)
     val dir = java.nio.file.Files.createTempDirectory("graft_cscreen").toString
     val in = MemoryStream[(Long, String)](spark)
@@ -378,6 +379,13 @@ class StreamingSpec extends AnyFunSuite {
       (6L, (u :+ "extraw").mkString(" ")))
     q.processAllAvailable(); q.stop()
     index.release()
+    // release must free the PINNED parent frame (unpersisting a projection
+    // of it would be a silent no-op and the index cache would leak)
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (spark.sparkContext.getPersistentRDDs.size > cachedBefore &&
+        System.nanoTime() < deadline) Thread.sleep(100)
+    assert(spark.sparkContext.getPersistentRDDs.size <= cachedBefore,
+      "containment index cache survived release()")
     val b0 = spark.read.parquet(s"$dir/out/batch_id=0")
       .select("doc_id", "contained_in", "coverage_e4", "n_containers")
       .as[(Long, Long, Long, Long)].collect().toSet
