@@ -1234,11 +1234,34 @@ object Llm {
     * diverging. Requires NativeExpressions registered.
     */
   private[graft] def dsirTok(d: DataFrame): DataFrame = {
-    val toks = TF.tokens(col("text"))
-    d.select(col("doc_id"), qualityPredicate.as("tgt"),
-        explode(call_function("graft_wordhash62", toks)).as("h"))
-      .select(col("doc_id"), col("tgt"), expr("pmod(h, 1024)").as("b"))
+    // tgt is per-DOC, but computed inline it lands in a projection ABOVE
+    // the explode (CollapseProject pushes it through the Generate) and
+    // re-splits the text once per TOKEN row — measured as the dominant
+    // cost of the whole DSIR pass at the 100x probe. A join against the
+    // one-row-per-doc flag table pins it to exactly one evaluation per
+    // doc; the flag table is ~10 B/doc, broadcast below the conf'd
+    // threshold and an honest doc_id-keyed shuffle join beyond it
+    // (byte-sized thresholds, the round-11 broadcast lesson).
+    val flags = d.select(col("doc_id"), qualityPredicate.as("tgt"))
+    val bcThreshold = d.sparkSession.conf
+      .getOption("graft.dsir.flagBroadcastThreshold")
+      .map(_.toLong).getOrElse(10000000L)
+    val bs: DataFrame => DataFrame =
+      if (d.count() <= bcThreshold) broadcast else identity
+    dsirBuckets(d)
+      .join(bs(flags), "doc_id")
+      .select(col("doc_id"), col("tgt"), col("b"))
   }
+
+  /** The tgt-free half of [[dsirTok]]: (doc_id, bucket) per token. The
+    * scoring leg of x4_dsir consumes THIS (it never reads tgt), so it pays
+    * no flag join at all.
+    */
+  private[graft] def dsirBuckets(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+        explode(call_function("graft_wordhash62",
+          TF.tokens(col("text")))).as("h"))
+      .select(col("doc_id"), expr("pmod(h, 1024)").as("b"))
 
   /** Per-bucket DSIR importance deltas from a [[dsirTok]] frame:
     * d_e6 = round(1e6 · (ln p̂_target(b) − ln p̂_raw(b))) with add-one
@@ -1246,8 +1269,12 @@ object Llm {
     * aggregation is order-independent (the x4_lm_score precedent).
     */
   private[graft] def dsirDeltasFromTok(tok: DataFrame): DataFrame = {
-    val cnt = tok.groupBy("b").agg(count(lit(1)).as("rc"),
-      sum(when(col("tgt"), 1L).otherwise(0L)).as("tc"))
+    // cnt is <= 1024 rows but feeds TWO consumers (the totals and the
+    // delta projection) — unpinned, `tot` re-executes the whole token
+    // scan underneath it (a third corpus tokenization in x4_dsir)
+    val cnt = graft.Caches.persist(
+      tok.groupBy("b").agg(count(lit(1)).as("rc"),
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("tc")))
     val tot = cnt.agg(sum("rc").as("rn"), sum("tc").as("tn"))
     cnt.crossJoin(broadcast(tot))
       .select(col("b"), round((
@@ -4041,13 +4068,14 @@ object Llm {
     Q("x4_dsir",
       (s, dir) => {
         graft.functions.NativeExpressions.register(s)
-        // tok feeds BOTH the delta trainer and the per-doc scorer: without
-        // the pin the tokenize+explode upstream runs twice (the
-        // one-small-frame-many-consumers re-run pitfall; measured ~2x on
-        // this query's runtime at sf0.1)
-        val tok = graft.Caches.persist(dsirTok(docs(s, dir)))
-        val delta = dsirDeltasFromTok(tok)
-        val perDoc = tok.join(broadcast(delta), "b")
+        // the exploded token stream is deliberately NOT persisted (caching
+        // it is ~20 B/token of block-manager pressure; the re-tokenize is
+        // one linear native-kernel scan) — instead each leg gets exactly
+        // the plan it needs: the trainer reads dsirTok (buckets + the
+        // once-per-doc flag join), the scorer reads the tgt-free
+        // dsirBuckets
+        val delta = dsirDeltasFromTok(dsirTok(docs(s, dir)))
+        val perDoc = dsirBuckets(docs(s, dir)).join(broadcast(delta), "b")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_tokens"), sum("d_e6").as("logw_e6"))
         // the x4_mlm_mask LCG family on doc_id; +1 / 2147483649 keeps the

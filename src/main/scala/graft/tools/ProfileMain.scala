@@ -29,6 +29,7 @@ object ProfileMain {
 
     names.foreach {
       case "@bigram" => bigramPieces(spark, sfDir)
+      case "@dsir" => dsirPieces(spark, sfDir)
       case "@knn" => knnPieces(spark, sfDir)
       case "@clusters" => clusterPieces(spark, sfDir)
       case "@scale" => scaleSweep(spark, sfDir)
@@ -467,6 +468,44 @@ object ProfileMain {
       }
       time("registered query e2e") {
         graft.SparkEntry.queries("x3_knn_ivf")(spark, dir).count()
+      }
+      graft.Caches.drain(spark)
+    }
+  }
+
+  private def dsirPieces(spark: SparkSession, dir: String): Unit = {
+    graft.functions.NativeExpressions.register(spark)
+    (1 to 2).foreach { round =>
+      println(s"[profile] --- round $round ---")
+      val d = graft.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val nDocs = time("docs scan") { d.count() }
+      println(s"[profile] docs=$nDocs, input partitions=" +
+        d.rdd.getNumPartitions)
+      val tok = graft.queries.Llm.dsirTok(d)
+      val nTok = time("tok (tokenize+hash+explode)") { tok.count() }
+      println(s"[profile] tokens=$nTok")
+      val delta = graft.queries.Llm.dsirDeltasFromTok(tok)
+      time("delta table (bucket aggs over tok)") { delta.count() }
+      val perDoc = tok.join(broadcast(delta), "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("d_e6").as("logw_e6"))
+      // checksum aggregates defeat column pruning: every stage value is
+      // actually computed, unlike a bare count()
+      time("perDoc FULL (join+agg, no pruning)") {
+        perDoc.agg(sum("logw_e6"), sum("n_tokens")).collect()
+      }
+      val u = ((col("doc_id") % 3000000000L) * 2654435761L + 40503L) % 2147483647L
+      val g = org.apache.spark.sql.functions.round(
+        -log(-log((u + 1).cast("double") / 2147483649.0)) * 1000000)
+        .cast("long")
+      time("+ gumbel + orderBy.limit(100)") {
+        perDoc.withColumn("gumbel_e6", g)
+          .withColumn("score_e6", col("logw_e6") + col("gumbel_e6"))
+          .orderBy(desc("score_e6"), col("doc_id")).limit(100).collect()
+      }
+      time("full query") {
+        SparkEntry.queries("x4_dsir")(spark, dir).count()
       }
       graft.Caches.drain(spark)
     }
