@@ -4265,12 +4265,15 @@ object Llm {
     // bigram asc) makes the cut deterministic cross-engine.
     Q("x4_ngram_topk",
       (s, dir) => {
-        val toks = TF.tokens(col("text"))
-        val bigrams = transform(sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", slice(toks, i, lit(2))))
+        graft.functions.NativeExpressions.register(s)
+        // one compiled pass per doc (graft_bigram_strings) — the HOF
+        // transform+slice+concat_ws formulation evaluates its lambda
+        // interpreted per element and dominated this query's runtime; a
+        // <2-token doc yields an empty array, same rows as the old
+        // size>=2 prefilter
         val counts = docs(s, dir)
-          .filter(size(toks) >= 2)
-          .select(col("lang"), explode(bigrams).as("ng"))
+          .select(col("lang"), explode(call_function("graft_bigram_strings",
+            TF.tokens(col("text")))).as("ng"))
           .groupBy("lang", "ng").agg(count(lit(1)).as("n"))
         val w = Window.partitionBy("lang").orderBy(desc("n"), asc("ng"))
         counts.withColumn("rk", row_number().over(w).cast("long"))
