@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.broadcast
+
+/** The ONE byte-denominated broadcast gate for every "join against a frame
+  * that is small today but linear in the corpus" site in the engine.
+  *
+  * Round 11's 100× probe showed the failure mode three times over: a frame
+  * that rides a broadcast at every tested scale (query sets, flag tables,
+  * index frames) quietly crosses driver/executor memory at 100 TB because
+  * its gate was an unconditional hint — or a ROW-count threshold that says
+  * nothing about bytes (10M one-boolean rows and 10M hash-set rows are the
+  * same "10M"). Every such site now routes through [[gate]]:
+  *
+  *   - the decision is `rows × rowBytes ≤ limit` — an explicit per-site
+  *     byte estimate (documented at the call site) against a byte limit;
+  *   - the limit resolves `graft.broadcast.<site>` →
+  *     `graft.broadcast.default` → the site's built-in default, so one conf
+  *     flips a site (or, via `default`, the fleet — how tests pin the
+  *     shuffle fallback plan) without touching code;
+  *   - legacy rows-denominated confs (`graft.ivf.broadcastThreshold`,
+  *     `graft.jaccard.broadcastThreshold`, `graft.lsh.broadcastThreshold`,
+  *     `graft.containment.broadcastThreshold`,
+  *     `graft.dsir.flagBroadcastThreshold`) keep working when explicitly
+  *     set — they sit between the site conf and the default in precedence —
+  *     so existing harnesses and pinned tests are unchanged.
+  *
+  * Above the limit the caller's join runs WITHOUT the hint: an honest
+  * shuffle (equi-keys) or a distributed cartesian (bound-scan shapes) that
+  * Spark plans by its own statistics — never a driver-sized broadcast.
+  * Sites and their defaults are documented in SCALING.md ("Broadcast
+  * gates").
+  */
+object Broadcasts {
+  /** Resolve the byte limit for `site`: `graft.broadcast.<site>` >
+    * `graft.broadcast.default` > `defaultBytes`.
+    */
+  def limitBytes(s: SparkSession, site: String, defaultBytes: Long): Long =
+    s.conf.getOption(s"graft.broadcast.$site")
+      .orElse(s.conf.getOption("graft.broadcast.default"))
+      .map(_.toLong).getOrElse(defaultBytes)
+
+  /** True iff a frame of `rows × rowBytes` estimated bytes may broadcast at
+    * `site`. `legacyRowsConf`, when set in the session, is honored as a
+    * ROW threshold (back-compat) unless the site's byte conf overrides it.
+    */
+  def fits(s: SparkSession, site: String, rows: Long, rowBytes: Long,
+      defaultBytes: Long, legacyRowsConf: String = null): Boolean = {
+    val siteConf = s.conf.getOption(s"graft.broadcast.$site")
+    val legacy =
+      if (legacyRowsConf == null) None else s.conf.getOption(legacyRowsConf)
+    (siteConf, legacy) match {
+      case (Some(b), _) => rows * rowBytes <= b.toLong
+      case (None, Some(r)) => rows <= r.toLong
+      case _ => rows * rowBytes <=
+        s.conf.getOption("graft.broadcast.default")
+          .map(_.toLong).getOrElse(defaultBytes)
+    }
+  }
+
+  /** The gate itself: `broadcast` below the limit, `identity` above it —
+    * drop-in for the `bs(frame)` pattern at every join site.
+    */
+  def gate(s: SparkSession, site: String, rows: Long, rowBytes: Long,
+      defaultBytes: Long, legacyRowsConf: String = null)
+      : DataFrame => DataFrame =
+    if (fits(s, site, rows, rowBytes, defaultBytes, legacyRowsConf))
+      (df: DataFrame) => broadcast(df)
+    else identity
+
+  /** [[gate]] for sites that carry a PRECOMPUTED byte estimate (the
+    * streaming screens' corpus indexes, sized once at build time so a
+    * foreachBatch body never pays a per-batch statistics job).
+    */
+  def gateBytes(s: SparkSession, site: String, estBytes: Long,
+      defaultBytes: Long): DataFrame => DataFrame =
+    gate(s, site, estBytes, rowBytes = 1, defaultBytes = defaultBytes)
+}

@@ -557,11 +557,12 @@ object IvfIndex {
   def knnExact(idx: Index, queries: DataFrame, k: Int, nprobe: Int = 3): DataFrame = {
     val spark = queries.sparkSession
     NativeExpressions.register(spark)
-    val threshold = spark.conf.getOption("graft.ivf.broadcastThreshold")
-      .map(_.toLong).getOrElse(100000L)
-    // two cheap counts decide the plan shape — AQE-style statistics calls
-    val bq: DataFrame => DataFrame =
-      if (queries.count() <= threshold) broadcast else identity
+    // two cheap counts decide the plan shape — AQE-style statistics calls.
+    // Query rows carry a dim-length double vector (~550 B at dim 64): the
+    // 55 MB default admits ~100k queries, byte-equivalent to the old pin.
+    val bq = graft.Broadcasts.gate(spark, "ivfQueries", queries.count(),
+      rowBytes = 552, defaultBytes = 55L << 20,
+      legacyRowsConf = "graft.ivf.broadcastThreshold")
     val minCells = spark.conf.getOption("graft.ivf.minCellsForPruning")
       .map(_.toLong).getOrElse(128L)
     val qn = queries.withColumn("qnrm", VF.l2Norm(col("qv")))
@@ -635,10 +636,9 @@ object IvfIndex {
   def knnApprox(idx: Index, queries: DataFrame, k: Int, nprobe: Int = 8): DataFrame = {
     val spark = queries.sparkSession
     NativeExpressions.register(spark)
-    val threshold = spark.conf.getOption("graft.ivf.broadcastThreshold")
-      .map(_.toLong).getOrElse(100000L)
-    val bq: DataFrame => DataFrame =
-      if (queries.count() <= threshold) broadcast else identity
+    val bq = graft.Broadcasts.gate(spark, "ivfQueries", queries.count(),
+      rowBytes = 552, defaultBytes = 55L << 20,
+      legacyRowsConf = "graft.ivf.broadcastThreshold")
     val qn = queries.withColumn("qnrm", VF.l2Norm(col("qv")))
     val qc = qn.join(broadcast(idx.cells.select(col("cell"), col("cv"), col("cnrm"))),
         lit(true))
@@ -784,10 +784,10 @@ object IvfIndex {
       .map(_.toDouble).getOrElse(0.95)
     val minRows = spark.conf.getOption("graft.ivf.blockMinRows")
       .map(_.toLong).getOrElse(30000L)
-    val bcLimit = spark.conf.getOption("graft.ivf.broadcastThreshold")
-      .map(_.toLong).getOrElse(100000L)
     val takeBlock = scanned.toDouble >= gate * total.toDouble * total.toDouble &&
-      total > minRows && total <= bcLimit
+      total > minRows &&
+      graft.Broadcasts.fits(spark, "ivfPairs", total, rowBytes = 552,
+        defaultBytes = 55L << 20, legacyRowsConf = "graft.ivf.broadcastThreshold")
     // make the plan choice OBSERVABLE: tests pin it, and a bench run can be
     // audited after the fact instead of inferring the path from timings
     recordPairsPath(spark,

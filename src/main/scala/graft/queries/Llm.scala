@@ -339,10 +339,8 @@ object Llm {
     // rides a broadcast and the verify is two in-memory hash probes.
     // Above the threshold the shuffle join returns — the honest
     // distributed plan at 100 TB, linear in candidates.
-    val bcThreshold = s.conf.getOption("graft.lsh.broadcastThreshold")
-      .map(_.toLong).getOrElse(1000000L)
-    val bs: DataFrame => DataFrame =
-      if (n <= bcThreshold) broadcast else identity
+    val bs = graft.Broadcasts.gate(s, "lsh", n, rowBytes = 536,
+      defaultBytes = 512L << 20, legacyRowsConf = "graft.lsh.broadcastThreshold")
     val bnd = e.select(col("vec_id"), col("bks"),
       posexplode(col("bks")).as(Seq("b", "bv")))
     val cand = bnd.as("a").join(bnd.as("b"),
@@ -609,10 +607,11 @@ object Llm {
     // (the count forces the persisted sets frame once; every later consumer
     // reads the cache); above it the (pw, band)-keyed join shuffles both
     // sides on the key, which Spark distributes.
-    val bcThreshold = tok.sparkSession.conf
-      .getOption("graft.jaccard.broadcastThreshold").map(_.toLong).getOrElse(100000L)
-    val bs: DataFrame => DataFrame =
-      if (sets.count() <= bcThreshold) broadcast else identity
+    // broadcast side is the EXPLODED prefix-key frame: ~400 B per distinct
+    // set (avg prefix length × the (sb, nb, bk2, pb, pw2) row) — byte gate
+    val bs = graft.Broadcasts.gate(tok.sparkSession, "jaccard",
+      sets.count(), rowBytes = 400, defaultBytes = 40L << 20,
+      legacyRowsConf = "graft.jaccard.broadcastThreshold")
     def bandOf(n: Column): Column =
       if (t >= 1.0) n.cast("long") // J >= 1 forces equal sizes exactly
       else floor(log(n.cast("double")) / lit(math.log(1.0 / t))).cast("long")
@@ -777,10 +776,10 @@ object Llm {
     // doc ids re-attach by set id (= min doc) after, as in the Jaccard path
     val sets = graft.Caches.persist(masks.groupBy("mask", "n")
       .agg(collect_list("doc_id").as("ds"), min("doc_id").as("sid")))
-    val bcThreshold = tok.sparkSession.conf
-      .getOption("graft.jaccard.broadcastThreshold").map(_.toLong).getOrElse(100000L)
-    val bs: DataFrame => DataFrame =
-      if (sets.count() <= bcThreshold) broadcast else identity
+    // broadcast side rows are (mask: words longs, n, sid) — byte-sized gate
+    val bs = graft.Broadcasts.gate(tok.sparkSession, "jaccard",
+      sets.count(), rowBytes = 8L * words + 32, defaultBytes = 40L << 20,
+      legacyRowsConf = "graft.jaccard.broadcastThreshold")
     def isect(l: Column, r: Column) = call_function("graft_mask_isect", l, r)
     val a = sets.select(col("mask").as("maska"), col("n").as("na"), col("sid").as("sa"))
     val b = sets.select(col("mask").as("maskb"), col("n").as("nb"), col("sid").as("sb"))
@@ -1049,10 +1048,9 @@ object Llm {
     // 1M sets (~0.4 GB) it broadcasts, beyond that the shuffle join is
     // the honest distributed plan — never a driver-sized broadcast at
     // 100 TB.
-    val bcThreshold = s.conf.getOption("graft.containment.broadcastThreshold")
-      .map(_.toLong).getOrElse(1000000L)
-    val bs: DataFrame => DataFrame =
-      if (sets.count() <= bcThreshold) broadcast else identity
+    val bs = graft.Broadcasts.gate(s, "containment", sets.count(),
+      rowBytes = 400, defaultBytes = 400L << 20,
+      legacyRowsConf = "graft.containment.broadcastThreshold")
     val verified = cand
       .join(bs(sets.select(col("sid").as("sa"), col("hs").as("ha"),
         col("n").as("na"), col("members").as("mem_a"))), "sa")
@@ -1243,11 +1241,12 @@ object Llm {
     // threshold and an honest doc_id-keyed shuffle join beyond it
     // (byte-sized thresholds, the round-11 broadcast lesson).
     val flags = d.select(col("doc_id"), qualityPredicate.as("tgt"))
-    val bcThreshold = d.sparkSession.conf
-      .getOption("graft.dsir.flagBroadcastThreshold")
-      .map(_.toLong).getOrElse(10000000L)
-    val bs: DataFrame => DataFrame =
-      if (d.count() <= bcThreshold) broadcast else identity
+    // (doc_id, bool) + hashed-relation overhead ≈ 20 B/doc: the 64 MB
+    // default admits ~3M docs — sized in BYTES, not docs, so the gate can't
+    // approve a ~200 MB broadcast the way the old 10M-doc threshold could
+    val bs = graft.Broadcasts.gate(d.sparkSession, "dsirFlags", d.count(),
+      rowBytes = 20, defaultBytes = 64L << 20,
+      legacyRowsConf = "graft.dsir.flagBroadcastThreshold")
     dsirBuckets(d)
       .join(bs(flags), "doc_id")
       .select(col("doc_id"), col("tgt"), col("b"))
@@ -1419,6 +1418,54 @@ object Llm {
     val reps = dedupClusters(s, keepers.select("doc_id", "text"))
       .filter(col("doc_id") === col("cluster_id"))
     (qual, keepers, reps)
+  }
+
+  /** The funnel's CONTAINMENT stage: keepers in the SNIPPET regime —
+    * ≥ `cT`-covered by a keeper AT LEAST 2× their distinct-token size. The
+    * 2× size guard defines the stage's scope and is load-bearing twice
+    * over:
+    *
+    *   - it structurally excludes near-dup pairs (container ≥ 2× forces
+    *     Jaccard = i/(na+nb−i) ≤ 1/2): near-dups are the CC stage's job,
+    *     and without the guard every cluster's CHAIN-mates (pairwise
+    *     Jaccard < t but coverage ≥ t — pervasive in a dense near-dup
+    *     corpus) would "contain" their own representative and whole
+    *     clusters would vanish (measured: 76 of 90 keepers flagged on the
+    *     test corpus without the guard, 8 planted snippets with it);
+    *   - it is what "snippet of a bigger document" MEANS — a ≥90%-covered
+    *     doc within 2× of its cover is an asymmetric near-copy carrying
+    *     novel content, the near-dup family's territory, not redundancy.
+    *
+    * Containers are drawn from ALL keepers regardless of their own
+    * downstream fate: a per-(pair) rule over token sets and sizes that
+    * never changes once both docs exist, so a streaming pipeline applies
+    * it MONOTONICALLY (keepers only accumulate — a later batch can add
+    * rejections/retractions but never invalidate one), and batch and
+    * stream decisions match on every prefix
+    * ([[graft.streaming.Streams.curationPipelineSink]], pinned in
+    * StreamingSpec). Candidates come from the same shared-token inverted
+    * join as the funnel's near-dup stage; the 100 TB path swaps in the
+    * LSH-Ensemble banding ([[containmentLshPairs]] — whose size strata are
+    * this same 2× geometry) with identical verify semantics. Returns the
+    * distinct `doc_id`s to reject.
+    */
+  private[graft] def curationContainmentRejects(keepers: DataFrame,
+      cNum: Int = 9, cDen: Int = 10): DataFrame = {
+    val s = keepers.sparkSession
+    val tok = keepers.select(col("doc_id"),
+      explode(TF.tokenSet(col("text"))).as("w"))
+    val cnt = graft.Caches.persist(
+      tok.groupBy("doc_id").agg(count(lit(1)).as("n")))
+    // candidates from the DISPATCHED exact containment machinery (bitset /
+    // prefix-filtered — the x2_containment engine), not a naive token
+    // self-join: identical pair set, sub-quadratic candidate generation
+    containmentPairs(s, tok, cNum, cDen)
+      .join(cnt.toDF("doc_a", "na"), "doc_a")
+      .join(cnt.toDF("doc_b", "nb"), "doc_b")
+      .filter(least(col("na"), col("nb")) * 2 <= greatest(col("na"), col("nb")))
+      .select(when(col("na") < col("nb"), col("doc_a"))
+        .otherwise(col("doc_b")).as("doc_id"))
+      .distinct()
   }
 
   /** FAISS-style DRIVER-side PQ codebook training over int8 component
@@ -4699,6 +4746,73 @@ object Llm {
              |UNION ALL SELECT 3, 'exact_dedup', (SELECT COUNT(*) FROM keep)
              |UNION ALL SELECT 4, 'neardup_dedup',
              |       (SELECT COUNT(*) FROM clus WHERE doc_id = cluster_id)
+             |ORDER BY stage_no""".stripMargin)),
+
+    // ---- X4 FUNNEL + CONTAINMENT: the curation funnel extended with the
+    // snippet-containment gate (stage 5) — reps that are ≥90% covered by a
+    // keeper at least 2× their size (the asymmetric subsumption the
+    // near-dup stage cannot see: a snippet re-posted inside a bigger
+    // document; the 2× guard structurally excludes near-dup pairs, whose
+    // Jaccard ≥ 0.9 forces sizes within 1/0.9) are dropped from the
+    // survivor set. The rule is per-pair and time-stable, so the streaming
+    // twin (curationPipelineSink's containment stage) reproduces it
+    // monotonically on every prefix.
+    Q("x4_funnel_containment",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val (qual, keepers, reps) = curationStages(s, d)
+        val survivors = reps.join(curationContainmentRejects(keepers),
+          Seq("doc_id"), "left_anti")
+        def stage(no: Int, name: String, df: DataFrame): DataFrame =
+          df.agg(count(lit(1)).as("docs"))
+            .select(lit(no).as("stage_no"), lit(name).as("stage"), col("docs"))
+        stage(1, "ingest", d)
+          .unionAll(stage(2, "quality", qual))
+          .unionAll(stage(3, "exact_dedup", keepers))
+          .unionAll(stage(4, "neardup_dedup", reps))
+          .unionAll(stage(5, "containment", survivors))
+          .orderBy("stage_no")
+      },
+      Some("""WITH RECURSIVE
+             |qual AS (SELECT doc_id, text FROM documents
+             |         WHERE len(string_split(text,' ')) >= 5
+             |           AND len(list_filter(string_split(text,' '),
+             |                 x -> x IN ('the','a','of','and','to','in','is','it'))) >= 1),
+             |keep AS (SELECT MIN(doc_id) AS doc_id FROM qual GROUP BY text),
+             |kd AS (SELECT q.doc_id, q.text FROM qual q
+             |       JOIN keep k ON q.doc_id = k.doc_id),
+             |tok AS (SELECT doc_id, UNNEST(list_distinct(string_split(text,' '))) AS w
+             |        FROM kd),
+             |cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+             |          FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2),
+             |sized AS (SELECT doc_a, doc_b, i, ca.n AS na, cb.n AS nb FROM inter
+             |          JOIN cnt ca ON ca.doc_id = doc_a
+             |          JOIN cnt cb ON cb.doc_id = doc_b),
+             |pairs AS (SELECT doc_a, doc_b FROM sized
+             |          WHERE CAST(i AS DOUBLE)/(na + nb - i) >= 0.9),
+             |cont AS (SELECT DISTINCT
+             |           CASE WHEN na < nb THEN doc_a ELSE doc_b END AS doc_id
+             |         FROM sized
+             |         WHERE LEAST(na, nb) * 2 <= GREATEST(na, nb)
+             |           AND i * 10 >= LEAST(na, nb) * 9),
+             |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+             |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+             |reach(a, b) AS (
+             |  SELECT doc_id, doc_id FROM kd
+             |  UNION
+             |  SELECT reach.a, e.b FROM reach JOIN edges e ON reach.b = e.a),
+             |clus AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
+             |SELECT 1 AS stage_no, 'ingest' AS stage,
+             |       (SELECT COUNT(*) FROM documents) AS docs
+             |UNION ALL SELECT 2, 'quality', (SELECT COUNT(*) FROM qual)
+             |UNION ALL SELECT 3, 'exact_dedup', (SELECT COUNT(*) FROM keep)
+             |UNION ALL SELECT 4, 'neardup_dedup',
+             |       (SELECT COUNT(*) FROM clus WHERE doc_id = cluster_id)
+             |UNION ALL SELECT 5, 'containment',
+             |       (SELECT COUNT(*) FROM clus WHERE doc_id = cluster_id
+             |          AND doc_id NOT IN (SELECT doc_id FROM cont))
              |ORDER BY stage_no""".stripMargin)),
 
     // ---- X4 BPE MERGE TRAINING: the byte-pair-encoding merge loop

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.model._
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.Encoders
@@ -17,6 +17,15 @@ import org.apache.spark.sql.Encoders
   * source DataFrame — they only assume the flattened reading schema.
   */
 object Streams {
+
+  /** Default byte ceiling for broadcasting a static corpus-index frame into
+    * a screen's stream-static joins (conf `graft.broadcast.screen`, or the
+    * fleet-wide `graft.broadcast.default`) — the same 0.4 GB reasoning as
+    * the batch containment verify's gate. Every screen join degrades to an
+    * honest shuffle above it; outputs are hash-identical either way
+    * (StreamingSpec pins both plans).
+    */
+  private[streaming] val ScreenBroadcastBytes = 400L << 20
 
   /** T1/S1: a self-describing synthetic reading stream from the rate source —
     * one logical device per `value % nDevices`, deterministic value columns.
@@ -257,7 +266,15 @@ object Streams {
     * Index build is batch (`corpusIndex`), reusing the exact kernels of
     * x2_minhash_lsh, so screen decisions match the batch dedup pass.
     */
-  final case class CorpusIndex(bands: DataFrame, shingles: DataFrame) {
+  /** `bandsBytes`/`shinglesBytes`: the two frames' estimated broadcast
+    * sizes, measured ONCE at build time so the per-batch screen body never
+    * pays a statistics job — the inputs to the byte-denominated
+    * [[graft.Broadcasts]] gate that flips each screen join to an honest
+    * shuffle when the corpus index outgrows a broadcast (the 100 TB plan;
+    * at that point the joins shard by band key / corpus_id).
+    */
+  final case class CorpusIndex(bands: DataFrame, shingles: DataFrame,
+      bandsBytes: Long, shinglesBytes: Long) {
     /** Release the persisted shingle table. The index intentionally outlives
       * any one micro-batch (it is shared by every batch of the screen), so
       * its cache is NOT in the per-query `graft.Caches` registry; the owner
@@ -276,7 +293,13 @@ object Streams {
       explode(graft.functions.TextFunctions.bandKeys64(
         call_function("graft_minhash", col("corpus_sh"), lit(numHashes)),
         bands)).as("bk"))
-    CorpusIndex(banded, sh)
+    // one statistics pass over the just-persisted frame sizes both halves:
+    // bands = n × `bands` (corpus_id, bk) rows; shingles = the hash arrays
+    val st = sh.agg(count(lit(1)), sum(size(col("corpus_sh")))).head()
+    val n = st.getLong(0)
+    val totSh = if (st.isNullAt(1)) 0L else st.getLong(1)
+    CorpusIndex(banded, sh,
+      bandsBytes = n * bands * 24L, shinglesBytes = totSh * 8 + n * 48)
   }
 
   /** Batch form of the screen (also the per-micro-batch body): flag every
@@ -287,17 +310,23 @@ object Streams {
     */
   def nearDupScreen(incoming: DataFrame, index: CorpusIndex, t: Double = 0.5,
       numHashes: Int = 32, bands: Int = 16): DataFrame = {
-    graft.functions.NativeExpressions.register(incoming.sparkSession)
+    val s = incoming.sparkSession
+    graft.functions.NativeExpressions.register(s)
     val sh = incoming.select(col("doc_id"),
       graft.functions.TextFunctions.shingleHashes(col("text"), 3).as("sh"))
     val banded = sh.select(col("doc_id"), col("sh"),
       explode(graft.functions.TextFunctions.bandKeys64(
         call_function("graft_minhash", col("sh"), lit(numHashes)),
         bands)).as("bk"))
+    // byte-gated, never unconditional: against a 100 TB corpus index both
+    // joins flip to shuffles sharded by band key / corpus_id — same plan
+    // shape, honest exchange (the batch verify's `bs` contract)
+    def bs(frame: DataFrame, bytes: Long) =
+      graft.Broadcasts.gateBytes(s, "screen", bytes, ScreenBroadcastBytes)(frame)
     banded
-      .join(broadcast(index.bands), "bk")
+      .join(bs(index.bands, index.bandsBytes), "bk")
       .dropDuplicates("doc_id", "corpus_id")
-      .join(broadcast(index.shingles), "corpus_id")
+      .join(bs(index.shingles, index.shinglesBytes), "corpus_id")
       .withColumn("i", call_function("graft_isect", col("sh"), col("corpus_sh")))
       .withColumn("jaccard", col("i").cast("double") /
         (size(col("sh")) + size(col("corpus_sh")) - col("i")).cast("double"))
@@ -322,7 +351,9 @@ object Streams {
     * cross-strata tier), `sets` (the sorted hash set for the exact verify).
     */
   final case class ContainmentIndex(bands2: DataFrame, sigs: DataFrame,
-      sets: DataFrame, maxStrat: Int, private val pinned: DataFrame) {
+      sets: DataFrame, maxStrat: Int,
+      bands2Bytes: Long, sigsBytes: Long, setsBytes: Long,
+      private val pinned: DataFrame) {
     /** Unpersist the PINNED parent frame — `sets`/`bands2`/`sigs` are
       * projections of it, and unpersisting a projection is a no-op on the
       * parent's cache entry (the cache-scope leak class the round-10
@@ -365,12 +396,17 @@ object Streams {
       posexplode(bandKeys2(col("csig"))).as(Seq("band", "bk")))
     val sigs = sets.select(col("corpus_id"), col("cstrat"),
       posexplode(col("csig")).as(Seq("k", "sv")))
-    val maxStrat = sets.agg(max("cstrat")).head() match {
-      case r if r.isNullAt(0) => 0
-      case r => r.getInt(0)
-    }
+    // ONE statistics pass sizes all three frames alongside the stratum
+    // bound, so the per-batch screen body never pays a statistics job
+    val st = sets.agg(max("cstrat"), count(lit(1)), sum(size(col("chs")))).head()
+    val maxStrat = if (st.isNullAt(0)) 0 else st.getInt(0)
+    val n = st.getLong(1)
+    val totHs = if (st.isNullAt(2)) 0L else st.getLong(2)
     ContainmentIndex(bands2, sigs, sets.select("corpus_id", "chs", "cn"),
-      maxStrat, pinned = sets)
+      maxStrat,
+      bands2Bytes = n * ContainBands2 * 40L, sigsBytes = n * ContainK * 36L,
+      setsBytes = totHs * 8 + n * 56,
+      pinned = sets)
   }
 
   /** Batch form of the containment screen (also the per-micro-batch body):
@@ -390,12 +426,23 @@ object Streams {
     */
   def containmentScreen(incoming: DataFrame, index: ContainmentIndex,
       num: Int = 9, den: Int = 10): DataFrame = {
-    graft.functions.NativeExpressions.register(incoming.sparkSession)
-    val in = containmentSets(incoming)
+    val s = incoming.sparkSession
+    graft.functions.NativeExpressions.register(s)
+    // index joins are byte-gated ([[graft.Broadcasts]], sized at build):
+    // against a 100 TB corpus index each flips to a shuffle sharded by its
+    // equi-key (band / (k, sv, stratum) / corpus_id) — same plan shape,
+    // honest exchange, hash-identical output (StreamingSpec pins both)
+    def bs(frame: DataFrame, bytes: Long) =
+      graft.Broadcasts.gateBytes(s, "screen", bytes, ScreenBroadcastBytes)(frame)
+    // the featurization (tokenize + portable minhash) feeds THREE consumers
+    // per batch (tier-1 bands, tier-2 probes, the exact verify) — pinned so
+    // it runs once; callers release via Caches (the sink wraps each batch
+    // in Caches.scoped)
+    val in = graft.Caches.persist(containmentSets(incoming))
     // tier 1: same stratum, r=2 × 16 band keys
     val inB2 = in.select(col("doc_id"), col("strat"),
       posexplode(bandKeys2(col("sig"))).as(Seq("band", "bk")))
-    val cand0 = inB2.as("a").join(broadcast(index.bands2.as("c")),
+    val cand0 = inB2.as("a").join(bs(index.bands2, index.bands2Bytes).as("c"),
         col("a.band") === col("c.band") && col("a.bk") === col("c.bk") &&
           col("a.strat") === col("c.cstrat"))
       .select(col("a.doc_id"), col("c.corpus_id"))
@@ -418,7 +465,7 @@ object Streams {
         col("t.tgt").as("tgt"), col("t.bud").as("bud"))
       .filter(col("k") < col("bud") &&
         col("tgt") >= 0 && col("tgt") <= lit(index.maxStrat))
-    val candG = probe.as("a").join(broadcast(index.sigs.as("c")),
+    val candG = probe.as("a").join(bs(index.sigs, index.sigsBytes).as("c"),
         col("a.k") === col("c.k") && col("a.sv") === col("c.sv") &&
           col("a.tgt") === col("c.cstrat"))
       .select(col("a.doc_id"), col("c.corpus_id"))
@@ -426,7 +473,7 @@ object Streams {
     // exact verify (sorted-array intersection) + the batch decision rule
     val verified = cand
       .join(in.select(col("doc_id"), col("hs"), col("n")), "doc_id")
-      .join(broadcast(index.sets), "corpus_id")
+      .join(bs(index.sets, index.setsBytes), "corpus_id")
       .withColumn("i", call_function("graft_isect", col("hs"), col("chs")))
       .filter(col("i") * den >= col("n") * num)
       .withColumn("coverage_e4", expr("i * 10000 div n"))
@@ -451,8 +498,12 @@ object Streams {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        containmentScreen(batch, index, num, den).write.mode("overwrite")
-          .parquet(s"$path/batch_id=$batchId")
+        // scoped: releases the screen's per-batch featurization pin the
+        // moment this batch's write completes
+        graft.Caches.scoped {
+          containmentScreen(batch, index, num, den).write.mode("overwrite")
+            .parquet(s"$path/batch_id=$batchId")
+        }
       }
       .start()
 
@@ -463,7 +514,7 @@ object Streams {
     * shingle sets for the verify step; the hamming verify here needs only
     * the fingerprint, already on the block row).
     */
-  final case class SimHashIndex(blocks: DataFrame)
+  final case class SimHashIndex(blocks: DataFrame, blocksBytes: Long)
 
   def simhashIndex(corpus: DataFrame): SimHashIndex = {
     graft.functions.NativeExpressions.register(corpus.sparkSession)
@@ -472,10 +523,13 @@ object Streams {
         call_function("graft_wordhash62",
           graft.functions.TextFunctions.tokenSet(col("text"))))
         .as("corpus_fp"))
+    // 4 (corpus_id, fp, blk, key) rows per corpus doc, ~40 B each — sized
+    // from the input row count (no fingerprint evaluation at build)
     SimHashIndex(fp
       .select(col("corpus_id"), col("corpus_fp"),
         explode(sequence(lit(0), lit(3))).as("blk"))
-      .withColumn("key", expr("(corpus_fp >> (blk * 16)) & 65535")))
+      .withColumn("key", expr("(corpus_fp >> (blk * 16)) & 65535")),
+      blocksBytes = corpus.count() * 4 * 40L)
   }
 
   /** Streaming SIMHASH near-dup screen: flag every incoming doc within
@@ -494,7 +548,8 @@ object Streams {
   def simhashScreen(incoming: DataFrame, index: SimHashIndex,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-block pigeonhole is complete only to hamming 3")
-    graft.functions.NativeExpressions.register(incoming.sparkSession)
+    val s = incoming.sparkSession
+    graft.functions.NativeExpressions.register(s)
     val banded = incoming.select(col("doc_id"),
         call_function("graft_simhash",
           call_function("graft_wordhash62",
@@ -504,7 +559,9 @@ object Streams {
         explode(sequence(lit(0), lit(3))).as("blk"))
       .withColumn("key", expr("(fp >> (blk * 16)) & 65535"))
     banded
-      .join(broadcast(index.blocks), Seq("blk", "key"))
+      // byte-gated: a 100 TB corpus flips this to a shuffle on (blk, key)
+      .join(graft.Broadcasts.gateBytes(s, "screen", index.blocksBytes,
+        ScreenBroadcastBytes)(index.blocks), Seq("blk", "key"))
       .withColumn("x", expr("fp ^ corpus_fp"))
       // first agreeing block of the pair, from the xor alone — the join row
       // for any other agreeing block is dropped, so each pair emits once
@@ -519,7 +576,7 @@ object Streams {
       .select(col("doc_id"), col("corpus_id").as("dup_of"), col("hamming"))
   }
 
-  final case class PhashIndex(blocks: DataFrame)
+  final case class PhashIndex(blocks: DataFrame, blocksBytes: Long)
 
   /** 3-block pigeonhole index of the corpus' perceptual image hashes
     * (x5_image_phash's row-gradient dHash), gated to ≥17-row rasters —
@@ -532,10 +589,13 @@ object Streams {
         graft.queries.Multimodal.ppmRowHash(id, b) })
       .toDF("corpus_id", "corpus_fp", "img_rows")
       .filter(col("img_rows") >= 17)
+    // sized from the INPUT count (≤ 3 block rows × ~40 B per payload) so
+    // the build never runs the decoder just for statistics
     PhashIndex(ph.select(col("corpus_id"), col("corpus_fp"),
         graft.operators.Pigeonhole.blockIds.as("blk"))
       .withColumn("key",
-        graft.operators.Pigeonhole.blockKey(col("corpus_fp"), col("blk"))))
+        graft.operators.Pigeonhole.blockKey(col("corpus_fp"), col("blk"))),
+      blocksBytes = corpusWithPpm.count() * 3 * 40L)
   }
 
   /** Streaming VISUAL near-dup screen: flag every incoming image payload
@@ -560,7 +620,10 @@ object Streams {
         graft.operators.Pigeonhole.blockIds.as("blk"))
       .withColumn("key",
         graft.operators.Pigeonhole.blockKey(col("fp"), col("blk")))
-      .join(broadcast(index.blocks), Seq("blk", "key"))
+      // byte-gated: a 100 TB corpus flips this to a shuffle on (blk, key)
+      .join(graft.Broadcasts.gateBytes(incoming.sparkSession, "screen",
+        index.blocksBytes, ScreenBroadcastBytes)(index.blocks),
+        Seq("blk", "key"))
       .withColumn("x", expr("fp ^ corpus_fp"))
       .filter(col("blk") === graft.operators.Pigeonhole.firstAgree(col("x")))
       .withColumn("hamming", expr("bit_count(x)").cast("long"))
@@ -568,7 +631,7 @@ object Streams {
       .select(col("doc_id"), col("corpus_id").as("dup_of"), col("hamming"))
   }
 
-  final case class VideoIndex(blocks: DataFrame)
+  final case class VideoIndex(blocks: DataFrame, blocksBytes: Long)
 
   /** 3-block pigeonhole index of the corpus' TEMPORAL video hashes
     * (x5_video_neardup's luma-gradient fingerprint over decoded y4m
@@ -582,10 +645,12 @@ object Streams {
         graft.queries.Multimodal.y4mTemporalHash(id, b) })
       .toDF("corpus_id", "corpus_fp", "n_frames")
       .filter(col("n_frames") >= 17)
+    // sized from the INPUT count, like [[phashIndex]] — no decode-for-stats
     VideoIndex(th.select(col("corpus_id"), col("corpus_fp"),
         graft.operators.Pigeonhole.blockIds.as("blk"))
       .withColumn("key",
-        graft.operators.Pigeonhole.blockKey(col("corpus_fp"), col("blk"))))
+        graft.operators.Pigeonhole.blockKey(col("corpus_fp"), col("blk"))),
+      blocksBytes = corpusWithY4m.count() * 3 * 40L)
   }
 
   /** Streaming VIDEO near-dup screen: flag every incoming y4m payload
@@ -609,7 +674,10 @@ object Streams {
         graft.operators.Pigeonhole.blockIds.as("blk"))
       .withColumn("key",
         graft.operators.Pigeonhole.blockKey(col("fp"), col("blk")))
-      .join(broadcast(index.blocks), Seq("blk", "key"))
+      // byte-gated: a 100 TB corpus flips this to a shuffle on (blk, key)
+      .join(graft.Broadcasts.gateBytes(incoming.sparkSession, "screen",
+        index.blocksBytes, ScreenBroadcastBytes)(index.blocks),
+        Seq("blk", "key"))
       .withColumn("x", expr("fp ^ corpus_fp"))
       .filter(col("blk") === graft.operators.Pigeonhole.firstAgree(col("x")))
       .withColumn("hamming", expr("bit_count(x)").cast("long"))
@@ -725,8 +793,18 @@ object Streams {
     val qn = incoming.select(col("doc_id"),
         VF.toDouble(col("embedding")).as("qv"))
       .withColumn("qnrm", VF.l2Norm(col("qv")))
+    // cells ≈ √n rows — sublinear, but at 100 TB even √n × dim doubles can
+    // cross a broadcast budget, so the bound scan is byte-gated too. The
+    // screen is APPEND-MODE (plan built once), so this statistics pass runs
+    // once per query start, never per batch. Above the gate the bound scan
+    // runs as a distributed nested-loop over the cell frame.
+    val cst = idx.cells.agg(count(lit(1)), sum(size(col("cv")))).head()
+    val cellBytes =
+      (if (cst.isNullAt(1)) 0L else cst.getLong(1)) * 8 + cst.getLong(0) * 48
+    val bc = graft.Broadcasts.gateBytes(incoming.sparkSession, "screen",
+      cellBytes, ScreenBroadcastBytes)
     // cells whose triangle bound admits a member with sim >= t
-    val qc = qn.join(broadcast(idx.cells.select(col("cell"), col("cv"), col("cnrm"), col("r"))),
+    val qc = qn.join(bc(idx.cells.select(col("cell"), col("cv"), col("cnrm"), col("r"))),
         lit(true))
       .withColumn("qtheta", acos(least(greatest(
         VF.dotNative(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")),
@@ -1206,11 +1284,25 @@ object Streams {
   }
 
   /** COMPOSED streaming curation pipeline — the streaming twin of the batch
-    * `x4_pipeline_funnel` query, all four stages as ONE StreamingQuery over
-    * `(doc_id, text)` rows:
+    * funnel (`x4_pipeline_funnel` + the `x4_funnel_containment` stage), all
+    * gates as ONE StreamingQuery over `(doc_id, text)` rows:
     *
-    *   quality gate  -> exact dedup  -> near-dup dedup -> survivor index
+    *   quality gate  -> exact dedup  -> near-dup dedup -> containment gate
     *   (stateless)      (digest set)    (token index + cluster map)
+    *
+    * The containment gate (stage 3.5) applies the batch twin's
+    * [[graft.queries.Llm.curationContainmentRejects]] rule: a would-be
+    * survivor ≥90%-covered by a keeper AT LEAST 2× its size — a snippet of
+    * a corpus doc; the 2× guard structurally excludes near-dup pairs — is
+    * rejected instead of admitted (`rejected_containment`), and a PRIOR
+    * survivor newly covered by a 2×-larger incoming keeper is tombstoned
+    * (`retracted_containment`). The
+    * rule is per-pair and time-stable (containers are ALL keepers, which
+    * only accumulate), so streaming decisions are monotone and match the
+    * batch funnel on every prefix. Candidates ride the near-dup stage's
+    * own inverted-token joins (one extra filter pass, no new join); the
+    * containment-rejected registry (`_state/crej`) is the fourth state
+    * family, log-structured like the digest registry.
     *
     * Stage contracts are the FUNNEL'S OWN, not re-implementations: the
     * quality gate is [[graft.queries.Llm.qualityPredicate]] (the shared
@@ -1256,11 +1348,15 @@ object Streams {
     *
     * Per batch, `path/decisions/batch_id=N` receives one (doc_id, outcome)
     * row per input doc — admitted | rejected_quality | rejected_exact_dup |
-    * rejected_near_dup — plus a retracted_near_dup row per demoted earlier
-    * rep; exactly-once via overwrite-by-batch-directory.
+    * rejected_near_dup | rejected_containment — plus a retracted_near_dup
+    * row per demoted earlier rep and a retracted_containment row per prior
+    * survivor newly covered by a larger keeper; exactly-once via
+    * overwrite-by-batch-directory. Survivors = admitted − retracted_*.
     */
   def curationPipelineSink(stream: DataFrame, path: String,
       checkpoint: String, t: Double = 0.9,
+      // containment stage threshold, integer num/den like the batch twin
+      cNum: Int = 9, cDen: Int = 10,
       // test seam: invoked after each durable write of a batch —
       // ("digests" | "toks" | "memrep" | "decisions") — the injection
       // points for the kill-mid-batch recovery golden in StreamingSpec
@@ -1272,6 +1368,7 @@ object Streams {
       StructField("nb", LongType), StructField("w", StringType)))
     val repSchema = StructType(Seq(StructField("member_id", LongType),
       StructField("rep_id", LongType)))
+    val crejSchema = StructType(Seq(StructField("doc_id", LongType)))
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1308,34 +1405,42 @@ object Streams {
           .withColumn("rn", row_number().over(wD)).filter(col("rn") === 1)
           .join(seen, Seq("h"), "left_anti")
           .select("doc_id", "text", "h").localCheckpoint(true))
-        // stage 3: near-dup — candidates from the shared-token inverted
-        // join, exact Jaccard >= t verify, then ONE CC step over the
-        // batch keepers + the reps of every prior cluster they touch
+        // stage 3: near-dup + containment share ONE inverted-token candidate
+        // join per side — the grouped (i, na, nb) frames below feed the
+        // Jaccard >= t predicate (CC near-dup edges) AND the proper-
+        // containment predicate (stage 3.5), so the containment gate adds
+        // a filter pass, not a join
         val stateToks = readStateBefore(s, s"$path/_state/toks", tokSchema, batchId)
         val memRep = cp(
           readSnapshotBefore(s, s"$path/_state/memrep", repSchema, batchId)
             .localCheckpoint(true))
+        val crejPrior = cp(
+          readStateBefore(s, s"$path/_state/crej", crejSchema, batchId)
+            .localCheckpoint(true))
         val newToks = pin(keepers.select(col("doc_id"),
           explode(TF.tokenSet(col("text"))).as("w")))
         val newCnt = pin(newToks.groupBy("doc_id").agg(count(lit(1)).as("na")))
-        // (batch doc, prior cluster rep) edges via the member->rep map
-        val repHits = newToks.join(stateToks, "w")
+        def jac(i: Column, x: Column, y: Column) =
+          i.cast("double") / (x + y - i).cast("double")
+        // (batch doc, prior keeper) intersections; nb = the PRIOR side's size
+        val crossG = pin(newToks.join(stateToks, "w")
           .groupBy("doc_id", "member_id", "nb").agg(count(lit(1)).as("i"))
-          .join(newCnt, "doc_id")
-          .filter(col("i").cast("double") /
-            (col("na") + col("nb") - col("i")).cast("double") >= t)
+          .join(newCnt, "doc_id"))
+        // (batch doc, prior cluster rep) edges via the member->rep map
+        val repHits = crossG
+          .filter(jac(col("i"), col("na"), col("nb")) >= t)
           .join(memRep, "member_id")
           .select(col("doc_id").as("src"), col("rep_id").as("dst"))
           .distinct()
-        // in-batch (keeper, keeper) edges, same verify
-        val pairs = newToks.toDF("a", "w")
+        // in-batch (keeper, keeper) intersections and edges, same verify
+        val pairsG = pin(newToks.toDF("a", "w")
           .join(newToks.toDF("b", "w"), "w")
           .filter(col("a") < col("b"))
           .groupBy("a", "b").agg(count(lit(1)).as("i"))
           .join(newCnt.toDF("a", "na"), "a")
-          .join(newCnt.toDF("b", "nb2"), "b")
-          .filter(col("i").cast("double") /
-            (col("na") + col("nb2") - col("i")).cast("double") >= t)
+          .join(newCnt.toDF("b", "nb2"), "b"))
+        val pairs = pairsG
+          .filter(jac(col("i"), col("na"), col("nb2")) >= t)
           .select(col("a").as("src"), col("b").as("dst"))
         // contracted-graph CC: prior clusters are single nodes (their
         // reps); component label = min id = the funnel's representative
@@ -1352,6 +1457,36 @@ object Streams {
           .join(keepers.select(col("doc_id").as("id")), Seq("id"), "left_anti")
           .select(col("id").as("doc_id"),
             lit("retracted_near_dup").as("outcome"))
+        // stage 3.5: SNIPPET containment — the batch twin's
+        // Llm.curationContainmentRejects rule (coverage >= t of the smaller
+        // set by a container AT LEAST 2x its size; the 2x guard
+        // structurally excludes near-dup pairs and chain-mates — see the
+        // batch twin's scaladoc. Containers are ALL keepers, a per-pair
+        // time-stable predicate, so the stream applies it monotonically:
+        // later batches only ADD rejections/retractions).
+        // Both frames are eagerly checkpointed BEFORE the state writes
+        // below — they read _state/toks, which stage 4 is about to extend
+        // (the recacheByPath trap the exact-dedup stage documents).
+        // In crossG the NEW doc is doc_id/na, the PRIOR keeper member_id/nb.
+        def snippet(x: Column, y: Column) =
+          least(x, y) * 2 <= greatest(x, y) &&
+            col("i") * cDen >= least(x, y) * cNum
+        val containedNew = cp(crossG
+          .filter(snippet(col("na"), col("nb")) && col("na") < col("nb"))
+          .select(col("doc_id"))
+          .union(pairsG.filter(snippet(col("na"), col("nb2")))
+            .select(when(col("na") < col("nb2"), col("a"))
+              .otherwise(col("b")).as("doc_id")))
+          .distinct().localCheckpoint(true))
+        // prior keepers now contained in a 2x-larger NEW keeper —
+        // retraction candidates, resolved against post-CC rep status below
+        val cPrior = cp(crossG
+          .filter(snippet(col("na"), col("nb")) && col("nb") < col("na"))
+          .select(col("member_id").as("doc_id")).distinct()
+          .localCheckpoint(true))
+        // containment-rejected = would-be-admitted (CC rep) but contained;
+        // CC non-reps keep their rejected_near_dup outcome (stage order)
+        val contRejected = admitted.join(containedNew, "doc_id")
         // stage 4: extend state — ALL new keeper digests + token rows
         // (cluster membership must stay matchable through dropped members),
         // and the member->rep snapshot remapped through this batch's CC
@@ -1375,18 +1510,39 @@ object Streams {
         remapped.write.mode("overwrite")
           .parquet(s"$path/_state/memrep/batch_id=$batchId")
         onBatchProgress(batchId, "memrep")
+        // a containment retraction targets a prior doc that is STILL a
+        // survivor after this batch's CC (its own rep in the remapped
+        // snapshot, not already containment-rejected); an appended
+        // admission cannot be unwritten, so it gets the tombstone — the
+        // retracted_near_dup contract extended to the containment gate
+        val retractedCont = cPrior
+          .join(remapped.filter(col("member_id") === col("rep_id"))
+            .select(col("member_id").as("doc_id")), "doc_id")
+          .join(crejPrior, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), lit("retracted_containment").as("outcome"))
+        // the containment-rejected registry (this batch's rejections +
+        // retractions) — the state later batches consult so a doc is
+        // tombstoned at most once and never counted a survivor again
+        contRejected.select("doc_id")
+          .union(retractedCont.select("doc_id"))
+          .write.mode("overwrite")
+          .parquet(s"$path/_state/crej/batch_id=$batchId")
+        onBatchProgress(batchId, "crej")
         // decisions: one row per input doc (+ tombstones), exactly-once
         val out = in.select("doc_id")
           .join(qual.select(col("doc_id"), lit(1).as("q")), Seq("doc_id"), "left")
           .join(keepers.select(col("doc_id"), lit(1).as("k")), Seq("doc_id"), "left")
           .join(admitted.select(col("doc_id"), lit(1).as("a")), Seq("doc_id"), "left")
+          .join(containedNew.select(col("doc_id"), lit(1).as("cj")), Seq("doc_id"), "left")
           .withColumn("outcome",
             when(col("q").isNull, "rejected_quality")
               .when(col("k").isNull, "rejected_exact_dup")
               .when(col("a").isNull, "rejected_near_dup")
+              .when(col("cj").isNotNull, "rejected_containment")
               .otherwise("admitted"))
           .select("doc_id", "outcome")
           .union(retracted)
+          .union(retractedCont)
         out.write.mode("overwrite").parquet(s"$path/decisions/batch_id=$batchId")
         onBatchProgress(batchId, "decisions")
         } finally {
@@ -1486,8 +1642,10 @@ object Streams {
     val digestSchema = StructType(Seq(StructField("h", StringType)))
     val tokSchema = StructType(Seq(StructField("member_id", LongType),
       StructField("nb", LongType), StructField("w", StringType)))
+    val crejSchema = StructType(Seq(StructField("doc_id", LongType)))
     val folded = fold(s"$path/_state/digests", digestSchema) +
-      fold(s"$path/_state/toks", tokSchema)
+      fold(s"$path/_state/toks", tokSchema) +
+      fold(s"$path/_state/crej", crejSchema)
     // member->rep is snapshot-per-batch: keep the latest COMMITTED one.
     // The newest snapshot may belong to a mid-batch crash (written before
     // checkpoint commit); a replayed batch reads strictly before it, so

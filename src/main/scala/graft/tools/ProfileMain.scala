@@ -487,7 +487,10 @@ object ProfileMain {
       println(s"[profile] tokens=$nTok")
       val delta = graft.queries.Llm.dsirDeltasFromTok(tok)
       time("delta table (bucket aggs over tok)") { delta.count() }
-      val perDoc = tok.join(broadcast(delta), "b")
+      // the SCORER leg of x4_dsir reads the tgt-free dsirBuckets (it never
+      // pays the flag join), so the piece must profile that plan — timing
+      // it from `tok` (flag join included) would overstate the scorer
+      val perDoc = graft.queries.Llm.dsirBuckets(d).join(broadcast(delta), "b")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"), sum("d_e6").as("logw_e6"))
       // checksum aggregates defeat column pruning: every stage value is

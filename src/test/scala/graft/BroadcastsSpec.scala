@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The byte-denominated broadcast gate's conf resolution — the contract
+  * every `bs(frame)` site in the engine now rides on.
+  */
+class BroadcastsSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  test("default regime compares rows × rowBytes against the site default") {
+    assert(Broadcasts.fits(spark, "bs_test", rows = 10, rowBytes = 100,
+      defaultBytes = 1001))
+    assert(!Broadcasts.fits(spark, "bs_test", rows = 10, rowBytes = 100,
+      defaultBytes = 999))
+  }
+
+  test("precedence: site byte conf > legacy rows conf > default bytes") {
+    spark.conf.set("graft.bs.legacyRows", "9")
+    try {
+      // legacy conf set: it wins over the default and counts ROWS
+      assert(!Broadcasts.fits(spark, "bs_test", rows = 10, rowBytes = 100,
+        defaultBytes = Long.MaxValue, legacyRowsConf = "graft.bs.legacyRows"))
+      assert(Broadcasts.fits(spark, "bs_test", rows = 9, rowBytes = 100,
+        defaultBytes = 1, legacyRowsConf = "graft.bs.legacyRows"))
+      // site byte conf set: it wins over the legacy conf and counts BYTES
+      spark.conf.set("graft.broadcast.bs_test", "1000")
+      assert(Broadcasts.fits(spark, "bs_test", rows = 10, rowBytes = 100,
+        defaultBytes = 1, legacyRowsConf = "graft.bs.legacyRows"))
+      assert(!Broadcasts.fits(spark, "bs_test", rows = 11, rowBytes = 100,
+        defaultBytes = Long.MaxValue, legacyRowsConf = "graft.bs.legacyRows"))
+    } finally {
+      spark.conf.unset("graft.bs.legacyRows")
+      spark.conf.unset("graft.broadcast.bs_test")
+    }
+  }
+
+  test("graft.broadcast.default flips every site without its own conf") {
+    spark.conf.set("graft.broadcast.default", "0")
+    try {
+      assert(!Broadcasts.fits(spark, "bs_test2", rows = 1, rowBytes = 1,
+        defaultBytes = Long.MaxValue))
+      // a site conf still overrides the fleet default
+      spark.conf.set("graft.broadcast.bs_test2", "10")
+      assert(Broadcasts.fits(spark, "bs_test2", rows = 1, rowBytes = 1,
+        defaultBytes = 0))
+    } finally {
+      spark.conf.unset("graft.broadcast.default")
+      spark.conf.unset("graft.broadcast.bs_test2")
+    }
+  }
+}

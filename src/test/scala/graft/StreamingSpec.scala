@@ -422,17 +422,20 @@ class StreamingSpec extends AnyFunSuite {
         in.addData(chunk.toSeq)
         q.processAllAvailable()
         seen ++= chunk
-        // batch funnel over the prefix
+        // batch funnel over the prefix, containment stage included
         val prefix = seen.toDF("doc_id", "text")
         val (qual, keepers, reps) =
           graft.queries.Llm.curationStages(spark, prefix)
         val bQual = qual.select("doc_id").as[Long].collect().toSet
         val bKeep = keepers.select("doc_id").as[Long].collect().toSet
         val bReps = reps.select("doc_id").as[Long].collect().toSet
+        val bRejects = graft.queries.Llm.curationContainmentRejects(keepers)
+          .as[Long].collect().toSet
+        val bSurv = bReps -- bRejects
         graft.Caches.drain(spark)
         // streaming decisions so far (all batch dirs written to date);
-        // survivors = admitted − retracted (tombstones mark reps demoted
-        // by a later cluster merge)
+        // survivors = admitted − retracted_* (tombstones mark reps demoted
+        // by a later cluster merge or covered by a later larger keeper)
         val dec = spark.read.parquet(s"$dir/out/decisions")
           .select("doc_id", "outcome").as[(Long, String)].collect()
         assert(dec.map(_._1).distinct.length == seen.length,
@@ -440,16 +443,169 @@ class StreamingSpec extends AnyFunSuite {
         val byOutcome = dec.groupBy(_._2).map { case (k, v) =>
           k -> v.map(_._1).toSet }.withDefaultValue(Set.empty[Long])
         val sQual = byOutcome("admitted") ++ byOutcome("rejected_exact_dup") ++
-          byOutcome("rejected_near_dup")
-        val sKeep = byOutcome("admitted") ++ byOutcome("rejected_near_dup")
-        val sReps = byOutcome("admitted") -- byOutcome("retracted_near_dup")
+          byOutcome("rejected_near_dup") ++ byOutcome("rejected_containment")
+        val sKeep = byOutcome("admitted") ++ byOutcome("rejected_near_dup") ++
+          byOutcome("rejected_containment")
+        // CC representatives = everything past the near-dup gate (admitted
+        // or containment-rejected) minus later cluster-merge demotions
+        val sReps = (byOutcome("admitted") ++ byOutcome("rejected_containment")) --
+          byOutcome("retracted_near_dup")
+        val sSurv = byOutcome("admitted") --
+          byOutcome("retracted_near_dup") -- byOutcome("retracted_containment")
         assert(sQual == bQual, "quality survivors diverged from the funnel")
         assert(sKeep == bKeep, "exact-dedup keepers diverged from the funnel")
         assert(sReps == bReps,
-          "survivor set (admitted − retracted) diverged from the funnel's " +
-            "representatives")
+          "near-dup representative set diverged from the funnel's")
+        assert(sSurv == bSurv,
+          "survivor set (admitted − retracted_*) diverged from the funnel's " +
+            "containment-gated representatives")
       }
     } finally q.stop()
+  }
+
+  test("curation pipeline containment gate: snippets are rejected at " +
+      "admission, prior survivors are tombstoned when a larger container " +
+      "arrives") {
+    import graft.streaming.Streams
+    val b1 = ("the" +: (1 to 39).map(i => s"b$i")).mkString(" ")   // 40 toks
+    val snip = ("the" +: (1 to 8).map(i => s"b$i")).mkString(" ")  // 9 ⊂ b1
+    val nov = ("the" +: (1 to 7).map(i => s"n$i")).mkString(" ")   // 8 novel
+    val cont = ("the" +: ((1 to 7).map(i => s"n$i") ++
+      (1 to 12).map(i => s"c$i"))).mkString(" ")                   // 20 ⊃ nov
+    val snip2 = ("the" +: (10 to 14).map(i => s"b$i")).mkString(" ") // 6 ⊂ b1
+    val dir = java.nio.file.Files.createTempDirectory("graft_cur_cont").toString
+    val in = MemoryStream[(Long, String)](spark)
+    val q = Streams.curationPipelineSink(
+      in.toDF().toDF("doc_id", "text"), s"$dir/out", s"$dir/ckpt", t = 0.9)
+    try {
+      // batch 0: the big doc, a snippet of it (coverage 1.0, jaccard 9/40 —
+      // PROPER containment, so it is rejected instead of admitted), and a
+      // novel doc
+      in.addData((1L, b1), (2L, snip), (3L, nov)); q.processAllAvailable()
+      val d0 = spark.read.parquet(s"$dir/out/decisions/batch_id=0")
+        .select("doc_id", "outcome").as[(Long, String)].collect().toSet
+      assert(d0 == Set((1L, "admitted"), (2L, "rejected_containment"),
+        (3L, "admitted")), s"batch 0: $d0")
+      // batch 1: a strictly larger doc covering ALL of the novel doc's
+      // tokens — the prior survivor is retracted; a second snippet of doc 1
+      // is rejected cross-batch
+      in.addData((4L, cont), (5L, snip2)); q.processAllAvailable()
+      val d1 = spark.read.parquet(s"$dir/out/decisions/batch_id=1")
+        .select("doc_id", "outcome").as[(Long, String)].collect().toSet
+      assert(d1 == Set((4L, "admitted"), (5L, "rejected_containment"),
+        (3L, "retracted_containment")), s"batch 1: $d1")
+      // batch 2: yet another container of the novel doc must NOT tombstone
+      // it twice (the crej registry suppresses the duplicate)
+      val cont2 = ("the" +: ((1 to 7).map(i => s"n$i") ++
+        (1 to 13).map(i => s"d$i"))).mkString(" ")
+      in.addData((6L, cont2)); q.processAllAvailable()
+      val d2 = spark.read.parquet(s"$dir/out/decisions/batch_id=2")
+        .select("doc_id", "outcome").as[(Long, String)].collect().toSet
+      assert(d2 == Set((6L, "admitted")), s"batch 2: $d2")
+      // survivor fold across the run matches the batch twin's
+      val all = spark.read.parquet(s"$dir/out/decisions")
+        .select("doc_id", "outcome").as[(Long, String)].collect()
+      val byOutcome = all.groupBy(_._2).map { case (k, v) =>
+        k -> v.map(_._1).toSet }.withDefaultValue(Set.empty[Long])
+      val sSurv = byOutcome("admitted") --
+        byOutcome("retracted_near_dup") -- byOutcome("retracted_containment")
+      assert(sSurv == Set(1L, 4L, 6L), s"survivors: $sSurv")
+    } finally q.stop()
+  }
+
+  test("curation pipeline SOAK: 100 batches with periodic compaction hold " +
+      "a bounded footprint, stable latency, and batch-funnel-exact survivors") {
+    import graft.streaming.Streams
+    import org.apache.spark.sql.functions.col
+    // the full decision mix, forever: fresh docs, exact dups, near-dups,
+    // snippets (containment rejects), and big containers that retract an
+    // earlier survivor — so every stage's state family (digests, toks,
+    // memrep, crej) grows across all 100 batches
+    def fresh(i: Int): String =
+      ("the" +: (1 to 19).map(k => s"w${i}_$k")).mkString(" ")
+    def nearDup(i: Int): String = // 19 of i's 20 tokens + 1 novel: J = 19/21
+      ("the" +: ((1 to 18).map(k => s"w${i}_$k") :+ s"nd${i}")).mkString(" ")
+    def snippet(i: Int): String = // 6 of i's 20 tokens: 20 >= 2*6, cov 1.0
+      ("the" +: (1 to 5).map(k => s"w${i}_$k")).mkString(" ")
+    def container(i: Int): String = // all 20 of i's tokens + 25 novel: 45 >= 2*20
+      ("the" +: ((1 to 19).map(k => s"w${i}_$k") ++
+        (1 to 25).map(k => s"c${i}_$k"))).mkString(" ")
+    val batches = 100
+    val all = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val feeds = (0 until batches).map { i =>
+      val base = 10000L + i * 10
+      val rows = scala.collection.mutable.ArrayBuffer[(Long, String)](
+        (base, fresh(i)))
+      if (i % 5 == 4) rows += ((base + 1, fresh(i - 2)))     // exact dup
+      if (i % 7 == 6) rows += ((base + 2, nearDup(i - 3)))   // near-dup
+      if (i % 9 == 8) rows += ((base + 3, snippet(i - 4)))   // snippet
+      if (i % 11 == 10) rows += ((base + 4, container(i - 5))) // retractor
+      all ++= rows
+      rows.toSeq
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_cur_soak").toString
+    val in = MemoryStream[(Long, String)](spark)
+    val q = Streams.curationPipelineSink(
+      in.toDF().toDF("doc_id", "text"), s"$dir/out", s"$dir/ckpt", t = 0.9)
+    val latency = new Array[Double](batches)
+    var maxPersisted = 0
+    val compactEvery = 20
+    try {
+      (0 until batches).foreach { i =>
+        val t0 = System.nanoTime()
+        in.addData(feeds(i): _*)
+        q.processAllAvailable()
+        latency(i) = (System.nanoTime() - t0) / 1e9
+        // compaction runs BETWEEN batches, like the live-store soak: the
+        // committed prefix of each log-structured family folds to one
+        // generation (top + post-fold batches may pile above it)
+        if ((i + 1) % compactEvery == 0) {
+          assert(Streams.curationStateCompact(spark, s"$dir/out") > 0,
+            s"compaction after batch $i folded nothing")
+          Seq("digests", "toks", "crej").foreach { fam =>
+            val gens = new java.io.File(s"$dir/out/_state/$fam").listFiles()
+              .count(_.getName.startsWith("batch_id="))
+            assert(gens <= 2, s"$fam not folding: $gens generations")
+          }
+        }
+        maxPersisted = math.max(maxPersisted,
+          spark.sparkContext.getPersistentRDDs.size)
+      }
+    } finally q.stop()
+    // footprint: per-batch pins + localCheckpoints must release — O(1) in
+    // batch count (the live-store soak's bound, same slack for the async
+    // ContextCleaner)
+    assert(maxPersisted < 40,
+      s"persisted-RDD count grew with batch count: $maxPersisted")
+    // latency: no upward drift as state history grows
+    def median(xs: Array[Double]) = xs.sorted.apply(xs.length / 2)
+    val mid = median(latency.slice(40, 50))
+    val late = median(latency.slice(90, 100))
+    assert(late <= mid * 2.0,
+      s"per-batch latency drifting: median batch 40-50 = $mid s, " +
+        s"batch 90-100 = $late s")
+    // exactness after the full run: cumulative survivors = the batch
+    // funnel (with containment stage) over all 100 batches' rows
+    val dec = spark.read.parquet(s"$dir/out/decisions")
+      .select("doc_id", "outcome").as[(Long, String)].collect()
+    val byOutcome = dec.groupBy(_._2).map { case (k, v) =>
+      k -> v.map(_._1).toSet }.withDefaultValue(Set.empty[Long])
+    // sanity: the mix really exercised every decision class
+    Seq("admitted", "rejected_exact_dup", "rejected_near_dup",
+      "rejected_containment", "retracted_containment").foreach { o =>
+      assert(byOutcome(o).nonEmpty, s"soak mix never produced outcome $o")
+    }
+    val sSurv = byOutcome("admitted") --
+      byOutcome("retracted_near_dup") -- byOutcome("retracted_containment")
+    val (_, keepers, reps) = graft.queries.Llm.curationStages(
+      spark, all.toSeq.toDF("doc_id", "text"))
+    val bSurv = reps.select("doc_id").as[Long].collect().toSet --
+      graft.queries.Llm.curationContainmentRejects(keepers)
+        .as[Long].collect().toSet
+    graft.Caches.drain(spark)
+    assert(sSurv == bSurv,
+      s"soaked survivor set diverged from the batch funnel: " +
+        s"only-stream=${sSurv -- bSurv} only-batch=${bSurv -- sSurv}")
   }
 
   test("curation pipeline: a REPLAYED batch reproduces its decisions " +
@@ -810,6 +966,87 @@ class StreamingSpec extends AnyFunSuite {
     // exactly-once even though the twin agrees with vec 0 on every band
     assert(got.distinct.size == got.size, s"duplicate pair emissions: $got")
     graft.Caches.drain(spark)
+  }
+
+  test("screen index joins are byte-gated: under the limit they broadcast, " +
+      "over it they shuffle — outputs hash-identical either way") {
+    import graft.streaming.Streams
+    // text corpus for the near-dup / containment / simhash screens
+    val w = (0 until 40).map(i => s"word$i")
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (101L, "spark shuffles partition data across executors during wide transformations"),
+      (102L, w.mkString(" ")))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (2L, w.slice(4, 12).mkString(" ")), // snippet of 102
+      (3L, "completely unrelated text about cooking pasta with garlic and olive oil"))
+      .toDF("doc_id", "text")
+    // vector corpus for the embedding screen
+    val rng = new scala.util.Random(53)
+    val centers = Seq.fill(3)(Array.fill(5)(rng.nextGaussian()))
+    val corpusVecs = (0L until 60L).map { i =>
+      val c = centers((i % 3).toInt)
+      (i, c.map(x => (x + rng.nextGaussian() * 0.01).toFloat).toSeq)
+    }
+    val idx0 = graft.operators.IvfIndex.build(
+      corpusVecs.toDF("vec_id", "embedding").select(col("vec_id"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("v")))
+    // sever the build lineage: the plan asserts below must see the SCREEN's
+    // joins only, not the k-means build's own (bounded) broadcasts
+    val idx = graft.operators.IvfIndex.Index(
+      idx0.assigned.localCheckpoint(true), idx0.cells.localCheckpoint(true))
+    val vecIn = Seq(
+      (1L, corpusVecs.head._2.map(x => x + 1e-4f)),
+      (2L, Seq.fill(5)(10f * rng.nextGaussian().toFloat)))
+      .toDF("doc_id", "embedding")
+    val nd = Streams.corpusIndex(corpus)
+    val ci = Streams.containmentIndex(corpus)
+    val si = Streams.simhashIndex(corpus)
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    def run() = {
+      val a = Streams.nearDupScreen(incoming, nd)
+      val b = Streams.containmentScreen(incoming, ci)
+      val c = Streams.simhashScreen(incoming, si)
+      val d = Streams.embeddingScreen(vecIn, idx, t = 0.95)
+      val out = (
+        a.as[(Long, Long, Double)].collect().toSet,
+        b.as[(Long, Long, Long, Long, Long)].collect().toSet,
+        c.as[(Long, Long, Long)].collect().toSet,
+        d.as[(Long, Long, Double)].collect().toSet)
+      val plans = Seq(plan(a), plan(b), plan(c), plan(d))
+      graft.Caches.drain(spark)
+      (out, plans)
+    }
+    // regime 1 (defaults): every index frame is tiny — all joins broadcast
+    val (bcOut, bcPlans) = run()
+    assert(bcOut._1.nonEmpty && bcOut._2.nonEmpty && bcOut._3.nonEmpty &&
+      bcOut._4.nonEmpty, "fixture must flag at least one pair per screen")
+    bcPlans.foreach(p => assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"expected a broadcast plan under the default gate:\n$p"))
+    // regime 2: gate forced shut (plus Spark's own auto-broadcast off so
+    // the flip is observable) — the 100 TB plan: shuffles on the equi-keys
+    spark.conf.set("graft.broadcast.screen", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (shOut, shPlans) = run()
+      shPlans.take(3).foreach(p => assert(!p.contains("BroadcastHashJoin"),
+        s"index join still broadcasts with the gate shut:\n$p"))
+      assert(!shPlans(3).contains("BroadcastExchange"),
+        s"embedding bound scan still broadcasts with the gate shut:\n${shPlans(3)}")
+      assert(shOut == bcOut,
+        "screen decisions changed when the index joins flipped to shuffles")
+    } finally {
+      spark.conf.unset("graft.broadcast.screen")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      nd.release(); ci.release()
+      graft.Caches.drain(spark)
+    }
   }
 
   test("streaming count-min sketch: bounded state, cells identical to the " +
@@ -1524,15 +1761,19 @@ class StreamingSpec extends AnyFunSuite {
         s"batch $b decisions diverged after the kill-restart sequence")
     }
     // and end-to-end: cumulative survivor set equals the batch funnel's
+    // (containment stage included)
     val all = (0 until chunks.length).flatMap(b => decisions(cr, b))
     val byOutcome = all.groupBy(_._2).map { case (k, v) =>
       k -> v.map(_._1).toSet }.withDefaultValue(Set.empty[Long])
-    val survivors = byOutcome("admitted") -- byOutcome("retracted_near_dup")
-    val (_, _, reps) = graft.queries.Llm.curationStages(
+    val survivors = byOutcome("admitted") --
+      byOutcome("retracted_near_dup") -- byOutcome("retracted_containment")
+    val (_, keepers, reps) = graft.queries.Llm.curationStages(
       spark, docs.toSeq.toDF("doc_id", "text"))
-    val bReps = reps.select("doc_id").as[Long].collect().toSet
+    val bSurv = reps.select("doc_id").as[Long].collect().toSet --
+      graft.queries.Llm.curationContainmentRejects(keepers)
+        .as[Long].collect().toSet
     graft.Caches.drain(spark)
-    assert(survivors == bReps,
+    assert(survivors == bSurv,
       "post-recovery survivor set diverged from the batch funnel")
   }
 }
