@@ -2381,33 +2381,16 @@ object Llm {
     Q("x2_simhash_neardup",
       (s, dir) => {
         graft.functions.NativeExpressions.register(s)
-        val sh = graft.Caches.persist(docs(s, dir).select(
+        // statistics-gated exact enumeration (HammingJoin): pigeonhole
+        // block join while buckets are small, flip-variant join when the
+        // biased top bits of the mod-prime word hash heap one block value
+        // onto 10^5 docs (the round-12 100x catch)
+        val sh = docs(s, dir).select(
           col("doc_id"),
           call_function("graft_simhash",
             call_function("graft_wordhash62", TF.tokenSet(col("text"))))
-            .as("simhash")))
-        val blocks = sh.select(col("doc_id"), col("simhash"),
-            explode(sequence(lit(0), lit(3))).as("blk"))
-          .withColumn("key", expr("(simhash >> (blk * 16)) & 65535"))
-        val a = blocks.select(col("blk"), col("key"),
-          col("doc_id").as("doc_a"), col("simhash").as("ha"))
-        val b = blocks.select(col("blk"), col("key"),
-          col("doc_id").as("doc_b"), col("simhash").as("hb"))
-        a.join(b, Seq("blk", "key"))
-          .filter(col("doc_a") < col("doc_b"))
-          .withColumn("x", expr("ha ^ hb"))
-          // a pair agreeing on several blocks surfaces once per agreeing
-          // block; emit it ONLY on its FIRST agreeing block (computable
-          // from the xor alone) — a stateless exactly-once dedup that
-          // avoids shuffling the whole candidate set through a
-          // dropDuplicates exchange
-          .filter(col("blk") === when(expr("(x & 65535)") === 0, 0)
-            .when(expr("((x >> 16) & 65535)") === 0, 1)
-            .when(expr("((x >> 32) & 65535)") === 0, 2)
-            .otherwise(3))
-          .select(col("doc_a"), col("doc_b"),
-            expr("bit_count(x)").cast("long").as("hamming"))
-          .filter(col("hamming") <= 3)
+            .as("fp"))
+        graft.operators.HammingJoin.pairs(sh, maxHamming = 3)
           .orderBy("doc_a", "doc_b")
       },
       Some("""WITH tok AS (SELECT doc_id,

@@ -739,26 +739,16 @@ object Multimodal {
       (s, dir) => {
         val withP = withPpmPayload(Tables.load(s, dir, "documents"))
         import s.implicits._
-        val ph = graft.Caches.persist(
-          withP.select("doc_id", "ppm").as[(Long, Array[Byte])]
-            .mapPartitions(rows => rows.map { case (id, bytes) => ppmRowHash(id, bytes) })
-            .toDF("doc_id", "phash", "img_rows")
-            .filter(col("img_rows") >= 17))
-        val blocks = ph.select(col("doc_id"), col("phash"),
-            graft.operators.Pigeonhole.blockIds.as("blk"))
-          .withColumn("key",
-            graft.operators.Pigeonhole.blockKey(col("phash"), col("blk")))
-        val a = blocks.select(col("blk"), col("key"),
-          col("doc_id").as("doc_a"), col("phash").as("ha"))
-        val b = blocks.select(col("blk"), col("key"),
-          col("doc_id").as("doc_b"), col("phash").as("hb"))
-        a.join(b, Seq("blk", "key"))
-          .filter(col("doc_a") < col("doc_b"))
-          .withColumn("x", expr("ha ^ hb"))
-          .filter(col("blk") === graft.operators.Pigeonhole.firstAgree(col("x")))
-          .select(col("doc_a"), col("doc_b"),
-            expr("bit_count(x)").cast("long").as("hamming"))
-          .filter(col("hamming") <= 2)
+        // statistics-gated exact enumeration (HammingJoin): the gradient
+        // hash is zero above bit img_rows-1, so short-payload corpora heap
+        // one high-block value onto most docs — the flip path takes over
+        // there (the round-12 100x catch: a 220k-doc bucket, 2.4e10 block
+        // candidates vs 3.1e6 real pairs)
+        val ph = withP.select("doc_id", "ppm").as[(Long, Array[Byte])]
+          .mapPartitions(rows => rows.map { case (id, bytes) => ppmRowHash(id, bytes) })
+          .toDF("doc_id", "fp", "img_rows")
+          .filter(col("img_rows") >= 17)
+        graft.operators.HammingJoin.pairs(ph, maxHamming = 2)
           .orderBy("doc_a", "doc_b")
       },
       Some("""WITH d AS (SELECT doc_id, text, LENGTH(text) AS len,
@@ -833,27 +823,13 @@ object Multimodal {
     Q("x5_afp_neardup",
       (s, dir) => {
         import s.implicits._
-        val ph = graft.Caches.persist(
-          withWavPayload(Tables.load(s, dir, "documents"))
-            .mapPartitions(rows => rows.map { case (id, bytes) =>
-              wavEnergyHash(id, bytes) })
-            .toDF("doc_id", "afp", "n_frames")
-            .filter(col("n_frames") >= 17))
-        val blocks = ph.select(col("doc_id"), col("afp"),
-            graft.operators.Pigeonhole.blockIds.as("blk"))
-          .withColumn("key",
-            graft.operators.Pigeonhole.blockKey(col("afp"), col("blk")))
-        val a = blocks.select(col("blk"), col("key"),
-          col("doc_id").as("doc_a"), col("afp").as("ha"))
-        val b = blocks.select(col("blk"), col("key"),
-          col("doc_id").as("doc_b"), col("afp").as("hb"))
-        a.join(b, Seq("blk", "key"))
-          .filter(col("doc_a") < col("doc_b"))
-          .withColumn("x", expr("ha ^ hb"))
-          .filter(col("blk") === graft.operators.Pigeonhole.firstAgree(col("x")))
-          .select(col("doc_a"), col("doc_b"),
-            expr("bit_count(x)").cast("long").as("hamming"))
-          .filter(col("hamming") <= 2)
+        // statistics-gated exact enumeration — see x5_phash_neardup
+        val ph = withWavPayload(Tables.load(s, dir, "documents"))
+          .mapPartitions(rows => rows.map { case (id, bytes) =>
+            wavEnergyHash(id, bytes) })
+          .toDF("doc_id", "fp", "n_frames")
+          .filter(col("n_frames") >= 17)
+        graft.operators.HammingJoin.pairs(ph, maxHamming = 2)
           .orderBy("doc_a", "doc_b")
       },
       Some("""WITH d AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
@@ -992,26 +968,12 @@ object Multimodal {
     Q("x5_video_neardup",
       (s, dir) => {
         import s.implicits._
-        val th = graft.Caches.persist(
-          withY4mPayload(Tables.load(s, dir, "documents"))
-            .mapPartitions(_.map { case (id, b) => y4mTemporalHash(id, b) })
-            .toDF("doc_id", "thash", "n_frames")
-            .filter(col("n_frames") >= 17))
-        val blocks = th.select(col("doc_id"), col("thash"),
-            graft.operators.Pigeonhole.blockIds.as("blk"))
-          .withColumn("key",
-            graft.operators.Pigeonhole.blockKey(col("thash"), col("blk")))
-        val a = blocks.select(col("blk"), col("key"),
-          col("doc_id").as("doc_a"), col("thash").as("ha"))
-        val b = blocks.select(col("blk"), col("key"),
-          col("doc_id").as("doc_b"), col("thash").as("hb"))
-        a.join(b, Seq("blk", "key"))
-          .filter(col("doc_a") < col("doc_b"))
-          .withColumn("x", expr("ha ^ hb"))
-          .filter(col("blk") === graft.operators.Pigeonhole.firstAgree(col("x")))
-          .select(col("doc_a"), col("doc_b"),
-            expr("bit_count(x)").cast("long").as("hamming"))
-          .filter(col("hamming") <= 2)
+        // statistics-gated exact enumeration — see x5_phash_neardup
+        val th = withY4mPayload(Tables.load(s, dir, "documents"))
+          .mapPartitions(_.map { case (id, b) => y4mTemporalHash(id, b) })
+          .toDF("doc_id", "fp", "n_frames")
+          .filter(col("n_frames") >= 17)
+        graft.operators.HammingJoin.pairs(th, maxHamming = 2)
           .orderBy("doc_a", "doc_b")
       },
       Some("""WITH d AS (SELECT doc_id, text, LENGTH(text) AS len,

@@ -959,4 +959,67 @@ class OperatorsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       graft.Caches.drain(spark)
     }
   }
+
+  test("HammingJoin: block and flip paths produce the identical exact pair " +
+      "set, including on a planted hot bucket") {
+    import spark.implicits._
+    val rng = new scala.util.Random(97)
+    // 400 random fps, a 60-doc hot-bucket family (identical high 46 bits —
+    // block keys collide, low bits spread over hamming 0..8), and a planted
+    // near-dup chain at hamming 1/2/3 off one base
+    val base = rng.nextLong() & ((1L << 62) - 1)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    (0 until 400).foreach(i => rows += ((i.toLong, rng.nextLong() & ((1L << 62) - 1))))
+    (0 until 60).foreach { i =>
+      rows += ((1000L + i, (base & ~65535L) | (rng.nextInt(256).toLong << 1)))
+    }
+    rows += ((2000L, base))
+    rows += ((2001L, base ^ 1L))                       // hamming 1
+    rows += ((2002L, base ^ 3L))                       // hamming 2
+    rows += ((2003L, base ^ (1L << 40) ^ (1L << 3)))   // hamming 2, split blocks
+    rows += ((2004L, base))                            // identical fp
+    val fp = rows.toSeq.toDF("doc_id", "fp")
+    // brute-force reference
+    val ref = rows.toSeq.flatMap { case (ida, fa) =>
+      rows.toSeq.collect { case (idb, fb)
+        if ida < idb && java.lang.Long.bitCount(fa ^ fb) <= 2 =>
+          (ida, idb, java.lang.Long.bitCount(fa ^ fb).toLong)
+      }
+    }.toSet
+    assert(ref.exists(_._3 == 0) && ref.size > 100,
+      s"fixture must exercise identical + hot-bucket pairs, got ${ref.size}")
+    def run(threshold: String): Set[(Long, Long, Long)] = {
+      spark.conf.set("graft.hamming.bucketThreshold", threshold)
+      try graft.operators.HammingJoin.pairs(fp, maxHamming = 2)
+        .as[(Long, Long, Long)].collect().toSet
+      finally {
+        spark.conf.unset("graft.hamming.bucketThreshold")
+        graft.Caches.drain(spark)
+      }
+    }
+    val block = run(threshold = "1000000") // buckets all under: block path
+    val flip = run(threshold = "0")        // every bucket "hot": flip path
+    assert(block == ref, s"block path diverged: only-block=${block -- ref} " +
+      s"only-ref=${ref -- block}")
+    assert(flip == ref, s"flip path diverged: only-flip=${flip -- ref} " +
+      s"only-ref=${ref -- flip}")
+    // and at maxHamming 3 (the simhash contract) both paths still agree
+    val ref3 = rows.toSeq.flatMap { case (ida, fa) =>
+      rows.toSeq.collect { case (idb, fb)
+        if ida < idb && java.lang.Long.bitCount(fa ^ fb) <= 3 =>
+          (ida, idb, java.lang.Long.bitCount(fa ^ fb).toLong)
+      }
+    }.toSet
+    def run3(threshold: String): Set[(Long, Long, Long)] = {
+      spark.conf.set("graft.hamming.bucketThreshold", threshold)
+      try graft.operators.HammingJoin.pairs(fp, maxHamming = 3)
+        .as[(Long, Long, Long)].collect().toSet
+      finally {
+        spark.conf.unset("graft.hamming.bucketThreshold")
+        graft.Caches.drain(spark)
+      }
+    }
+    assert(run3("1000000") == ref3, "k=3 block path diverged")
+    assert(run3("0") == ref3, "k=3 flip path diverged")
+  }
 }

@@ -1641,6 +1641,59 @@ class StreamingSpec extends AnyFunSuite {
     graft.Caches.drain(spark)
   }
 
+  test("DSIR live screen under a retrain RACE: the losing CAS fails loudly, " +
+      "the next batch scores the winner's generation cell-identically") {
+    import graft.streaming.Streams
+    val d = graft.Tables.load(spark, SparkTestSession.sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("dsir_cas").toString
+    val art = s"$dir/artifact"
+    graft.queries.Llm.dsirArtifactInit(spark, d, art)
+    val docsLocal = d.as[(Long, String)].collect().toSeq
+    val in = MemoryStream[(Long, String)](spark)
+    val q = Streams.dsirScreenSink(in.toDF().toDF("doc_id", "text"), art,
+      minLogwE6 = 0L, s"$dir/out", s"$dir/ckpt")
+    in.addData(docsLocal: _*); q.processAllAvailable() // batch 0 at gen 0
+    // two retrains race mid-stream: the WINNER (changed corpus) commits
+    // inside the loser's staging window — the loser's compare-and-swap
+    // must fail loudly, never interleave generations
+    val junk = (0 until 40).map(i =>
+      ((800000 + i).toLong, Array.fill(25)("qqjunk" + (i % 5)).mkString(" ")))
+    val dWinner = d.unionByName(junk.toDF("doc_id", "text"))
+    val loser = intercept[java.util.ConcurrentModificationException] {
+      graft.sources.Snapshot.update(spark, art,
+        onStaged = () => {
+          graft.queries.Llm.dsirArtifactRetrain(spark, dWinner, art): Unit
+        })(_ => graft.queries.Llm.dsirArtifactFrame(spark, d))
+    }
+    assert(loser.getMessage.contains("moved"),
+      s"CAS loss must name the pointer move: ${loser.getMessage}")
+    assert(graft.sources.Snapshot.currentGen(art).contains(1L),
+      "only the winner's generation may commit")
+    in.addData(docsLocal: _*); q.processAllAvailable() // batch 1 at gen 1
+    q.stop()
+    val (m1, dflt1, gen1) = graft.queries.Llm.dsirArtifactLoad(spark, art)
+    assert(gen1 == 1L)
+    val got = spark.read.parquet(s"$dir/out/batch_id=1")
+      .select("doc_id", "n_tokens", "logw_e6", "admitted", "delta_gen")
+      .as[(Long, Long, Long, Boolean, Long)].collect()
+    assert(got.forall(_._5 == 1L),
+      "batch 1 must be stamped with the winner's generation")
+    val expect = Streams.dsirScreen(
+        docsLocal.toDF("doc_id", "text"), m1, dflt1, minLogwE6 = 0L)
+      .select("doc_id", "n_tokens", "logw_e6", "admitted")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.forall { case (k, n, w, a, _) => expect(k) == ((n, w, a)) },
+      "post-race stream scores diverged from the frozen screen on the " +
+        "winner's map")
+    val b0 = spark.read.parquet(s"$dir/out/batch_id=0")
+      .select("doc_id", "logw_e6").as[(Long, Long)].collect().toMap
+    assert(got.exists { case (k, _, w, _, _) => b0(k) != w },
+      "the winner's retrain changed no score — the swap cannot have landed")
+    graft.Caches.drain(spark)
+  }
+
   test("dsirScreen with an EMPTY delta map scores every token at the default") {
     import graft.streaming.Streams
     // regression: an empty map literal used to type as map<null,null> and
