@@ -47,16 +47,17 @@ object Broadcasts {
     */
   def fits(s: SparkSession, site: String, rows: Long, rowBytes: Long,
       defaultBytes: Long, legacyRowsConf: String = null): Boolean = {
-    val siteConf = s.conf.getOption(s"graft.broadcast.$site")
     val legacy =
       if (legacyRowsConf == null) None else s.conf.getOption(legacyRowsConf)
-    (siteConf, legacy) match {
-      case (Some(b), _) => rows * rowBytes <= b.toLong
-      case (None, Some(r)) => rows <= r.toLong
-      case _ => rows * rowBytes <=
-        s.conf.getOption("graft.broadcast.default")
-          .map(_.toLong).getOrElse(defaultBytes)
-    }
+    if (s.conf.getOption(s"graft.broadcast.$site").isEmpty && legacy.isDefined)
+      rows <= legacy.get.toLong
+    else
+      // checked multiply: byte estimates scale with corpus statistics
+      // (e.g. vocabulary-width bitset rows), and a silent Long overflow
+      // would flip the gate OPEN — the one direction it must never fail.
+      // A product beyond Long.MaxValue bytes fits nowhere by definition.
+      try Math.multiplyExact(rows, rowBytes) <= limitBytes(s, site, defaultBytes)
+      catch { case _: ArithmeticException => false }
   }
 
   /** The gate itself: `broadcast` below the limit, `identity` above it —

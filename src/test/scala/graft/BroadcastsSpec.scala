@@ -35,6 +35,17 @@ class BroadcastsSpec extends AnyFunSuite {
     }
   }
 
+  test("rows × rowBytes overflow saturates — the gate CLOSES, never opens") {
+    // 2^40 rows × 2^40 bytes overflows Long to a negative product; a naive
+    // compare would approve the broadcast. The gate must refuse.
+    assert(!Broadcasts.fits(spark, "bs_test_ovf", rows = 1L << 40,
+      rowBytes = 1L << 40, defaultBytes = Long.MaxValue))
+    spark.conf.set("graft.broadcast.bs_test_ovf", Long.MaxValue.toString)
+    try assert(!Broadcasts.fits(spark, "bs_test_ovf", rows = 1L << 40,
+      rowBytes = 1L << 40, defaultBytes = 0))
+    finally spark.conf.unset("graft.broadcast.bs_test_ovf")
+  }
+
   test("graft.broadcast.default flips every site without its own conf") {
     spark.conf.set("graft.broadcast.default", "0")
     try {
