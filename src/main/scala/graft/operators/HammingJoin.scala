@@ -48,10 +48,36 @@ object HammingJoin {
     * codegen; and since the gather is linear over XOR, the key of
     * `a ^ b` is the XOR of the keys (what [[pairs]]'s first-agreeing-block
     * emission relies on).
+    *
+    * This is the ONE block-key definition for every hamming join in the
+    * engine — the batch pair queries AND the streaming fingerprint
+    * screens' index/probe sides ([[graft.streaming.Streams.simhashIndex]]
+    * etc.) derive keys from it, so the layout can never silently drift
+    * between an index build and its probe.
     */
-  private def keyExpr(fp: String, b: Int, nb: Int): String =
+  def blockKey(fp: Column, b: Int, nb: Int): Column =
     (0 until (62 - b + nb - 1) / nb).map(j =>
-      s"(((($fp) >> ${j * nb + b}) & 1) << $j)").mkString("(", " + ", ")")
+      shiftleft(shiftright(fp, j * nb + b).bitwiseAND(lit(1L)), j))
+      .reduce(_ + _)
+
+  /** [[blockKey]] dispatched on a runtime block-id column in [0, nb). */
+  def blockKeyFor(fp: Column, blk: Column, nb: Int): Column =
+    (1 until nb).foldLeft(when(blk === 0, blockKey(fp, 0, nb))) {
+      (acc, b) => acc.when(blk === b, blockKey(fp, b, nb))
+    }
+
+  /** `explode` source for the nb block ids. */
+  def blockIds(nb: Int): Column = explode(sequence(lit(0), lit(nb - 1)))
+
+  /** First block on which `x = fpA ^ fpB` has no differing bits. A pair
+    * within hamming ≤ nb−1 agrees on ≥1 block (pigeonhole); keeping only
+    * the join row where `blk === firstAgree(x)` emits each pair exactly
+    * once with no candidate-dedup shuffle.
+    */
+  def firstAgree(x: Column, nb: Int): Column =
+    (0 until nb - 1).foldRight(lit(nb - 1): Column) { (b, rest) =>
+      when(blockKey(x, b, nb) === 0, lit(b)).otherwise(rest)
+    }
 
   /** Pairs (doc_a < doc_b, hamming) with hamming ≤ `maxHamming` (1..3),
     * unordered — callers add their presentation sort. `fp` must carry
@@ -63,13 +89,9 @@ object HammingJoin {
     val s = fp.sparkSession
     val nb = maxHamming + 1
     val f = graft.Caches.persist(fp.select(col("doc_id"), col("fp")))
-    val keyCol = (1 until nb).foldLeft(
-      when(col("blk") === 0, expr(keyExpr("fp", 0, nb)))) { (acc, b) =>
-      acc.when(col("blk") === b, expr(keyExpr("fp", b, nb)))
-    }
     val blocks = f.select(col("doc_id"), col("fp"),
         explode(array((0 until nb).map(i => lit(i)): _*)).as("blk"))
-      .withColumn("key", keyCol)
+      .withColumn("key", blockKeyFor(col("fp"), col("blk"), nb))
     val bucketMax = s.conf.getOption("graft.hamming.bucketThreshold")
       .map(_.toLong).getOrElse(16384L)
     val pairBudget = s.conf.getOption("graft.hamming.pairBudget")
@@ -80,7 +102,7 @@ object HammingJoin {
     // every bucket AND the pair upper bound (≤ (k+1)·n²/2 < any sane
     // budget), so only the cheap count runs — the sf0.1 constant stays
     // at the old block join's.
-    val n = f.count()
+    val n = graft.Caches.countOnce(f)
     val takeBlock = n <= bucketMax || {
       val st = blocks.groupBy("blk", "key").count()
         .agg(max("count"), sum(expr("count * (count - 1) div 2"))).head()
@@ -93,13 +115,6 @@ object HammingJoin {
 
   private def blockPairs(blocks: DataFrame, nb: Int,
       maxHamming: Int): DataFrame = {
-    // first block on which the xor has no differing bits — a pair within
-    // hamming ≤ k agrees on ≥ 1 of the k+1 blocks (pigeonhole); keeping
-    // only that block's join row emits each pair exactly once with no
-    // candidate-dedup shuffle
-    val firstAgree = (0 until nb - 1).foldRight(lit(nb - 1): Column) {
-      (b, rest) => when(expr(keyExpr("x", b, nb)) === 0, lit(b)).otherwise(rest)
-    }
     val a = blocks.select(col("blk"), col("key"),
       col("doc_id").as("doc_a"), col("fp").as("ha"))
     val b = blocks.select(col("blk"), col("key"),
@@ -107,7 +122,7 @@ object HammingJoin {
     a.join(b, Seq("blk", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("x", expr("ha ^ hb"))
-      .filter(col("blk") === firstAgree)
+      .filter(col("blk") === firstAgree(col("x"), nb))
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(x)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)

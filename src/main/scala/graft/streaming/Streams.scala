@@ -302,6 +302,30 @@ object Streams {
       bandsBytes = n * bands * 24L, shinglesBytes = totSh * 8 + n * 48)
   }
 
+  /** [[corpusIndex]] behind the parquet-backed build-once store: the
+    * restart path of a long-lived ingest job re-READS the artifact
+    * (sharded by its join keys) instead of re-shingling the corpus —
+    * `IvfIndex.loadOrBuild`'s contract for the screen family. `key`
+    * names the corpus (pass the table path).
+    */
+  def corpusIndexLoadOrBuild(corpus: DataFrame, key: String,
+      numHashes: Int = 32, bands: Int = 16): CorpusIndex = {
+    val s = corpus.sparkSession
+    val n = graft.Caches.countOnce(corpus)
+    var built: CorpusIndex = null
+    val (frames, meta) = IndexStore.loadOrBuild(s, s"neardup-$key", n,
+      Seq("bands", "shingles"),
+      Map("bands" -> Seq("bk"), "shingles" -> Seq("corpus_id"))) {
+      built = corpusIndex(corpus, numHashes, bands)
+      (Map("bands" -> built.bands, "shingles" -> built.shingles),
+        Map("bandsBytes" -> built.bandsBytes,
+          "shinglesBytes" -> built.shinglesBytes))
+    }
+    if (built != null) built.release() // artifact written; drop the build pin
+    CorpusIndex(frames("bands"), frames("shingles"),
+      meta("bandsBytes"), meta("shinglesBytes"))
+  }
+
   /** Batch form of the screen (also the per-micro-batch body): flag every
     * (incoming doc, corpus doc) pair with verified jaccard ≥ t. Pure
     * stream-static joins + per-batch dedup — no streaming state, so the
@@ -409,6 +433,32 @@ object Streams {
       pinned = sets)
   }
 
+  /** [[containmentIndex]] behind the build-once store ([[IndexStore]]):
+    * three frames sharded by their screen-join keys plus the scalar meta
+    * (maxStrat, byte estimates) a restart needs without re-featurizing.
+    */
+  def containmentIndexLoadOrBuild(corpus: DataFrame, key: String)
+      : ContainmentIndex = {
+    val s = corpus.sparkSession
+    val n = graft.Caches.countOnce(corpus)
+    var built: ContainmentIndex = null
+    val (frames, meta) = IndexStore.loadOrBuild(s, s"containment-$key", n,
+      Seq("bands2", "sigs", "sets"),
+      Map("bands2" -> Seq("band", "bk"), "sigs" -> Seq("k", "sv"),
+        "sets" -> Seq("corpus_id"))) {
+      built = containmentIndex(corpus)
+      (Map("bands2" -> built.bands2, "sigs" -> built.sigs,
+          "sets" -> built.sets),
+        Map("maxStrat" -> built.maxStrat.toLong,
+          "bands2Bytes" -> built.bands2Bytes, "sigsBytes" -> built.sigsBytes,
+          "setsBytes" -> built.setsBytes))
+    }
+    if (built != null) built.release()
+    ContainmentIndex(frames("bands2"), frames("sigs"), frames("sets"),
+      meta("maxStrat").toInt, meta("bands2Bytes"), meta("sigsBytes"),
+      meta("setsBytes"), pinned = frames("sets"))
+  }
+
   /** Batch form of the containment screen (also the per-micro-batch body):
     * one row per incoming doc that is ≥ num/den covered by some corpus doc
     * — coverage C = |In ∩ Corp| / |In|, exact integer arithmetic — carrying
@@ -509,7 +559,8 @@ object Streams {
 
   /** SimHash fingerprint index over a static corpus for the streaming
     * boilerplate screen: one 62-bit fingerprint per corpus doc plus its 4
-    * pigeonhole block keys (16 bits each). ~4 rows per corpus doc —
+    * INTERLEAVED pigeonhole block keys ([[graft.operators.HammingJoin
+    * .blockKey]], ≤16 bits each). ~4 rows per corpus doc —
     * broadcastable far beyond the MinHash band index (which carries hashed
     * shingle sets for the verify step; the hamming verify here needs only
     * the fingerprint, already on the block row).
@@ -524,12 +575,32 @@ object Streams {
           graft.functions.TextFunctions.tokenSet(col("text"))))
         .as("corpus_fp"))
     // 4 (corpus_id, fp, blk, key) rows per corpus doc, ~40 B each — sized
-    // from the input row count (no fingerprint evaluation at build)
+    // from the input row count (no fingerprint evaluation at build).
+    // Block keys are HammingJoin's INTERLEAVED layout (bit i → block
+    // i mod 4), shared with the probe side and the batch pair queries: a
+    // contiguous layout piles every doc whose fingerprint shares a bit
+    // REGION (the biased top bits of a mod-prime word hash) into one
+    // (blk, key) bucket of the corpus index, and a 100 TB index re-pays
+    // that hot bucket on every micro-batch.
     SimHashIndex(fp
       .select(col("corpus_id"), col("corpus_fp"),
-        explode(sequence(lit(0), lit(3))).as("blk"))
-      .withColumn("key", expr("(corpus_fp >> (blk * 16)) & 65535")),
+        graft.operators.HammingJoin.blockIds(4).as("blk"))
+      .withColumn("key", graft.operators.HammingJoin.blockKeyFor(
+        col("corpus_fp"), col("blk"), 4)),
       blocksBytes = corpus.count() * 4 * 40L)
+  }
+
+  /** [[simhashIndex]] behind the build-once store — blocks sharded by the
+    * screen's (blk, key) equi-join key. */
+  def simhashIndexLoadOrBuild(corpus: DataFrame, key: String): SimHashIndex = {
+    val s = corpus.sparkSession
+    val n = graft.Caches.countOnce(corpus)
+    val (frames, meta) = IndexStore.loadOrBuild(s, s"simhash-$key", n,
+      Seq("blocks"), Map("blocks" -> Seq("blk", "key"))) {
+      val b = simhashIndex(corpus)
+      (Map("blocks" -> b.blocks), Map("blocksBytes" -> b.blocksBytes))
+    }
+    SimHashIndex(frames("blocks"), meta("blocksBytes"))
   }
 
   /** Streaming SIMHASH near-dup screen: flag every incoming doc within
@@ -556,8 +627,9 @@ object Streams {
             graft.functions.TextFunctions.tokenSet(col("text"))))
           .as("fp"))
       .select(col("doc_id"), col("fp"),
-        explode(sequence(lit(0), lit(3))).as("blk"))
-      .withColumn("key", expr("(fp >> (blk * 16)) & 65535"))
+        graft.operators.HammingJoin.blockIds(4).as("blk"))
+      .withColumn("key", graft.operators.HammingJoin.blockKeyFor(
+        col("fp"), col("blk"), 4))
     banded
       // byte-gated: a 100 TB corpus flips this to a shuffle on (blk, key)
       .join(graft.Broadcasts.gateBytes(s, "screen", index.blocksBytes,
@@ -565,12 +637,7 @@ object Streams {
       .withColumn("x", expr("fp ^ corpus_fp"))
       // first agreeing block of the pair, from the xor alone — the join row
       // for any other agreeing block is dropped, so each pair emits once
-      .withColumn("first_agree",
-        when(expr("(x & 65535)") === 0, 0)
-          .when(expr("((x >> 16) & 65535)") === 0, 1)
-          .when(expr("((x >> 32) & 65535)") === 0, 2)
-          .otherwise(3))
-      .filter(col("blk") === col("first_agree"))
+      .filter(col("blk") === graft.operators.HammingJoin.firstAgree(col("x"), 4))
       .withColumn("hamming", expr("bit_count(x)").cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_id"), col("corpus_id").as("dup_of"), col("hamming"))
@@ -592,10 +659,23 @@ object Streams {
     // sized from the INPUT count (≤ 3 block rows × ~40 B per payload) so
     // the build never runs the decoder just for statistics
     PhashIndex(ph.select(col("corpus_id"), col("corpus_fp"),
-        graft.operators.Pigeonhole.blockIds.as("blk"))
-      .withColumn("key",
-        graft.operators.Pigeonhole.blockKey(col("corpus_fp"), col("blk"))),
+        graft.operators.HammingJoin.blockIds(3).as("blk"))
+      .withColumn("key", graft.operators.HammingJoin.blockKeyFor(
+        col("corpus_fp"), col("blk"), 3)),
       blocksBytes = corpusWithPpm.count() * 3 * 40L)
+  }
+
+  /** [[phashIndex]] behind the build-once store — a restart re-reads the
+    * block artifact instead of re-DECODING every corpus raster. */
+  def phashIndexLoadOrBuild(corpusWithPpm: DataFrame, key: String): PhashIndex = {
+    val s = corpusWithPpm.sparkSession
+    val n = graft.Caches.countOnce(corpusWithPpm)
+    val (frames, meta) = IndexStore.loadOrBuild(s, s"phash-$key", n,
+      Seq("blocks"), Map("blocks" -> Seq("blk", "key"))) {
+      val b = phashIndex(corpusWithPpm)
+      (Map("blocks" -> b.blocks), Map("blocksBytes" -> b.blocksBytes))
+    }
+    PhashIndex(frames("blocks"), meta("blocksBytes"))
   }
 
   /** Streaming VISUAL near-dup screen: flag every incoming image payload
@@ -617,15 +697,16 @@ object Streams {
       .toDF("doc_id", "fp", "img_rows")
       .filter(col("img_rows") >= 17)
     hashed.select(col("doc_id"), col("fp"),
-        graft.operators.Pigeonhole.blockIds.as("blk"))
-      .withColumn("key",
-        graft.operators.Pigeonhole.blockKey(col("fp"), col("blk")))
+        graft.operators.HammingJoin.blockIds(3).as("blk"))
+      .withColumn("key", graft.operators.HammingJoin.blockKeyFor(
+        col("fp"), col("blk"), 3))
       // byte-gated: a 100 TB corpus flips this to a shuffle on (blk, key)
       .join(graft.Broadcasts.gateBytes(incoming.sparkSession, "screen",
         index.blocksBytes, ScreenBroadcastBytes)(index.blocks),
         Seq("blk", "key"))
       .withColumn("x", expr("fp ^ corpus_fp"))
-      .filter(col("blk") === graft.operators.Pigeonhole.firstAgree(col("x")))
+      .filter(col("blk") ===
+        graft.operators.HammingJoin.firstAgree(col("x"), 3))
       .withColumn("hamming", expr("bit_count(x)").cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_id"), col("corpus_id").as("dup_of"), col("hamming"))
@@ -647,10 +728,24 @@ object Streams {
       .filter(col("n_frames") >= 17)
     // sized from the INPUT count, like [[phashIndex]] — no decode-for-stats
     VideoIndex(th.select(col("corpus_id"), col("corpus_fp"),
-        graft.operators.Pigeonhole.blockIds.as("blk"))
-      .withColumn("key",
-        graft.operators.Pigeonhole.blockKey(col("corpus_fp"), col("blk"))),
+        graft.operators.HammingJoin.blockIds(3).as("blk"))
+      .withColumn("key", graft.operators.HammingJoin.blockKeyFor(
+        col("corpus_fp"), col("blk"), 3)),
       blocksBytes = corpusWithY4m.count() * 3 * 40L)
+  }
+
+  /** [[videoIndex]] behind the build-once store — a restart re-reads the
+    * block artifact instead of re-decoding every corpus y4m stream. */
+  def videoIndexLoadOrBuild(corpusWithY4m: Dataset[(Long, Array[Byte])],
+      key: String): VideoIndex = {
+    val s = corpusWithY4m.sparkSession
+    val n = graft.Caches.countOnce(corpusWithY4m.toDF())
+    val (frames, meta) = IndexStore.loadOrBuild(s, s"video-$key", n,
+      Seq("blocks"), Map("blocks" -> Seq("blk", "key"))) {
+      val b = videoIndex(corpusWithY4m)
+      (Map("blocks" -> b.blocks), Map("blocksBytes" -> b.blocksBytes))
+    }
+    VideoIndex(frames("blocks"), meta("blocksBytes"))
   }
 
   /** Streaming VIDEO near-dup screen: flag every incoming y4m payload
@@ -671,15 +766,16 @@ object Streams {
       .toDF("doc_id", "fp", "n_frames")
       .filter(col("n_frames") >= 17)
     hashed.select(col("doc_id"), col("fp"),
-        graft.operators.Pigeonhole.blockIds.as("blk"))
-      .withColumn("key",
-        graft.operators.Pigeonhole.blockKey(col("fp"), col("blk")))
+        graft.operators.HammingJoin.blockIds(3).as("blk"))
+      .withColumn("key", graft.operators.HammingJoin.blockKeyFor(
+        col("fp"), col("blk"), 3))
       // byte-gated: a 100 TB corpus flips this to a shuffle on (blk, key)
       .join(graft.Broadcasts.gateBytes(incoming.sparkSession, "screen",
         index.blocksBytes, ScreenBroadcastBytes)(index.blocks),
         Seq("blk", "key"))
       .withColumn("x", expr("fp ^ corpus_fp"))
-      .filter(col("blk") === graft.operators.Pigeonhole.firstAgree(col("x")))
+      .filter(col("blk") ===
+        graft.operators.HammingJoin.firstAgree(col("x"), 3))
       .withColumn("hamming", expr("bit_count(x)").cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_id"), col("corpus_id").as("dup_of"), col("hamming"))

@@ -858,6 +858,150 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch, s"stream $got != batch $batch")
   }
 
+  test("screen indexes are parquet-backed build-once artifacts: a restart " +
+      "reuses them without rebuild and screens hash-identically") {
+    import graft.streaming.Streams
+    import graft.queries.Multimodal
+    val cacheDir = java.nio.file.Files.createTempDirectory("graft_screens").toString
+    spark.conf.set("graft.screen.cacheDir", cacheDir)
+    def artifactState(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        f +: Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      walk(new java.io.File(cacheDir))
+        .filter(f => f.isFile && (f.getName == "_SUCCESS" || f.getName == "meta.json"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    try {
+      val corpus = (0 until 150).map(i =>
+        (i.toLong, s"alpha$i beta gamma tok$i delta epsilon zeta eta " * 6))
+        .toDF("doc_id", "text")
+      val incoming = Seq((900L, corpus.filter(col("doc_id") === 7)
+        .select("text").as[String].head()), (901L, "novel zz unseen"))
+        .toDF("doc_id", "text")
+      val ppm = Multimodal.withPpmPayload(corpus.withColumn("lang", lit("en")))
+      val y4m = Multimodal.withY4mPayload(corpus.withColumn("lang", lit("en")))
+        .as[(Long, Array[Byte])]
+      // first process: build + persist all five artifacts
+      val sim1 = Streams.simhashIndexLoadOrBuild(corpus, "t")
+      val con1 = Streams.containmentIndexLoadOrBuild(corpus, "t")
+      val nd1 = Streams.corpusIndexLoadOrBuild(corpus, "t")
+      val ph1 = Streams.phashIndexLoadOrBuild(ppm, "t")
+      val vi1 = Streams.videoIndexLoadOrBuild(y4m, "t")
+      val simOut1 = Streams.simhashScreen(incoming, sim1)
+        .as[(Long, Long, Long)].collect().toSet
+      val state1 = artifactState()
+      assert(state1.size >= 7, s"expected 5 artifacts on disk, saw: $state1")
+      // "restart": load each again — artifacts must be REUSED (no file
+      // rewritten), and the screens must decide identically off them
+      val sim2 = Streams.simhashIndexLoadOrBuild(corpus, "t")
+      val con2 = Streams.containmentIndexLoadOrBuild(corpus, "t")
+      val nd2 = Streams.corpusIndexLoadOrBuild(corpus, "t")
+      val ph2 = Streams.phashIndexLoadOrBuild(ppm, "t")
+      val vi2 = Streams.videoIndexLoadOrBuild(y4m, "t")
+      assert(artifactState() == state1, "restart REBUILT an artifact")
+      assert(sim2.blocksBytes == sim1.blocksBytes &&
+        con2.maxStrat == con1.maxStrat && con2.setsBytes == con1.setsBytes &&
+        nd2.bandsBytes == nd1.bandsBytes && ph2.blocksBytes == ph1.blocksBytes &&
+        vi2.blocksBytes == vi1.blocksBytes, "meta did not round-trip")
+      val simOut2 = Streams.simhashScreen(incoming, sim2)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(simOut2 == simOut1 && simOut1.exists(_._1 == 900L),
+        s"screen decisions diverged across restart: $simOut1 vs $simOut2")
+      // decision parity of LOADED vs IN-MEMORY indexes, per modality
+      val memNd = Streams.corpusIndex(corpus)
+      val ndMem = Streams.nearDupScreen(incoming, memNd)
+        .as[(Long, Long, Double)].collect().toSet
+      val ndLoaded = Streams.nearDupScreen(incoming, nd2)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(ndLoaded == ndMem, s"neardup: $ndLoaded != $ndMem")
+      memNd.release()
+      val memCon = Streams.containmentIndex(corpus)
+      val conMem = Streams.containmentScreen(incoming, memCon)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val conLoaded = Streams.containmentScreen(incoming, con2)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(conLoaded == conMem, s"containment: $conLoaded != $conMem")
+      memCon.release()
+      assert(ph2.blocks.as[(Long, Long, Int, Long)].collect().toSet ==
+        Streams.phashIndex(ppm).blocks.as[(Long, Long, Int, Long)]
+          .collect().toSet, "phash artifact != in-memory build")
+      assert(vi2.blocks.as[(Long, Long, Int, Long)].collect().toSet ==
+        Streams.videoIndex(y4m).blocks.as[(Long, Long, Int, Long)]
+          .collect().toSet, "video artifact != in-memory build")
+    } finally {
+      spark.conf.unset("graft.screen.cacheDir")
+      graft.Caches.invalidateCounts(spark)
+      graft.Caches.drain(spark)
+    }
+  }
+
+  test("interleaved screen keys bound the hot bucket on a degenerate-region " +
+      "corpus (zero-padded short rasters) and match the batch pair query") {
+    import graft.streaming.Streams
+    import graft.queries.Multimodal
+    // 240 short texts of exactly 240 bytes → every PPM raster has h = 20
+    // rows, so gradient bits 19..61 are ZERO for the whole corpus. Under
+    // the old CONTIGUOUS 21/21/20 block layout, blocks 1 and 2 are the
+    // all-zero key for every doc — two buckets of the FULL corpus, the
+    // r12 100× probe's 220k-doc pathology in miniature. The interleaved
+    // layout (bit i → block i mod 3) spreads the 19 informative bits
+    // across all three blocks.
+    val rnd = new scala.util.Random(13)
+    val corpusDocs = (0 until 240).map(i =>
+      (i.toLong, (0 until 240).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString))
+    val corpusPpm = Multimodal.withPpmPayload(
+      corpusDocs.toDF("doc_id", "text").withColumn("lang", lit("en")))
+    val index = Streams.phashIndex(corpusPpm)
+    // the planted corpus really is degenerate: the old contiguous block 1
+    // (bits 21..41) keys every doc to 0 — one bucket of the whole corpus
+    val contiguousMax = index.blocks.select("corpus_id", "corpus_fp").distinct()
+      .groupBy(expr("(corpus_fp >> 21) & 2097151")).count()
+      .agg(max("count")).head().getLong(0)
+    assert(contiguousMax == 240L,
+      s"planted corpus not degenerate under contiguous keys: $contiguousMax")
+    // ...and the interleaved keys the index actually uses keep every
+    // (blk, key) bucket far below corpus size
+    val bucketMax = index.blocks.groupBy("blk", "key").count()
+      .agg(max("count")).head().getLong(0)
+    assert(bucketMax <= 60, s"interleaved hot bucket too large: $bucketMax")
+    // golden: stream two exact copies + one novel doc through the screen;
+    // output must be hash-identical to the batch pair query (HammingJoin
+    // over corpus ∪ incoming fingerprints, cross pairs only)
+    val incoming = Seq(
+      (9200000L, corpusDocs(7)._2), (9200001L, corpusDocs(42)._2),
+      (9200002L, (0 until 240).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString))
+    val in = MemoryStream[(Long, String)](spark)
+    val inPpm = Multimodal.withPpmPayload(
+      in.toDF().toDF("doc_id", "text").withColumn("lang", lit("en")))
+    val screened = Streams.phashScreen(inPpm, index)
+    assert(screened.isStreaming, "screen must stay a streaming plan")
+    val q = screened.writeStream.format("memory")
+      .queryName("phash_screen_degen").outputMode("append").start()
+    in.addData(incoming: _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("phash_screen_degen")
+      .select("doc_id", "dup_of", "hamming").as[(Long, Long, Long)]
+      .collect().toSet
+    val allPpm = Multimodal.withPpmPayload(
+      (corpusDocs ++ incoming).toDF("doc_id", "text")
+        .withColumn("lang", lit("en")))
+    val fps = allPpm.select("doc_id", "ppm").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        graft.queries.Multimodal.ppmRowHash(id, b) })
+      .toDF("doc_id", "fp", "img_rows")
+      .filter(col("img_rows") >= 17)
+    val batchPairs = graft.operators.HammingJoin.pairs(fps, maxHamming = 2)
+      .filter(col("doc_b") >= 9200000L && col("doc_a") < 9200000L)
+      .select(col("doc_b").as("doc_id"), col("doc_a").as("dup_of"),
+        col("hamming"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == batchPairs,
+      s"stream/batch divergence: ${got -- batchPairs} ${batchPairs -- got}")
+    assert(got.contains((9200000L, 7L, 0L)) && got.contains((9200001L, 42L, 0L)),
+      s"planted exact copies not flagged: $got")
+    graft.Caches.drain(spark)
+  }
+
   test("streaming simhash screen is appendable, matches its batch twin, " +
       "flags boilerplate, admits novel docs") {
     import graft.streaming.Streams
