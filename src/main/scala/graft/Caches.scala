@@ -71,4 +71,64 @@ object Caches {
   def drain(s: SparkSession): Unit = reg.synchronized {
     Option(reg.remove(s)).foreach(_.foreach(_.unpersist(blocking = false)))
   }
+
+  // ---- memoized statistics counts ------------------------------------
+  // Every Broadcasts.gate site pays an eager .count() at plan-construction
+  // time. At sf0.1 that is 0.2-0.3 s of constant; at 100 TB a count over a
+  // derived frame (tokenized sets, an index's assigned frame) is a full
+  // scan per QUERY BUILD — and several queries build over the same input
+  // in one session (Bench runs 158). Keyed by the ANALYZED plan's
+  // canonical form, the scan runs once per distinct input per session;
+  // drain() leaves the memo alone (the underlying data hasn't changed —
+  // only the cache blocks are released). Paths that MUTATE a frame in
+  // place must go through new plans (new artifact generation dirs /
+  // unioned frames), which miss the memo by construction.
+  private val counts = scala.collection.mutable.HashMap[(SparkSession, Any), Long]()
+
+  /** The memo key: the canonicalized analyzed plan, with every file
+    * relation replaced by a structural stand-in. Canonicalization alone
+    * is NOT enough — `HadoopFsRelation` carries a `FileIndex` compared by
+    * REFERENCE, so two `spark.read.parquet(path)` calls over the same
+    * path never compare equal and every query build would re-pay its
+    * count. Keying the file relations by (root paths, schema, format)
+    * and everything else (including LocalRelation DATA — two in-memory
+    * frames with equal schemas but different rows must not collide) by
+    * canonical structure gives value-equality exactly when the scan
+    * would return the same rows.
+    */
+  private def planKey(df: DataFrame): (SparkSession, Any) = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val p = df.queryExecution.analyzed.canonicalized
+    val rels = p.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          (fs.location.rootPaths.map(_.toString), fs.dataSchema,
+            fs.fileFormat.getClass.getName): Any
+        case o => o: Any
+      }
+    }
+    val skeleton = p.transform {
+      case lr: LogicalRelation =>
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(lr.output)
+    }
+    (df.sparkSession, (skeleton, rels))
+  }
+
+  /** `df.count()`, memoized per (session, canonicalized analyzed plan).
+    * For gate-site STATISTICS only — not for counts whose freshness
+    * matters against a frame being rewritten under the same plan.
+    */
+  def countOnce(df: DataFrame): Long = {
+    val key = planKey(df)
+    counts.synchronized(counts.get(key)) match {
+      case Some(c) => c
+      case None =>
+        val c = df.count() // outside the lock: a scan can be long
+        counts.synchronized(counts.getOrElseUpdate(key, c))
+    }
+  }
+
+  /** Drop `s`'s memoized counts (tests; sessions replacing data in place). */
+  def invalidateCounts(s: SparkSession): Unit =
+    counts.synchronized(counts.filterInPlace { case ((ks, _), _) => ks != s })
 }

@@ -560,13 +560,14 @@ object IvfIndex {
     // two cheap counts decide the plan shape — AQE-style statistics calls.
     // Query rows carry a dim-length double vector (~550 B at dim 64): the
     // 55 MB default admits ~100k queries, byte-equivalent to the old pin.
-    val bq = graft.Broadcasts.gate(spark, "ivfQueries", queries.count(),
+    val bq = graft.Broadcasts.gate(spark, "ivfQueries",
+      graft.Caches.countOnce(queries),
       rowBytes = 552, defaultBytes = 55L << 20,
       legacyRowsConf = "graft.ivf.broadcastThreshold")
     val minCells = spark.conf.getOption("graft.ivf.minCellsForPruning")
       .map(_.toLong).getOrElse(128L)
     val qn = queries.withColumn("qnrm", VF.l2Norm(col("qv")))
-    if (idx.cells.count() <= minCells) {
+    if (graft.Caches.countOnce(idx.cells) <= minCells) {
       // SINGLE-PHASE exact scan: with this few cells the triangle bound
       // cannot prune enough to pay for its own plan (two extra windows and
       // three joins of per-query frames — measured slower than one pass at
@@ -636,7 +637,8 @@ object IvfIndex {
   def knnApprox(idx: Index, queries: DataFrame, k: Int, nprobe: Int = 8): DataFrame = {
     val spark = queries.sparkSession
     NativeExpressions.register(spark)
-    val bq = graft.Broadcasts.gate(spark, "ivfQueries", queries.count(),
+    val bq = graft.Broadcasts.gate(spark, "ivfQueries",
+      graft.Caches.countOnce(queries),
       rowBytes = 552, defaultBytes = 55L << 20,
       legacyRowsConf = "graft.ivf.broadcastThreshold")
     val qn = queries.withColumn("qnrm", VF.l2Norm(col("qv")))

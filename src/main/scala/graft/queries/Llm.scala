@@ -100,7 +100,7 @@ object Llm {
   private[graft] def knnIvfApproxRaw(s: SparkSession, dir: String): DataFrame = {
     val idx = ivfIndex(s, dir)
     val q = idx.assigned.filter(
-        col("vec_id") % knnQueryStride(idx.assigned.count()) === 0)
+        col("vec_id") % knnQueryStride(graft.Caches.countOnce(idx.assigned)) === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     graft.operators.IvfIndex.knnApprox(idx, q, k = 10, nprobe = 8)
       .select(col("query_id"), col("rk"), col("neighbor_id"),
@@ -169,7 +169,7 @@ object Llm {
     // queries + their nprobe=8 probed cells (knnApprox's convention);
     // same fixed query budget as pqBuild's ADC table
     val qn = idx.assigned.filter(
-        col("vec_id") % knnQueryStride(idx.assigned.count()) === 0)
+        col("vec_id") % knnQueryStride(graft.Caches.countOnce(idx.assigned)) === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
     val qc = qn.join(broadcast(idx.cells.select("cell", "cv", "cnrm")), lit(true))
@@ -326,7 +326,7 @@ object Llm {
     graft.functions.NativeExpressions.register(s)
     val e0 = graft.Caches.persist(emb.select(col("vec_id"),
       VF.toDouble(col("embedding")).as("v")))
-    val n = e0.count()
+    val n = graft.Caches.countOnce(e0)
     val (bands, bitsPerBand) = hyperplaneEdgeGeometry(n)
     val e = graft.Caches.persist(e0.select(col("vec_id"), col("v"),
         call_function("graft_hyperplane_bands", col("v"),
@@ -509,7 +509,7 @@ object Llm {
     // otherwise re-run per consumer; registered so the harness drains it
     // after the query (leaked, it slows every later query in the session)
     val tok = graft.Caches.persist(tok0)
-    val vocabSize = tok.select("w").distinct().count()
+    val vocabSize = graft.Caches.countOnce(tok.select("w").distinct())
     if (vocabSize <= vocabThreshold(s)) bitsetJaccardPairs(tok, t, vocabSize.toInt)
     else if (prefixWouldExplode(s, tok, vocabSize))
       bitsetJaccardPairs(tok, t, vocabSize.toInt)
@@ -610,7 +610,7 @@ object Llm {
     // broadcast side is the EXPLODED prefix-key frame: ~400 B per distinct
     // set (avg prefix length × the (sb, nb, bk2, pb, pw2) row) — byte gate
     val bs = graft.Broadcasts.gate(tok.sparkSession, "jaccard",
-      sets.count(), rowBytes = 400, defaultBytes = 40L << 20,
+      graft.Caches.countOnce(sets), rowBytes = 400, defaultBytes = 40L << 20,
       legacyRowsConf = "graft.jaccard.broadcastThreshold")
     def bandOf(n: Column): Column =
       if (t >= 1.0) n.cast("long") // J >= 1 forces equal sizes exactly
@@ -755,7 +755,7 @@ object Llm {
       num: Int, den: Int): DataFrame = {
     graft.functions.NativeExpressions.register(s)
     val tok = graft.Caches.persist(tok0)
-    val vocabSize = tok.select("w").distinct().count()
+    val vocabSize = graft.Caches.countOnce(tok.select("w").distinct())
     if (vocabSize <= vocabThreshold(s)) bitsetContainmentPairs(tok, vocabSize.toInt, num, den)
     else if (prefixWouldExplode(s, tok, vocabSize))
       bitsetContainmentPairs(tok, vocabSize.toInt, num, den)
@@ -778,7 +778,7 @@ object Llm {
       .agg(collect_list("doc_id").as("ds"), min("doc_id").as("sid")))
     // broadcast side rows are (mask: words longs, n, sid) — byte-sized gate
     val bs = graft.Broadcasts.gate(tok.sparkSession, "jaccard",
-      sets.count(), rowBytes = 8L * words + 32, defaultBytes = 40L << 20,
+      graft.Caches.countOnce(sets), rowBytes = 8L * words + 32, defaultBytes = 40L << 20,
       legacyRowsConf = "graft.jaccard.broadcastThreshold")
     def isect(l: Column, r: Column) = call_function("graft_mask_isect", l, r)
     val a = sets.select(col("mask").as("maska"), col("n").as("na"), col("sid").as("sa"))
@@ -1048,7 +1048,8 @@ object Llm {
     // 1M sets (~0.4 GB) it broadcasts, beyond that the shuffle join is
     // the honest distributed plan — never a driver-sized broadcast at
     // 100 TB.
-    val bs = graft.Broadcasts.gate(s, "containment", sets.count(),
+    val bs = graft.Broadcasts.gate(s, "containment",
+      graft.Caches.countOnce(sets),
       rowBytes = 400, defaultBytes = 400L << 20,
       legacyRowsConf = "graft.containment.broadcastThreshold")
     val verified = cand
@@ -1191,7 +1192,7 @@ object Llm {
     graft.functions.NativeExpressions.register(s)
     val tok = graft.Caches.persist(d
       .select(col("doc_id"), explode(TF.tokenSet(col("text"))).as("w")))
-    val vocabSize = tok.select("w").distinct().count()
+    val vocabSize = graft.Caches.countOnce(tok.select("w").distinct())
     if (vocabSize <= vocabThreshold(s) || prefixWouldExplode(s, tok, vocabSize)) {
       val (sets, pairs) = bitsetSetsAndPairs(tok, 0.9, vocabSize.toInt)
       val comp = graft.operators.ConnectedComponents(
@@ -1244,7 +1245,8 @@ object Llm {
     // (doc_id, bool) + hashed-relation overhead ≈ 20 B/doc: the 64 MB
     // default admits ~3M docs — sized in BYTES, not docs, so the gate can't
     // approve a ~200 MB broadcast the way the old 10M-doc threshold could
-    val bs = graft.Broadcasts.gate(d.sparkSession, "dsirFlags", d.count(),
+    val bs = graft.Broadcasts.gate(d.sparkSession, "dsirFlags",
+      graft.Caches.countOnce(d),
       rowBytes = 20, defaultBytes = 64L << 20,
       legacyRowsConf = "graft.dsir.flagBroadcastThreshold")
     dsirBuckets(d)
@@ -1545,7 +1547,7 @@ object Llm {
       : Array[Array[Double]] = {
     val cap = s.conf.getOption("graft.pq.trainSampleCap")
       .map(_.toInt).getOrElse(65536)
-    val m = math.max(1L, e8.count() / cap)
+    val m = math.max(1L, graft.Caches.countOnce(e8) / cap)
     e8.filter(col("vec_id") % m === 0).orderBy("vec_id").limit(cap)
       .select("q8").collect().map(_.getSeq[Double](0).toArray)
   }
@@ -1584,7 +1586,7 @@ object Llm {
       call_function("graft_pq_encode", col("q8"), cbLit).as("code"))
     // ADC: per-query 256-entry lookup table (subvector -> every centroid);
     // query set bounded by the fixed budget (knnQueryStride), never q ∝ n
-    val qtabs = e8.filter(col("vec_id") % knnQueryStride(e8.count()) === 0)
+    val qtabs = e8.filter(col("vec_id") % knnQueryStride(graft.Caches.countOnce(e8)) === 0)
       .select(col("vec_id").as("query_id"),
         call_function("graft_pq_qtab", col("q8"), cbLit).as("qtab"))
     (codes, qtabs)
@@ -1717,7 +1719,7 @@ object Llm {
     val tok = graft.Caches.persist(d.select(col("doc_id"),
       explode(TF.tokenSet(col("text"))).as("w"),
       size(TF.tokenSet(col("text"))).cast("long").as("nt")))
-    val vocabSize = tok.select("w").distinct().count()
+    val vocabSize = graft.Caches.countOnce(tok.select("w").distinct())
     val scored =
       if (vocabSize <= vocabThreshold(s)) {
         val words = ((vocabSize + 63) / 64).toInt
@@ -2710,7 +2712,7 @@ object Llm {
         // growth for 3× data at the r09 30× probe
         val idx = ivfIndex(s, dir)
         val q = idx.assigned.filter(
-            col("vec_id") % knnQueryStride(idx.assigned.count()) === 0)
+            col("vec_id") % knnQueryStride(graft.Caches.countOnce(idx.assigned)) === 0)
           .select(col("vec_id").as("query_id"), col("v").as("qv"))
         graft.operators.IvfIndex.knnExact(idx, q, k = 20, nprobe = 3)
           .join(idx.assigned.select(col("vec_id").as("neighbor_id"),
@@ -2789,7 +2791,7 @@ object Llm {
         val e = graft.Caches.persist(
           embs(s, dir).select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
             .withColumn("nrm", VF.l2Norm(col("v"))))
-        val q = e.filter(col("vec_id") % knnQueryStride(e.count()) === 0)
+        val q = e.filter(col("vec_id") % knnQueryStride(graft.Caches.countOnce(e)) === 0)
           .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
         val w = Window.partitionBy("query_id").orderBy(desc("s"), asc("neighbor_id"))
         e.select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("nrm").as("nn"))
@@ -2824,7 +2826,7 @@ object Llm {
       (s, dir) => {
         val idx = ivfIndex(s, dir)
         val q = idx.assigned.filter(
-            col("vec_id") % knnQueryStride(idx.assigned.count()) === 0)
+            col("vec_id") % knnQueryStride(graft.Caches.countOnce(idx.assigned)) === 0)
           .select(col("vec_id").as("query_id"), col("v").as("qv"))
         graft.operators.IvfIndex.knnExact(idx, q, k = 10, nprobe = 3)
           .select(col("query_id"), col("rk"), col("neighbor_id"),
@@ -2862,7 +2864,7 @@ object Llm {
         val idx = graft.operators.IvfIndex.loadOrBuildSharded(
           e, key = dir, shards = 4)
         val q = idx.assigned.filter(
-            col("vec_id") % knnQueryStride(idx.assigned.count()) === 0)
+            col("vec_id") % knnQueryStride(graft.Caches.countOnce(idx.assigned)) === 0)
           .select(col("vec_id").as("query_id"), col("v").as("qv"))
         graft.operators.IvfIndex.knnExact(idx, q, k = 10, nprobe = 3)
           .select(col("query_id"), col("rk"), col("neighbor_id"),
@@ -2931,7 +2933,7 @@ object Llm {
     Q("x3_knn_lsh",
       (s, dir) => {
         val e = embs(s, dir)
-        knnLsh(s, e, col("vec_id") % knnQueryStride(e.count()) === 0, k = 10)
+        knnLsh(s, e, col("vec_id") % knnQueryStride(graft.Caches.countOnce(e)) === 0, k = 10)
       },
       Some(qstride("""WITH dim AS (
              |  SELECT vec_id, embedding,
@@ -2989,7 +2991,7 @@ object Llm {
         val fidx = graft.operators.IvfIndex.Index(
           idx.assigned.join(keep, Seq("vec_id"), "left_semi"), idx.cells)
         val q = idx.assigned.filter(
-            col("vec_id") % knnQueryStride(idx.assigned.count()) === 0)
+            col("vec_id") % knnQueryStride(graft.Caches.countOnce(idx.assigned)) === 0)
           .select(col("vec_id").as("query_id"), col("v").as("qv"))
         graft.operators.IvfIndex.knnExact(fidx, q, k = 10, nprobe = 3)
           .select(col("query_id"), col("rk"), col("neighbor_id"),
@@ -3030,7 +3032,7 @@ object Llm {
         val fidx = graft.operators.IvfIndex.Index(
           idx.assigned.join(keep, Seq("vec_id"), "left_semi"), idx.cells)
         val q = idx.assigned.filter(
-            col("vec_id") % knnQueryStride(idx.assigned.count()) === 0)
+            col("vec_id") % knnQueryStride(graft.Caches.countOnce(idx.assigned)) === 0)
           .select(col("vec_id").as("query_id"), col("v").as("qv"))
         graft.operators.IvfIndex.knnExact(fidx, q, k = 10, nprobe = 3)
           .select(col("query_id"), col("rk"), col("neighbor_id"),
@@ -3128,7 +3130,7 @@ object Llm {
         // both legs share ONE fixed query budget (vec_id/doc_id spaces are
         // aligned, stride from the embeddings count): q ∝ n made the fused
         // query set grow with the corpus — 2.6× growth at the r09 30× probe
-        val stride = knnQueryStride(idx.assigned.count())
+        val stride = knnQueryStride(graft.Caches.countOnce(idx.assigned))
         val qv = idx.assigned.filter(col("vec_id") % stride === 0)
           .select(col("vec_id").as("query_id"), col("v").as("qv"))
         val vleg = graft.operators.IvfIndex.knnExact(idx, qv, k = 20, nprobe = 3)
@@ -3202,7 +3204,7 @@ object Llm {
               x => floor(x * lit(127.0) / col("ma") + lit(0.5)).cast("double")))
             .withColumn("n8", VF.l2Norm(col("q8")))
             .select("vec_id", "q8", "n8"))
-        val q = e.filter(col("vec_id") % knnQueryStride(e.count()) === 0)
+        val q = e.filter(col("vec_id") % knnQueryStride(graft.Caches.countOnce(e)) === 0)
           .select(col("vec_id").as("query_id"), col("q8").as("qv"), col("n8").as("qn"))
         val w = Window.partitionBy("query_id").orderBy(desc("s"), asc("neighbor_id"))
         e.select(col("vec_id").as("neighbor_id"), col("q8").as("nv"), col("n8").as("nn"))
@@ -3257,7 +3259,7 @@ object Llm {
               x => floor(x * lit(127.0) / col("ma") + lit(0.5)).cast("double")))
             .withColumn("n8", VF.l2Norm(col("q8")))
             .select("vec_id", "q8", "n8"))
-        val stride = knnQueryStride(ef.count())
+        val stride = knnQueryStride(graft.Caches.countOnce(ef))
         val q8 = e8.filter(col("vec_id") % stride === 0)
           .select(col("vec_id").as("query_id"), col("q8").as("qv"), col("n8").as("qn"))
         val w8 = Window.partitionBy("query_id").orderBy(desc("s8"), asc("neighbor_id"))
@@ -3370,7 +3372,7 @@ object Llm {
           .select("query_id", "neighbor_id")
         // stage 2: full-precision rerank of the 100-candidate pool; same
         // fixed query budget as pqBuild's ADC table
-        val qf = ef.filter(col("vec_id") % knnQueryStride(ef.count()) === 0)
+        val qf = ef.filter(col("vec_id") % knnQueryStride(graft.Caches.countOnce(ef)) === 0)
           .select(col("vec_id").as("query_id"), col("v").as("fqv"), col("nrm").as("fqn"))
         val w = Window.partitionBy("query_id").orderBy(desc("s"), asc("neighbor_id"))
         pool

@@ -1022,4 +1022,41 @@ class OperatorsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(run3("1000000") == ref3, "k=3 block path diverged")
     assert(run3("0") == ref3, "k=3 flip path diverged")
   }
+
+  test("Caches.countOnce runs ONE count job per distinct input per session") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val docs = graft.Tables.load(spark, SparkTestSession.sfDir, "documents")
+    graft.Caches.invalidateCounts(spark)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    // listener events are async; the bus drains in ms once jobs finish
+    def settle(): Int = { Thread.sleep(500); jobs.get() }
+    // two separately-CONSTRUCTED but plan-identical frames — the memo
+    // key is the canonicalized analyzed plan, not object identity. Both
+    // are built BEFORE the listener attaches: spark.read.parquet runs its
+    // own eager file-listing/schema job which is not the count under test.
+    val f1 = docs.select("doc_id", "text")
+    val f2 = graft.Tables.load(spark, SparkTestSession.sfDir, "documents")
+      .select("doc_id", "text")
+    val f3 = docs.select("doc_id", "text").filter("doc_id % 2 = 0")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n1 = graft.Caches.countOnce(f1)
+      val after1 = settle()
+      assert(after1 >= 1, "first countOnce must run a real count job")
+      val n2 = graft.Caches.countOnce(f2)
+      assert(n2 == n1)
+      assert(settle() == after1,
+        "second countOnce over the same input re-ran the count job")
+      // a DIFFERENT input misses the memo and pays its own scan
+      val n3 = graft.Caches.countOnce(f3)
+      assert(n3 < n1 && settle() > after1)
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      graft.Caches.invalidateCounts(spark)
+    }
+  }
 }
