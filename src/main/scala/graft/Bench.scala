@@ -20,12 +20,30 @@ object Bench {
     // stale IVF parquet caches from older fmtVersions accumulate across
     // harness runs — prune once per run (current-version entries are kept)
     graft.operators.IvfIndex.pruneStaleCache(spark)
+    graft.streaming.IndexStore.pruneStale(spark)
     // Warm-up: initialize codegen/JIT, parquet reader, and shuffle machinery
     // once, outside any per-query timing (otherwise the first map entry —
     // arbitrary — absorbs ~4 s of session start-up cost).
     spark.range(1000).selectExpr("sum(id)").collect()
     try SparkEntry.queries("q_events_type_count")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // Host-speed canary: a FIXED plan-trivial probe (synthetic range →
+    // modulo → small-key shuffle → count; no parquet, no query code) timed
+    // min-of-3 after warm-up. bench_out.json carries it as "probe", and
+    // budget files stamp the probe of the run they were generated from
+    // ("_probe"), so the over_budget gate can print a drift-normalized
+    // ratio beside the raw one: raw 1.9× with drift_factor 1.8 is a slow
+    // box, not a plan regression — diagnosing exactly that in r12 cost a
+    // manual worktree rebuild of the prior round's commit.
+    def probeOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 32L << 20, 1, 32)
+        .selectExpr("id % 9973 AS k", "id")
+        .groupBy("k").sum("id")
+        .selectExpr("count(*)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val probe = (1 to 3).map(_ => probeOnce()).min
     // Three timed executions per query, min reported — INTERLEAVED as three
     // full rounds over the whole query list, not back-to-back. Host noise on
     // a shared box arrives in bursts lasting tens of seconds (measured:
@@ -89,7 +107,7 @@ object Bench {
     // same box, so the ratio cancels host speed but NOT a noise burst that
     // hits all three of one query's samples; over_budget is a flag to
     // re-profile isolated, not yet proof of a regression.
-    val budgets: Map[String, Double] = {
+    val budgetFile: Map[String, String] = {
       // budgets are pinned at ONE scale factor ("_sf" stamp) per file —
       // BUDGETS.json carries the sf0.1 driver-gate pins, BUDGETS_SF1.json
       // the 10x scale point. Pick the file whose stamp matches this run's
@@ -105,19 +123,29 @@ object Bench {
         .sortBy(_.getName)
         .map(parse)
         .find(_.get("_sf").forall(_ == sfDir))
-        .map(_.removed("_sf").view.mapValues(_.toDouble).toMap)
         .getOrElse(Map.empty)
     }
+    val budgets: Map[String, Double] =
+      (budgetFile -- Seq("_sf", "_probe")).view.mapValues(_.toDouble).toMap
+    // drift_factor > 1 = this box is SLOWER than the box that pinned the
+    // budgets; raw over-budget ratios near the drift factor are host
+    // noise, ratios well above it are real plan regressions
+    val driftFactor = budgetFile.get("_probe").map(p => probe / p.toDouble)
+      .getOrElse(1.0)
     val overBudget = results.toSeq
       .flatMap { case (name, t) =>
         budgets.get(name).collect { case b if t > 2.0 * b => name -> (t / b) } }
       .sortBy(-_._2)
-    val ob = overBudget
-      .map { case (n, r) => "\"" + n + "\":" + (math.round(r * 100) / 100.0) }
+    def ratios(norm: Double) = overBudget
+      .map { case (n, r) => "\"" + n + "\":" + (math.round(r / norm * 100) / 100.0) }
       .mkString("{", ",", "}")
+    val ob = ratios(1.0)
+    val obNorm = ratios(math.max(driftFactor, 1e-9))
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":$fs,"flaky":$fl,"over_budget":$ob,""" +
+        s""""over_budget_norm":$obNorm,"probe":${math.round(probe * 1000) / 1000.0},""" +
+        s""""drift_factor":${math.round(driftFactor * 1000) / 1000.0},""" +
         s""""budgeted":${budgets.size},"sf":"$sfDir"}"""
     println(line)
     // the harness keeps only a tail of stdout — persist the full record so
