@@ -2,14 +2,27 @@
 """Local pre-check of the driver's t2 gate: run after `sbt "runMain
 graft.Verify <sfDir> <outDir>"`, compares each query's parquet dump against
 the DuckDB oracle on the same tables. Dev-only tool (not part of the shipped
-library). Usage: python3 dev/check.py <sfDir> <outDir>
+library).
+
+Usage: python3 dev/check.py <sfDir> <outDir>
+       python3 dev/check.py --sf 0.1 <outDir>   # /root/testdata/sf0.1
+
+The --sf form exists for oracle spot-runs ABOVE the driver's sf0.01 gate:
+the statistics-gated operators (x2_jaccard_*, x2_containment_*, the
+HammingJoin family) may choose a different plan at sf0.1 than at sf0.01,
+so one recorded sf0.1 run (with SPARK_GRAFT_CONF forcing the alternate
+path where needed) closes the loop that spec-level plan-parity tests open.
 """
 import json, sys, glob, os
 import duckdb
 import pandas as pd
 import numpy as np
 
-sfdir, outdir = sys.argv[1], sys.argv[2]
+args = sys.argv[1:]
+if args and args[0] == "--sf":
+    sfdir, outdir = f"/root/testdata/sf{args[1]}", args[2]
+else:
+    sfdir, outdir = args[0], args[1]
 con = duckdb.connect()
 for p in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(p)[:-8]
