@@ -22,7 +22,7 @@ Refresh deliberately (after an accepted perf change), never automatically.
 import json, sys
 
 
-def build(bench):
+def build(bench, prior=None):
     """bench_out.json dict -> budgets dict (the file we write)."""
     assert not bench.get("failed"), (
         f"refusing budgets from a run with failures: {bench['failed']}")
@@ -30,9 +30,14 @@ def build(bench):
     # applies the over_budget gate when its own sf matches (a 10x scale run
     # compared against sf0.1 budgets would flag every query). "_probe"
     # stamps the source box's calibration probe for drift normalization.
+    # "_excluded.<query>" records (policy decisions, not measurements) are
+    # carried over from the prior budgets file, never regenerated away.
     out = {"_sf": bench["sf"]}
     if "probe" in bench:
         out["_probe"] = round(bench["probe"], 3)
+    for k, v in sorted((prior or {}).items()):
+        if k.startswith("_excluded."):
+            out[k] = v
     out.update({k: round(v, 3) for k, v in sorted(bench["queries"].items())})
     return out
 
@@ -49,6 +54,12 @@ def selftest():
     assert set(k for k in out if k.startswith("_")) == {"_sf", "_probe"}
     # a probe-less bench (old record) still builds, just without the stamp
     assert "_probe" not in build({"sf": "x", "queries": {}, "failed": []})
+    # _excluded.* policy records survive regeneration; stale budgets do not
+    prior = {"_sf": "old", "_excluded.x_exact": "output-bound oracle floor",
+             "zz_dropped": 9.9}
+    out2 = build(bench, prior)
+    assert out2["_excluded.x_exact"] == "output-bound oracle floor"
+    assert "zz_dropped" not in out2
     # a run with failures must refuse
     try:
         build({"sf": "x", "queries": {}, "failed": ["q_boom"]})
@@ -69,7 +80,11 @@ if __name__ == "__main__":
     src = sys.argv[1] if len(sys.argv) > 1 else "bench_out.json"
     dst = sys.argv[2] if len(sys.argv) > 2 else "BUDGETS.json"
     b = json.load(open(src))
-    out = build(b)
+    try:
+        prior = json.load(open(dst))
+    except (FileNotFoundError, ValueError):
+        prior = None
+    out = build(b, prior)
     meta = sum(1 for k in out if k.startswith("_"))
     with open(dst, "w") as f:
         json.dump(out, f, indent=1)

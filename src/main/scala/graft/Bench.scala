@@ -125,8 +125,17 @@ object Bench {
         .find(_.get("_sf").forall(_ == sfDir))
         .getOrElse(Map.empty)
     }
+    // meta keys ride an "_" prefix; "_excluded.<query>" records a query
+    // DELIBERATELY not budgeted at this sf (e.g. the exact pair-list
+    // oracle floors whose output is quadratic by contract — their LSH /
+    // decision twins are the budgeted 100 TB defaults). Any query that
+    // runs at a budgeted sf and is neither budgeted nor excluded lands in
+    // "unbudgeted" — the machine check that a silent-regression hole is a
+    // POLICY choice, never an omission.
     val budgets: Map[String, Double] =
-      (budgetFile -- Seq("_sf", "_probe")).view.mapValues(_.toDouble).toMap
+      budgetFile.filterNot(_._1.startsWith("_")).view.mapValues(_.toDouble).toMap
+    val excluded = budgetFile.keySet.collect {
+      case k if k.startsWith("_excluded.") => k.stripPrefix("_excluded.") }
     // drift_factor > 1 = this box is SLOWER than the box that pinned the
     // budgets; raw over-budget ratios near the drift factor are host
     // noise, ratios well above it are real plan regressions
@@ -141,11 +150,15 @@ object Bench {
       .mkString("{", ",", "}")
     val ob = ratios(1.0)
     val obNorm = ratios(math.max(driftFactor, 1e-9))
+    val unbudgeted = if (budgets.isEmpty) Nil
+      else results.keys.filterNot(n =>
+        budgets.contains(n) || excluded.contains(n)).toSeq
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":$fs,"flaky":$fl,"over_budget":$ob,""" +
         s""""over_budget_norm":$obNorm,"probe":${math.round(probe * 1000) / 1000.0},""" +
         s""""drift_factor":${math.round(driftFactor * 1000) / 1000.0},""" +
+        s""""unbudgeted":${strList(unbudgeted)},""" +
         s""""budgeted":${budgets.size},"sf":"$sfDir"}"""
     println(line)
     // the harness keeps only a tail of stdout — persist the full record so
