@@ -35,15 +35,19 @@ object Bench {
     // ratio beside the raw one: raw 1.9× with drift_factor 1.8 is a slow
     // box, not a plan regression — diagnosing exactly that in r12 cost a
     // manual worktree rebuild of the prior round's commit.
+    // deliberately SMALL (4M rows, ~0.1 s): the probe must read box speed
+    // without perturbing the session it calibrates — a 32M-row variant
+    // left enough allocator/GC residue to show up in the first queries
     def probeOnce(): Double = {
       val t0 = System.nanoTime()
-      spark.range(0, 32L << 20, 1, 32)
+      spark.range(0, 4L << 20, 1, 32)
         .selectExpr("id % 9973 AS k", "id")
         .groupBy("k").sum("id")
         .selectExpr("count(*)").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    val probe = (1 to 3).map(_ => probeOnce()).min
+    val probe = if (sys.env.contains("SPARK_GRAFT_NOPROBE")) 0.0
+      else (1 to 3).map(_ => probeOnce()).min
     // Three timed executions per query, min reported — INTERLEAVED as three
     // full rounds over the whole query list, not back-to-back. Host noise on
     // a shared box arrives in bursts lasting tens of seconds (measured:

@@ -117,8 +117,23 @@ object Caches {
   /** `df.count()`, memoized per (session, canonicalized analyzed plan).
     * For gate-site STATISTICS only — not for counts whose freshness
     * matters against a frame being rewritten under the same plan.
+    *
+    * PERSISTED frames are exempt from the memo and always count: their
+    * eager gate count is not just a statistics scan, it is the SERIAL
+    * cache-priming their multi-consumer owner depends on. A memo hit that
+    * skips it pushes materialization into the query's parallel DAG, where
+    * several independent stages compute the cold cache through per-
+    * partition cache locks and convoy the task slots — measured on
+    * x2_jaccard_bigram at sf3: 54 s with the eager count, 86-134 s with
+    * the value-only memo, and the heap churn degraded even the FOLLOWING
+    * unrelated query 3-5x (x4_tfidf 3.4 -> 10-20 s). The memo therefore
+    * covers exactly the inputs with no cache to prime: table/artifact
+    * parquet reads and unpersisted derived frames.
     */
   def countOnce(df: DataFrame): Long = {
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE ||
+        df.sparkSession.conf.getOption("graft.caches.countMemo").contains("false"))
+      return df.count()
     val key = planKey(df)
     counts.synchronized(counts.get(key)) match {
       case Some(c) => c
