@@ -62,6 +62,15 @@ object Broadcasts {
 
   /** The gate itself: `broadcast` below the limit, `identity` above it —
     * drop-in for the `bs(frame)` pattern at every join site.
+    *
+    * Deliberately NO forced-strategy middle tier above the limit: an r13
+    * sf3 ablation added a SHUFFLE_HASH build hint for over-gate frames
+    * under 1 GiB and measured the jaccard verify join's warm steady state
+    * at 78 s vs 16 s un-hinted (cold first execution improved 4×, which is
+    * the state neither the min-of-N bench nor a long-lived executor sees).
+    * The identity branch leaves the planner AND AQE's runtime re-plan free
+    * to pick the strategy from observed shuffle statistics — a static hint
+    * here overrides them with construction-time guesses.
     */
   def gate(s: SparkSession, site: String, rows: Long, rowBytes: Long,
       defaultBytes: Long, legacyRowsConf: String = null)

@@ -588,8 +588,19 @@ object Llm {
     //     candidates;
     //   * size band: J >= t forces least(na,nb) >= t*greatest(na,nb), i.e.
     //     sizes within 1/t — geometric bands band(n) = floor(ln n/ln(1/t))
-    //     put every qualifying pair at most ONE band apart (probe side
-    //     visits {band-1, band, band+1});
+    //     put every qualifying pair at most ONE band apart. The join is
+    //     DIRECTIONAL (probe = larger side by (n, sid), index = smaller):
+    //     band(smaller) <= band(larger), so the probe side visits only
+    //     {band-1, band} — a 1/3 cut of the exploded probe stream vs the
+    //     symmetric ±1 form;
+    //   * indexing prefix (PPJoin, Xiao et al. WWW'08 §3.2): the SMALLER
+    //     side of a qualifying pair has overlap O >= 2t/(1+t)·nb (plug
+    //     na >= nb into O >= t(na+nb)/(1+t)), so its first common element
+    //     sits within its first nb − ⌈2t/(1+t)·nb⌉ + 1 — at t=0.7 that is
+    //     0.18·n vs the probing prefix's 0.3·n, and candidate volume per
+    //     key is the PRODUCT of the two prefix lengths (the r13 sf3 probe
+    //     measured 5e8 candidate rows for 157k qualifying pairs with flat
+    //     per-key dfs — prefix length, not skew, is the volume);
     //   * position (PPJoin, Xiao et al. WWW'08): a row matching at
     //     0-based prefix positions (pa, pb) bounds the overlap by
     //     1 + min(na−pa−1, nb−pb−1); rows below the required minimum
@@ -612,36 +623,8 @@ object Llm {
     val bs = graft.Broadcasts.gate(tok.sparkSession, "jaccard",
       graft.Caches.countOnce(sets), rowBytes = 400, defaultBytes = 40L << 20,
       legacyRowsConf = "graft.jaccard.broadcastThreshold")
-    def bandOf(n: Column): Column =
-      if (t >= 1.0) n.cast("long") // J >= 1 forces equal sizes exactly
-      else floor(log(n.cast("double")) / lit(math.log(1.0 / t))).cast("long")
+    val candIds = bitsetCandIds(sets, t, bs)
     val tMicros = math.round(t * 1e6)
-    // integer ceil everywhere — an FP ceil can round a half-ulp and
-    // silently shorten the prefix below the safe bound
-    def prefSlice(arr: String, n: String): Column =
-      expr(s"slice($arr, 1, cast($n - (($n * $tMicros + 999999) div 1000000) + 1 as int))")
-    val aKeys = sets
-      .select(col("arr").as("arra"), col("n").as("na"), col("sid").as("sa"))
-      .withColumn("bk",
-        explode(sequence(bandOf(col("na")) - 1, bandOf(col("na")) + 1)))
-      .select(col("sa"), col("na"), col("bk"),
-        posexplode(prefSlice("arra", "na")).as(Seq("pa", "pw")))
-    val bKeys = sets
-      .select(col("arr").as("arrb"), col("n").as("nb"), col("sid").as("sb"))
-      .withColumn("bk2", bandOf(col("nb")))
-      .select(col("sb"), col("nb"), col("bk2"),
-        posexplode(prefSlice("arrb", "nb")).as(Seq("pb", "pw2")))
-    // minimum overlap i with J(a,b) >= t: i(1+t) >= t(na+nb)
-    val minOverlap =
-      expr(s"(($tMicros * (na + nb) + ${1000000L + tMicros} - 1) div ${1000000L + tMicros})")
-    val candIds = aKeys.join(bs(bKeys),
-        col("pw") === col("pw2") && col("bk") === col("bk2") &&
-          col("sa") <= col("sb") &&
-          least(col("na"), col("nb")).cast("double") >=
-            greatest(col("na"), col("nb")) * t &&
-          lit(1) + least(col("na") - col("pa") - 1,
-            col("nb") - col("pb") - 1) >= minOverlap)
-      .select("sa", "sb").dropDuplicates("sa", "sb")
     // verify: ONE merge-scan intersection per deduped pair (arrays are
     // sorted), then the exact integer form of J >= t — decided exactly
     // like the division form the survivors' `j` below (and the oracle)
@@ -657,6 +640,55 @@ object Llm {
         (col("na") + col("nb") - col("i")).cast("double"))
       .select("sa", "sb", "j")
     (sets, pairs)
+  }
+
+  /** Candidate (sa, sb) ids from the (prefix, band) blocking — split out so
+    * the profiler can time candidate generation apart from verification.
+    */
+  private[graft] def bitsetCandIds(sets: DataFrame, t: Double,
+      bs: DataFrame => DataFrame): DataFrame = {
+    def bandOf(n: Column): Column =
+      if (t >= 1.0) n.cast("long") // J >= 1 forces equal sizes exactly
+      else floor(log(n.cast("double")) / lit(math.log(1.0 / t))).cast("long")
+    val tMicros = math.round(t * 1e6)
+    // integer ceil everywhere — an FP ceil can round a half-ulp and
+    // silently shorten the prefix below the safe bound
+    def prefSlice(arr: String, n: String): Column =
+      expr(s"slice($arr, 1, cast($n - (($n * $tMicros + 999999) div 1000000) + 1 as int))")
+    // indexing prefix: n − ⌈2t/(1+t)·n⌉ + 1 (valid on the pair's SMALLER
+    // side only — the directional join condition below guarantees nb <= na)
+    def idxSlice(arr: String, n: String): Column = {
+      val den = 1000000L + tMicros
+      expr(s"slice($arr, 1, cast($n - (($n * ${2 * tMicros} + ${den - 1}) div $den) + 1 as int))")
+    }
+    val aKeys = sets
+      .select(col("arr").as("arra"), col("n").as("na"), col("sid").as("sa"))
+      .withColumn("bk",
+        explode(sequence(bandOf(col("na")) - 1, bandOf(col("na")))))
+      .select(col("sa"), col("na"), col("bk"),
+        posexplode(prefSlice("arra", "na")).as(Seq("pa", "pw")))
+    val bKeys = sets
+      .select(col("arr").as("arrb"), col("n").as("nb"), col("sid").as("sb"))
+      .withColumn("bk2", bandOf(col("nb")))
+      .select(col("sb"), col("nb"), col("bk2"),
+        posexplode(idxSlice("arrb", "nb")).as(Seq("pb", "pw2")))
+    // minimum overlap i with J(a,b) >= t: i(1+t) >= t(na+nb)
+    val minOverlap =
+      expr(s"(($tMicros * (na + nb) + ${1000000L + tMicros} - 1) div ${1000000L + tMicros})")
+    // direction: (nb, sb) <= (na, sa) lexicographically — each unordered
+    // pair matches in exactly ONE orientation (self-pairs via equality),
+    // which is also what licenses the short indexing prefix on b
+    val candIds = aKeys.join(bs(bKeys),
+        col("pw") === col("pw2") && col("bk") === col("bk2") &&
+          (col("nb") < col("na") ||
+            (col("nb") === col("na") && col("sb") <= col("sa"))) &&
+          col("nb").cast("double") >= col("na") * t &&
+          lit(1) + least(col("na") - col("pa") - 1,
+            col("nb") - col("pb") - 1) >= minOverlap)
+      .select(least(col("sa"), col("sb")).as("sa"),
+        greatest(col("sa"), col("sb")).as("sb"))
+      .dropDuplicates("sa", "sb")
+    candIds
   }
 
   private def bitsetJaccardPairs(tok: DataFrame, t: Double, vocab: Int): DataFrame = {

@@ -25,6 +25,11 @@ object ProfileMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same ablation hook as Bench/Verify: semicolon-separated session confs
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k.trim, v.trim)
+      })
     spark.range(1000).selectExpr("sum(id)").collect() // warm codegen/JIT
 
     names.foreach {
@@ -645,14 +650,28 @@ object ProfileMain {
       val (sets, pairs) = graft.queries.Llm.bitsetSetsAndPairs(tok, 0.7, vocab.toInt)
       val nSets = time("sets (masks+collapse)") { sets.count() }
       println(s"[profile] distinct sets=$nSets")
+      val nCand = time("candidate ids (gen+dedup)") {
+        graft.queries.Llm.bitsetCandIds(sets, 0.7, identity).count()
+      }
+      println(s"[profile] deduped candidates=$nCand")
       val nPairs = time("set-pair NLJ") { pairs.count() }
       println(s"[profile] qualifying set pairs=$nPairs")
-      time("full query (expand+sort)") {
+      val nOut = time("full query (expand+sort)") {
         SparkEntry.queries("x2_jaccard_bigram")(spark, dir).count()
       }
-      time("prefix path (for comparison)") {
-        graft.queries.Llm.prefixJaccardPairs(tok, 0.7).count()
-      }
+      println(s"[profile] output pairs=$nOut")
+      // prefix-path comparison only when its join bound is inside the
+      // dispatcher's budget: the r08 sf1 run measured this exact corpus
+      // shape filling the disk on the prefix path, and a profiler must not
+      // re-run the plan the dispatcher exists to avoid
+      val sumDf2 = tok.groupBy("w").agg(count(lit(1)).as("df"))
+        .agg(sum(col("df") * col("df"))).head().getLong(0)
+      println(s"[profile] sum df^2 = $sumDf2")
+      if (sumDf2 <= 200000000L) {
+        time("prefix path (for comparison)") {
+          graft.queries.Llm.prefixJaccardPairs(tok, 0.7).count()
+        }
+      } else println("[profile] prefix path skipped (sum df^2 over budget)")
       graft.Caches.drain(spark)
     }
   }

@@ -46,6 +46,27 @@ class BroadcastsSpec extends AnyFunSuite {
     finally spark.conf.unset("graft.broadcast.bs_test_ovf")
   }
 
+  test("over-gate frames carry NO forced-strategy hint — the planner/AQE " +
+      "keeps the choice") {
+    val a = spark.range(0, 1000).toDF("k")
+    val b = spark.range(0, 100).toDF("k")
+    spark.conf.set("graft.broadcast.bs_tier", "0") // never broadcast
+    try {
+      // an r13 sf3 ablation measured a SHUFFLE_HASH middle tier at 5x the
+      // un-hinted warm steady state on the jaccard verify join — the
+      // identity branch is a measured decision, pinned here: no hint node
+      // may appear in the over-gate plan
+      val g = Broadcasts.gate(spark, "bs_tier", rows = 100, rowBytes = 8,
+        defaultBytes = 0)
+      val gated = g(b)
+      assert(gated eq b, "over-gate branch must be identity (no hint wrapper)")
+      val p = a.join(gated, "k").queryExecution.analyzed.toString
+      assert(!p.contains("hint"), s"no hint may survive the gate; plan=\n$p")
+    } finally {
+      spark.conf.unset("graft.broadcast.bs_tier")
+    }
+  }
+
   test("graft.broadcast.default flips every site without its own conf") {
     spark.conf.set("graft.broadcast.default", "0")
     try {
