@@ -556,6 +556,27 @@ object Llm {
     * the QUALIFYING SET PAIRS (sa, sb, j) — shared by pair expansion and by
     * set-level dedup clustering (which never needs doc-level edges).
     */
+  /** Collapsed distinct sets over `tok` as GLOBAL-RARITY-ordered index
+    * arrays: (arr, n, ds, sid) with arr the sorted (document frequency
+    * asc, element asc) vocabulary indices, ds the doc ids sharing the set,
+    * sid = min doc id. ONE construction shared by the Jaccard AND
+    * containment bitset paths — the funnel runs both legs over the same
+    * keepers tokens, and separate set encodings paid the multi-shuffle
+    * build (index window, array aggregation, collapse) twice for frames
+    * the cache could share (canonical-plan equality is what dedups the
+    * persist AND the countOnce statistics).
+    */
+  private[graft] def raritySets(tok: DataFrame): DataFrame = {
+    val w = Window.orderBy("df", "w")
+    val idx = tok.groupBy("w").agg(count(lit(1)).as("df"))
+      .select(col("w"), (row_number().over(w) - 1).cast("long").as("i"))
+    val arrs = tok.join(broadcast(idx), "w")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list("i")).as("arr"), count(lit(1)).as("n"))
+    graft.Caches.persist(arrs.groupBy("arr", "n")
+      .agg(collect_list("doc_id").as("ds"), min("doc_id").as("sid")))
+  }
+
   private[graft] def bitsetSetsAndPairs(tok: DataFrame, t: Double,
       vocab: Int): (DataFrame, DataFrame) = {
     // vocabulary index in GLOBAL RARITY order (document frequency asc,
@@ -568,14 +589,7 @@ object Llm {
     // in the verify kernel. Single-partition window over <= maskVocabLimit
     // rows (the dispatcher routes truly open vocabularies to the prefix
     // path; the closed-vocab fallback is bounded at 65536 by default).
-    val w = Window.orderBy("df", "w")
-    val idx = tok.groupBy("w").agg(count(lit(1)).as("df"))
-      .select(col("w"), (row_number().over(w) - 1).cast("long").as("i"))
-    val arrs = tok.join(broadcast(idx), "w")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list("i")).as("arr"), count(lit(1)).as("n"))
-    val sets = graft.Caches.persist(arrs.groupBy("arr", "n")
-      .agg(collect_list("doc_id").as("ds"), min("doc_id").as("sid")))
+    val sets = raritySets(tok)
       // consumed by both sides of the set-pair join + 2 expansions
     // (PREFIX-ELEMENT, SIZE-BAND) blocking + POSITIONAL filter — all
     // implied by J >= t, so the blocking is pure pruning:
@@ -620,25 +634,48 @@ object Llm {
     // sides on the key, which Spark distributes.
     // broadcast side is the EXPLODED prefix-key frame: ~400 B per distinct
     // set (avg prefix length × the (sb, nb, bk2, pb, pw2) row) — byte gate
+    val nSets = graft.Caches.countOnce(sets)
     val bs = graft.Broadcasts.gate(tok.sparkSession, "jaccard",
-      graft.Caches.countOnce(sets), rowBytes = 400, defaultBytes = 40L << 20,
+      nSets, rowBytes = 400, defaultBytes = 40L << 20,
       legacyRowsConf = "graft.jaccard.broadcastThreshold")
-    val candIds = bitsetCandIds(sets, t, bs)
     val tMicros = math.round(t * 1e6)
-    // verify: ONE merge-scan intersection per deduped pair (arrays are
-    // sorted), then the exact integer form of J >= t — decided exactly
-    // like the division form the survivors' `j` below (and the oracle)
-    val pairs = candIds
-      .join(bs(sets.select(col("sid").as("sa"), col("arr").as("arra"),
-        col("n").as("na"))), "sa")
-      .join(bs(sets.select(col("sid").as("sb"), col("arr").as("arrb"),
-        col("n").as("nb"))), "sb")
-      .withColumn("i", call_function("graft_isect", col("arra"), col("arrb")))
-      .filter(col("i") * lit(1000000L + tMicros) >=
-        lit(tMicros) * (col("na") + col("nb")))
-      .withColumn("j", col("i").cast("double") /
-        (col("na") + col("nb") - col("i")).cast("double"))
-      .select("sa", "sb", "j")
+    val words = (vocab + 63) / 64
+    // dense-regime kernel: when the collapsed sets fit the pairscan gate,
+    // the full S² bitmask scan (SetPairScan) replaces candidate blocking +
+    // verify outright — on closed vocabularies every set shares high-df
+    // elements with most others, so the (prefix, band) join degenerates to
+    // ~S² candidate visits anyway and the kernel wins on the per-pair
+    // constant. Masks are rebuilt from the rarity arrays only on this
+    // path (words·8 B/set; the gate bounds the total). Exact in the SAME
+    // integer form as the relational verify below, so the dispatch is
+    // invisible to the oracle.
+    val pairs =
+      if (graft.operators.SetPairScan.fits(tok.sparkSession, nSets, words))
+        graft.operators.SetPairScan.pairs(
+          sets.select(col("sid"),
+            call_function("graft_mask", col("arr"), lit(words)).as("mask"),
+            col("n")),
+          graft.operators.SetPairScan.Jaccard(tMicros))
+          .withColumn("j", col("i").cast("double") /
+            (col("na") + col("nb") - col("i")).cast("double"))
+          .select("sa", "sb", "j")
+      else {
+        val candIds = bitsetCandIds(sets, t, bs)
+        // verify: ONE merge-scan intersection per deduped pair (arrays are
+        // sorted), then the exact integer form of J >= t — decided exactly
+        // like the division form the survivors' `j` below (and the oracle)
+        candIds
+          .join(bs(sets.select(col("sid").as("sa"), col("arr").as("arra"),
+            col("n").as("na"))), "sa")
+          .join(bs(sets.select(col("sid").as("sb"), col("arr").as("arrb"),
+            col("n").as("nb"))), "sb")
+          .withColumn("i", call_function("graft_isect", col("arra"), col("arrb")))
+          .filter(col("i") * lit(1000000L + tMicros) >=
+            lit(tMicros) * (col("na") + col("nb")))
+          .withColumn("j", col("i").cast("double") /
+            (col("na") + col("nb") - col("i")).cast("double"))
+          .select("sa", "sb", "j")
+      }
     (sets, pairs)
   }
 
@@ -784,45 +821,80 @@ object Llm {
       num: Int, den: Int): DataFrame = containmentPairs(s, tok, num, den)
 
   private def containmentPairs(s: SparkSession, tok0: DataFrame,
-      num: Int, den: Int): DataFrame = {
+      num: Int, den: Int): DataFrame =
+    containmentPairsSized(s, tok0, num, den, minRatio = 1)
+      .select(col("doc_a"), col("doc_b"),
+        expr("i * 10000 div least(na, nb)").as("containment_e4"),
+        expr("i * 10000 div (na + nb - i)").as("jaccard_e4"))
+      .orderBy("doc_a", "doc_b")
+
+  /** The containment pair machinery WITHOUT the presentation projection:
+    * rows (doc_a, doc_b, i, na, nb) with doc_a < doc_b (except the exact
+    * set-dup self-pairs, doc_a < doc_b always), na/nb the two docs'
+    * distinct-token counts in pair orientation, unsorted. `minRatio` > 1
+    * pushes the caller's size-ratio guard (`least·minRatio ≤ greatest`)
+    * INTO the set-level candidate join: the funnel's snippet gate only
+    * consumes pairs with a ≥2× size gap, and filtering the full pair list
+    * after the fact paid the doc expansion + a global sort of millions of
+    * C ≥ t pairs (dense near-dup corpora qualify most set pairs) to keep
+    * hundreds.
+    */
+  private[graft] def containmentPairsSized(s: SparkSession, tok0: DataFrame,
+      num: Int, den: Int, minRatio: Int): DataFrame = {
     graft.functions.NativeExpressions.register(s)
     val tok = graft.Caches.persist(tok0)
     val vocabSize = graft.Caches.countOnce(tok.select("w").distinct())
-    if (vocabSize <= vocabThreshold(s)) bitsetContainmentPairs(tok, vocabSize.toInt, num, den)
-    else if (prefixWouldExplode(s, tok, vocabSize))
-      bitsetContainmentPairs(tok, vocabSize.toInt, num, den)
-    else prefixContainmentPairs(tok, num, den)
+    if (vocabSize <= vocabThreshold(s) || prefixWouldExplode(s, tok, vocabSize))
+      bitsetContainmentPairs(tok, vocabSize.toInt, num, den, minRatio)
+    else prefixContainmentPairs(tok, num, den, minRatio)
   }
 
   private[graft] def bitsetContainmentPairs(tok: DataFrame, vocab: Int,
-      num: Int, den: Int): DataFrame = {
+      num: Int, den: Int, minRatio: Int = 1): DataFrame = {
     val words = (vocab + 63) / 64
-    val w = Window.orderBy("w")
-    val idx = tok.select("w").distinct()
-      .select(col("w"), (row_number().over(w) - 1).cast("long").as("i"))
-    val masks = tok.join(broadcast(idx), "w")
-      .groupBy("doc_id")
-      .agg(call_function("graft_mask", collect_list("i"), lit(words)).as("mask"),
-        count(lit(1)).as("n"))
-    // identical token sets collapse to one row before the S² pair join;
-    // doc ids re-attach by set id (= min doc) after, as in the Jaccard path
-    val sets = graft.Caches.persist(masks.groupBy("mask", "n")
-      .agg(collect_list("doc_id").as("ds"), min("doc_id").as("sid")))
-    // broadcast side rows are (mask: words longs, n, sid) — byte-sized gate
+    // the SAME rarity-array sets as the Jaccard path — when a caller (the
+    // funnel) runs both legs over one token frame, the persist and the
+    // countOnce statistics below dedup by canonical-plan equality
+    val sets = raritySets(tok)
+    val nSets = graft.Caches.countOnce(sets)
+    // over-gate broadcast estimate: rows carry the full index array —
+    // n ≤ vocab elements of 8 B (a conservative bound; dense closed-vocab
+    // sets really do approach it)
     val bs = graft.Broadcasts.gate(tok.sparkSession, "jaccard",
-      graft.Caches.countOnce(sets), rowBytes = 8L * words + 32, defaultBytes = 40L << 20,
+      nSets, rowBytes = 8L * math.max(vocab, 1) + 32, defaultBytes = 40L << 20,
       legacyRowsConf = "graft.jaccard.broadcastThreshold")
-    def isect(l: Column, r: Column) = call_function("graft_mask_isect", l, r)
-    val a = sets.select(col("mask").as("maska"), col("n").as("na"), col("sid").as("sa"))
-    val b = sets.select(col("mask").as("maskb"), col("n").as("nb"), col("sid").as("sb"))
-    // sa ≤ sb admits the IDENTICAL-set pair (C = 1.0 trivially qualifies:
-    // its docs are exact set-dups of each other) — expanded with x < y below
-    val pairs = a.join(bs(b),
-        col("sa") <= col("sb") &&
-          isect(col("maska"), col("maskb")) * den >=
-            least(col("na"), col("nb")) * num)
-      .withColumn("i", isect(col("maska"), col("maskb")))
-      .select(col("sa"), col("sb"), col("i"), col("na"), col("nb"))
+    def isect(l: Column, r: Column) = call_function("graft_isect", l, r)
+    // dense-regime kernel vs relational NLJ — both exact S² plans; the
+    // kernel drops the ~300 ns/pair row-iterator+expression-eval constant
+    // to ~words popcounts (see SetPairScan). The NLJ survives as the
+    // over-gate fallback AND the spec-pinned shuffle-regime plan.
+    val pairs =
+      if (graft.operators.SetPairScan.fits(tok.sparkSession, nSets, words))
+        graft.operators.SetPairScan.pairs(
+          sets.select(col("sid"),
+            call_function("graft_mask", col("arr"), lit(words)).as("mask"),
+            col("n")),
+          graft.operators.SetPairScan.Containment(num, den, minRatio))
+      else {
+        val a = sets.select(col("arr").as("arra"), col("n").as("na"),
+          col("sid").as("sa"))
+        val b = sets.select(col("arr").as("arrb"), col("n").as("nb"),
+          col("sid").as("sb"))
+        // sa ≤ sb admits the IDENTICAL-set pair (C = 1.0 trivially
+        // qualifies: its docs are exact set-dups of each other) — expanded
+        // with x < y below. The size-ratio guard sits FIRST in the
+        // conjunction: two long compares short-circuit the per-pair
+        // merge-scan intersection for every pair the caller's ratio gate
+        // would drop anyway (at minRatio = 1 it folds to a tautology).
+        a.join(bs(b),
+            col("sa") <= col("sb") &&
+              least(col("na"), col("nb")) * minRatio <=
+                greatest(col("na"), col("nb")) &&
+              isect(col("arra"), col("arrb")) * den >=
+                least(col("na"), col("nb")) * num)
+          .withColumn("i", isect(col("arra"), col("arrb")))
+          .select(col("sa"), col("sb"), col("i"), col("na"), col("nb"))
+      }
     pairs
       .join(sets.select(col("sid").as("sa"), col("ds").as("da")), "sa")
       .join(sets.select(col("sid").as("sb"), col("ds").as("db")), "sb")
@@ -832,14 +904,13 @@ object Llm {
         col("x"), explode(col("db")).as("y"))
       .filter((col("sa") === col("sb") && col("x") < col("y")) || col("sa") < col("sb"))
       .select(least(col("x"), col("y")).as("doc_a"),
-        greatest(col("x"), col("y")).as("doc_b"),
-        expr("i * 10000 div least(na, nb)").as("containment_e4"),
-        expr("i * 10000 div (na + nb - i)").as("jaccard_e4"))
-      .orderBy("doc_a", "doc_b")
+        greatest(col("x"), col("y")).as("doc_b"), col("i"),
+        when(col("x") < col("y"), col("na")).otherwise(col("nb")).as("na"),
+        when(col("x") < col("y"), col("nb")).otherwise(col("na")).as("nb"))
   }
 
   private[graft] def prefixContainmentPairs(tok: DataFrame,
-      num: Int, den: Int): DataFrame = {
+      num: Int, den: Int, minRatio: Int = 1): DataFrame = {
     val dfreq = tok.groupBy("w").agg(count(lit(1)).as("df"))
     // persisted: probe (prefix) and index (full) sides + nothing else —
     // registered so the harness drains it after the query
@@ -867,21 +938,20 @@ object Llm {
     val cand = pref.as("a").join(full.as("b"),
         col("a.w") === col("b.w") &&
           (col("b.n") > col("a.n") ||
-            (col("b.n") === col("a.n") && col("a.doc_id") =!= col("b.doc_id"))))
+            (col("b.n") === col("a.n") && col("a.doc_id") =!= col("b.doc_id"))) &&
+          least(col("a.n"), col("b.n")) * minRatio <=
+            greatest(col("a.n"), col("b.n")))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     cand
       .join(sorted.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
-        col("n").as("pa")), "doc_a")
+        col("n").as("na")), "doc_a")
       .join(sorted.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
-        col("n").as("pb")), "doc_b")
+        col("n").as("nb")), "doc_b")
       .withColumn("i", size(array_intersect(col("ta"), col("tb"))).cast("long"))
-      .filter(col("i") * den >= least(col("pa"), col("pb")) * num)
-      .select(col("doc_a"), col("doc_b"),
-        expr("i * 10000 div least(pa, pb)").as("containment_e4"),
-        expr("i * 10000 div (pa + pb - i)").as("jaccard_e4"))
-      .orderBy("doc_a", "doc_b")
+      .filter(col("i") * den >= least(col("na"), col("nb")) * num)
+      .select("doc_a", "doc_b", "i", "na", "nb")
   }
 
   /** Band budget for the cross-stratum tier of [[containmentLshPairs]] —
@@ -1486,17 +1556,25 @@ object Llm {
   private[graft] def curationContainmentRejects(keepers: DataFrame,
       cNum: Int = 9, cDen: Int = 10): DataFrame = {
     val s = keepers.sparkSession
-    val tok = keepers.select(col("doc_id"),
+    // tok is built over keepers.select("doc_id", "text") — the EXACT plan
+    // shape [[curationStages]]'s cluster leg feeds dedupClusters — so the
+    // two legs' persisted tokenizations and rarity-set frames are
+    // canonically equal and Spark's cache manager (plus the countOnce
+    // memo) shares one materialization across the whole funnel. Building
+    // straight over `keepers` leaves an uncollapsed projection in the
+    // analyzed plan and NOTHING shares (canonicalization does not run
+    // CollapseProject).
+    val tok = keepers.select("doc_id", "text").select(col("doc_id"),
       explode(TF.tokenSet(col("text"))).as("w"))
-    val cnt = graft.Caches.persist(
-      tok.groupBy("doc_id").agg(count(lit(1)).as("n")))
     // candidates from the DISPATCHED exact containment machinery (bitset /
     // prefix-filtered — the x2_containment engine), not a naive token
-    // self-join: identical pair set, sub-quadratic candidate generation
-    containmentPairs(s, tok, cNum, cDen)
-      .join(cnt.toDF("doc_a", "na"), "doc_a")
-      .join(cnt.toDF("doc_b", "nb"), "doc_b")
-      .filter(least(col("na"), col("nb")) * 2 <= greatest(col("na"), col("nb")))
+    // self-join: identical pair set, sub-quadratic candidate generation.
+    // minRatio = 2 pushes the snippet gate's size guard into the set-level
+    // candidate join, and the sized rows carry both docs' distinct-token
+    // counts — the old form re-derived them with two count joins against
+    // the GLOBALLY SORTED full C ≥ t pair list (millions of rows on a
+    // dense near-dup corpus) to keep the few hundred ≥2×-gap pairs.
+    containmentPairsSized(s, tok, cNum, cDen, minRatio = 2)
       .select(when(col("na") < col("nb"), col("doc_a"))
         .otherwise(col("doc_b")).as("doc_id"))
       .distinct()

@@ -45,6 +45,7 @@ object ProfileMain {
       case "@rrf" => rrfPieces(spark, sfDir)
       case "@bigramstats" => bigramStats(spark, sfDir)
       case "@screens" => screenPieces(spark, sfDir)
+      case "@funnel" => funnelPieces(spark, sfDir)
       // warm:<query> — 3 runs with NO cache drain between them, mimicking
       // the r01-era min-of-2 bench whose persisted frames stayed warm
       // across samples; the run2/run3 times are what those era numbers
@@ -632,6 +633,36 @@ object ProfileMain {
         SparkEntry.queries("x4_dsir")(spark, dir).count()
       }
       graft.Caches.drain(spark)
+    }
+  }
+
+  /** Staged decomposition of x4_funnel_containment — the heaviest bench
+    * query at sf0.1: each funnel stage timed on its own action, round 2 =
+    * warm steady state (the bench's min-of-N regime).
+    */
+  private def funnelPieces(spark: SparkSession, dir: String): Unit = {
+    (1 to 2).foreach { round =>
+      println(s"[profile] --- round $round ---")
+      val d = graft.Tables.load(spark, dir, "documents")
+      val (qual, keepers, reps0) =
+        graft.queries.Llm.curationStages(spark, d)
+      val nQual = time("stage2 quality gate") { qual.count() }
+      val nKeep = time("stage3 exact-dedup keepers") { keepers.count() }
+      val reps = graft.Caches.persist(reps0)
+      val nReps = time("stage4 neardup reps (clusters)") { reps.count() }
+      val nRej = time("stage5 containment rejects") {
+        graft.queries.Llm.curationContainmentRejects(keepers).count()
+      }
+      println(s"[profile] qual=$nQual keepers=$nKeep reps=$nReps rejects=$nRej")
+      graft.Caches.drain(spark)
+      // construction vs execution split: the statistics gates inside
+      // dedupClusters/containmentPairs run EAGER jobs at plan-build time,
+      // invisible to a stage-level decomposition that builds once
+      Seq("x4_pipeline_funnel", "x4_funnel_containment").foreach { q =>
+        val built = time(s"$q construct") { SparkEntry.queries(q)(spark, dir) }
+        time(s"$q execute") { built.count() }
+        graft.Caches.drain(spark)
+      }
     }
   }
 

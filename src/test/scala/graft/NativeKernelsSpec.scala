@@ -378,6 +378,79 @@ class NativeKernelsSpec extends AnyFunSuite {
     assert(got == naive, s"missing=${naive -- got} extra=${got -- naive}")
   }
 
+  test("SetPairScan kernel and the relational plans emit identical pair " +
+      "sets for jaccard AND containment (incl. set-dups and snippets)") {
+    // the dense-regime kernel is a plan choice, not a semantics choice:
+    // forcing it off via its Broadcasts site conf must leave every
+    // (doc_a, doc_b, value) row identical. Corpus plants the three pair
+    // classes (near-dups, exact set-dups for the self-pair expansion,
+    // snippets only containment sees) over a small dense vocabulary.
+    val rng = new Random(47)
+    val base = (1L to 35L).map { i =>
+      i -> (0 until 14).map(k => s"w${(i * 3 + k * 5) % 40}").distinct
+    }
+    val dups = base.take(6).map { case (i, ws) => (i + 40L) -> ws }
+    val near = base.take(10).map { case (i, ws) =>
+      (i + 50L) -> (ws.tail :+ s"w${rng.nextInt(40)}").distinct
+    }
+    val snips = base.take(8).map { case (i, ws) => (i + 70L) -> ws.take(5) }
+    val tok = (base ++ dups ++ near ++ snips)
+      .flatMap { case (i, ws) => ws.map(w => (i, w)) }.toDF("doc_id", "w")
+    def jacc() = graft.queries.Llm.jaccardPairsForTest(spark, tok, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def cont() = graft.queries.Llm.containmentPairsForTest(spark, tok, 9, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val (jKernel, cKernel) = (jacc(), cont())
+    graft.Caches.drain(spark)
+    spark.conf.set("graft.broadcast.pairscan", "0")
+    try {
+      val (jRel, cRel) = (jacc(), cont())
+      graft.Caches.drain(spark)
+      assert(jKernel.nonEmpty && cKernel.nonEmpty)
+      assert(jKernel == jRel,
+        s"jaccard missing=${jRel -- jKernel} extra=${jKernel -- jRel}")
+      assert(cKernel == cRel,
+        s"containment missing=${cRel -- cKernel} extra=${cKernel -- cRel}")
+    } finally spark.conf.unset("graft.broadcast.pairscan")
+  }
+
+  test("sized containment with minRatio=2 equals the full pair list " +
+      "filtered by the size-ratio guard, on BOTH dispatch paths") {
+    // the funnel's snippet gate pushes least·2 ≤ greatest into the
+    // candidate join; the pushdown must be pure pruning — identical rows
+    // (ids, i, sizes) to filtering the unrestricted pair list after the
+    // fact. Mixed corpus: snippets (big gap), near-dups (no gap), set-dups
+    // (ratio exactly 1 — must vanish at minRatio=2).
+    val base = (1L to 30L).map { i =>
+      i -> (0 until 12).map(k => s"w${(i * 5 + k * 7) % 90}").distinct
+    }
+    val snips = base.take(8).map { case (i, ws) => (i + 30L) -> ws.take(5) }
+    val dups = base.take(5).map { case (i, ws) => (i + 40L) -> ws }
+    val all = base ++ snips ++ dups
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    Seq(4096L, 0L).foreach { vt => // bitset path, then force-prefix path
+      spark.conf.set("graft.setsim.vocabThreshold", vt)
+      try {
+        val tok = all.flatMap { case (i, ws) => ws.map(w => (i, w)) }
+          .toDF("doc_id", "w")
+        val expect = graft.queries.Llm
+          .containmentPairsSized(spark, tok, 9, 10, minRatio = 1)
+          .filter(least(col("na"), col("nb")) * 2 <= greatest(col("na"), col("nb")))
+          .collect().map(key).toSet
+        graft.Caches.drain(spark)
+        val got = graft.queries.Llm
+          .containmentPairsSized(spark, tok, 9, 10, minRatio = 2)
+          .collect().map(key).toSet
+        graft.Caches.drain(spark)
+        assert(expect.nonEmpty, "planted snippets must survive the guard")
+        assert(got == expect,
+          s"vt=$vt missing=${expect -- got} extra=${got -- expect}")
+      } finally spark.conf.unset("graft.setsim.vocabThreshold")
+    }
+  }
+
   test("prefix-path containment (open-vocabulary branch) agrees with naive") {
     val rng = new Random(31)
     // open-ish vocabulary; snippets embedded in larger docs are the pairs a
@@ -396,6 +469,8 @@ class NativeKernelsSpec extends AnyFunSuite {
     val tok = all.flatMap { case (i, ws) => ws.map(w => (i, w)) }
       .toDF("doc_id", "w")
     val got = graft.queries.Llm.prefixContainmentPairs(tok, 9, 10)
+      .selectExpr("doc_a", "doc_b", "i * 10000 div least(na, nb)",
+        "i * 10000 div (na + nb - i)")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
     graft.Caches.drain(spark)
