@@ -41,6 +41,21 @@ object RangedNtile {
     * @param parts     number of range partitions (defaults to
     *                  spark.sql.shuffle.partitions)
     */
+  /** SQL NTILE arithmetic over a precomputed global `__rank` (1-based) and
+    * total `__n`: the first n mod t tiles hold ⌈n/t⌉ rows. All integer
+    * `div` — Column `/` is DOUBLE division, whose truncation misplaces the
+    * rows sitting exactly on bucket boundaries. Shared by the single-order
+    * path below and multi-dimension fusions (q_rfm_segment) so the bucket
+    * arithmetic cannot drift between them.
+    */
+  def tileExpr(tiles: Int): String =
+    s"""CASE WHEN __rank <= (__n % $tiles) * (__n div $tiles + 1)
+       |  THEN (__rank - 1) div (__n div $tiles + 1) + 1
+       |  ELSE (__n % $tiles) +
+       |    (__rank - 1 - (__n % $tiles) * (__n div $tiles + 1))
+       |      div greatest(__n div $tiles, 1L) + 1
+       |END""".stripMargin
+
   def apply(df: DataFrame, tiles: Int, orderCols: Seq[Column],
       out: String = "ntile", parts: Int = 0): DataFrame = {
     val p = if (parts > 0) parts
@@ -68,13 +83,7 @@ object RangedNtile {
     // truncation misplaces the rows sitting exactly on bucket boundaries.
     ranked
       .withColumn("__rank", col("__lrn") + col("__off"))
-      .withColumn(out, expr(
-        s"""CASE WHEN __rank <= (__n % $tiles) * (__n div $tiles + 1)
-           |  THEN (__rank - 1) div (__n div $tiles + 1) + 1
-           |  ELSE (__n % $tiles) +
-           |    (__rank - 1 - (__n % $tiles) * (__n div $tiles + 1))
-           |      div greatest(__n div $tiles, 1L) + 1
-           |END""".stripMargin).cast("long"))
+      .withColumn(out, expr(tileExpr(tiles)).cast("long"))
       .drop("__pid", "__lrn", "__off", "__cnt", "__n", "__rank")
   }
 }

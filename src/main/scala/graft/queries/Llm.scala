@@ -1780,24 +1780,43 @@ object Llm {
     var merges: DataFrame = null
     for (k <- 1 to iters) {
       val p = syms.withColumn("nxt", lead("sym", 1).over(byPos))
+      // EAGER localCheckpoint on the 1-row argmax (r13): `best` is consumed
+      // twice per iteration (the broadcast merge join AND the merge-table
+      // row), and lazily each consumer re-ran the whole window+agg pass
+      // over the cached stream; worse, the merge table's lineage nested
+      // every prior iteration's plan, so Catalyst re-optimized a tree that
+      // grew per iteration. Checkpointing pins one row and truncates both.
       val best = p.filter(col("nxt").isNotNull)
         .groupBy(col("sym").as("a"), col("nxt").as("b"))
         .agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .localCheckpoint(true)
       // LEFT join on true, not crossJoin: once the pair vocabulary is
       // exhausted `best` is EMPTY, and a cross join would silently erase
       // the whole symbol stream — with the left join a/b are null, no
       // position is a hit, and the stream passes through unchanged (the
-      // oracle mirrors this with LEFT JOIN ON TRUE)
+      // oracle mirrors this with LEFT JOIN ON TRUE).
+      // Greedy even-offset selection within each maximal run of consecutive
+      // hits, in ONE window key (r13): the former (word_id, hit) /
+      // (word_id, hit, island) row_number partitions forced two extra
+      // full sorts of the stream per iteration (hash(word_id) satisfies
+      // the distribution, but each window still re-sorts). Positions are
+      // consecutive within a word (posexplode / row_number renumber), so
+      // the ordinal of a hit row inside its maximal run is pos − runStart,
+      // with runStart = the latest position where a run began (hit = 1,
+      // previous row not a hit) — a running max over the SAME (word_id ×
+      // pos) frame every other step already uses. mh ⟺ even run offset,
+      // exactly the old (row_number within island − 1) % 2 == 0.
+      val runFrame = byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val m = p.join(broadcast(best), lit(true), "left")
         .withColumn("hit",
           when(col("sym") === col("a") && col("nxt") === col("b"), 1)
             .otherwise(0))
-        .withColumn("island", col("pos") - row_number().over(
-          Window.partitionBy("word_id", "hit").orderBy("pos")))
+        .withColumn("prevHit", lag("hit", 1, 0).over(byPos))
+        .withColumn("runStart", max(when(col("hit") === 1 &&
+          col("prevHit") === 0, col("pos"))).over(runFrame))
         .withColumn("mh", when(col("hit") === 1 &&
-          (row_number().over(Window.partitionBy("word_id", "hit", "island")
-            .orderBy("pos")) - 1) % 2 === 0, 1).otherwise(0))
+          (col("pos") - col("runStart")) % 2 === 0, 1).otherwise(0))
         .withColumn("consumed", lag("mh", 1, 0).over(byPos))
       syms = graft.Caches.persist(m.filter(col("consumed") === 0)
         .select(col("word_id"), col("freq"),

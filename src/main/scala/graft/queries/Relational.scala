@@ -708,11 +708,15 @@ object Relational {
     // 1-row broadcast. Top-100 by lift with full tie-break.
     Q("q_basket_lift",
       (s, dir) => {
-        val items = t(s, dir, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct()
-        val itemsP = graft.Caches.persist(items)
-        val baskets = itemsP.groupBy("l_orderkey")
-          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        // ONE basket aggregation feeds everything: collect_set dedups, so
+        // the former `SELECT DISTINCT l_orderkey, l_partkey` pre-pass was a
+        // second full-width exchange of the fact carrying no information the
+        // basket rows don't already hold — per-part counts are the explode
+        // of the baskets, the basket total is their row count (r13: one
+        // exchange + one scan removed; hash-identical by construction).
+        val baskets = graft.Caches.persist(
+          t(s, dir, "lineitem").groupBy("l_orderkey")
+            .agg(sort_array(collect_set(col("l_partkey"))).as("ps")))
         val pairs = baskets.select(explode(expr(
             """flatten(transform(ps, (a, i) ->
               |  transform(slice(ps, i + 2, size(ps)),
@@ -722,8 +726,9 @@ object Relational {
           .groupBy("part_a", "part_b")
           .agg(count(lit(1)).as("support"))
           .filter(col("support") >= 2)
-        val cnt = itemsP.groupBy("l_partkey").agg(count(lit(1)).as("c"))
-        val tot = itemsP.select("l_orderkey").distinct().agg(count(lit(1)).as("n"))
+        val cnt = baskets.select(explode(col("ps")).as("l_partkey"))
+          .groupBy("l_partkey").agg(count(lit(1)).as("c"))
+        val tot = baskets.agg(count(lit(1)).as("n"))
         pairs
           .join(broadcast(cnt.select(col("l_partkey").as("part_a"), col("c").as("ca"))),
             Seq("part_a"))
@@ -762,17 +767,27 @@ object Relational {
       (s, dir) => {
         val ord = Seq(desc("l_extendedprice"), asc("l_orderkey"),
           asc("l_linenumber"), asc("l_partkey"), asc("l_suppkey"))
-        val w = Window.partitionBy("l_returnflag").orderBy(ord: _*)
-        val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        t(s, dir, "lineitem")
-          .withColumn("rn", row_number().over(w).cast("long"))
+        // r13 rewrite: the naive form (nth_value/cume_dist over the FULL
+        // partition frame next to the rn<=5 filter) blocks the
+        // WindowGroupLimit pushdown — every group fully sorts through the
+        // 3-value l_returnflag window just to emit 15 rows. But the
+        // ordering is TOTAL (no peers), so cume_dist == rn / n exactly
+        // (same two longs, same IEEE double division), and nth_value(3)
+        // over the full frame is the l_extendedprice of the rn == 3 row —
+        // both recoverable from the top-5 rows + a partial-aggregated
+        // group count. Plan: WindowGroupLimit keeps O(k) rows per group
+        // map-side; the full sort never materializes. Oracle unchanged.
+        val top = graft.operators.TopKPerGroup(
+          t(s, dir, "lineitem"), Seq("l_returnflag"), ord, k = 5, rankCol = "rn")
+        val cnts = t(s, dir, "lineitem")
+          .groupBy("l_returnflag").agg(count(lit(1)).as("__n"))
+        val wg = Window.partitionBy("l_returnflag")
+        top.join(broadcast(cnts), "l_returnflag")
           .withColumn("third_price",
-            nth_value(col("l_extendedprice"), 3).over(wf))
-          .withColumn("cd", cume_dist().over(w))
-          .filter(col("rn") <= 5)
+            max(when(col("rn") === 3, col("l_extendedprice"))).over(wg))
           .select(col("l_returnflag"), col("rn"), col("l_orderkey"),
             col("l_extendedprice"), col("third_price"),
-            round(col("cd") * 1000000).cast("long").as("cd_e6"))
+            round(col("rn") / col("__n") * 1000000).cast("long").as("cd_e6"))
           .orderBy("l_returnflag", "rn")
       },
       Some("""SELECT l_returnflag, rn, l_orderkey, l_extendedprice, third_price, cd_e6
@@ -846,14 +861,49 @@ object Relational {
           .crossJoin(broadcast(maxd))
           .withColumn("recency_days", datediff(col("maxd"), col("lastd")).cast("long"))
           .select("o_custkey", "recency_days", "freq", "monetary_cents")
-        val tiled = Seq[(String, Seq[org.apache.spark.sql.Column])](
-          ("r_tile", Seq(desc("recency_days"), asc("o_custkey"))),
-          ("f_tile", Seq(asc("freq"), asc("o_custkey"))),
-          ("m_tile", Seq(asc("monetary_cents"), asc("o_custkey"))))
-          .foldLeft(cust) { case (df, (out, ord)) =>
-            graft.operators.RangedNtile(df, tiles = 5, orderCols = ord, out = out)
-          }
-        tiled.select(col("o_custkey"), col("recency_days"), col("freq"),
+        // r13 rewrite: the foldLeft of three RangedNtile calls paid the full
+        // two-pass ranking machinery THREE times sequentially — three eager
+        // localCheckpoint materializations, three range-sample passes, three
+        // counts jobs. All three orderings normalize to (long asc, o_custkey
+        // asc) — r_tile's DESC recency is ASC on the negated value — so one
+        // 3×-exploded (dim, v) frame ranks all dimensions in a SINGLE
+        // range exchange + checkpoint + counts pass (per-dim offsets), and
+        // the per-customer groupBy folds the three tiles AND the three
+        // original values back without any join to `cust`. Identical NTILE
+        // arithmetic (RangedNtile.tileExpr), identical per-dim global ranks
+        // ⇒ hash-identical output; oracle unchanged.
+        val tri = cust.select(col("o_custkey"), explode(array(
+            struct(lit(1).as("dim"), (-col("recency_days")).as("v")),
+            struct(lit(2).as("dim"), col("freq").as("v")),
+            struct(lit(3).as("dim"), col("monetary_cents").as("v")))).as("dv"))
+          .select(col("o_custkey"), col("dv.dim").as("dim"), col("dv.v").as("v"))
+        val p = s.sessionState.conf.numShufflePartitions
+        val ranged = tri.repartitionByRange(p, col("dim"), col("v"), col("o_custkey"))
+          .withColumn("__pid", spark_partition_id())
+          .localCheckpoint(true)
+        val wOff = Window.partitionBy("dim").orderBy("__pid")
+        val offsets = ranged.groupBy("dim", "__pid").agg(count(lit(1)).as("__cnt"))
+          .select(col("dim"), col("__pid"),
+            coalesce(sum("__cnt").over(
+              wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__off"),
+            sum("__cnt").over(wOff.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)).as("__n"))
+        val wLocal = Window.partitionBy("__pid", "dim")
+          .orderBy(asc("v"), asc("o_custkey"))
+        val tiles = ranged
+          .withColumn("__lrn", row_number().over(wLocal).cast("long"))
+          .join(broadcast(offsets), Seq("dim", "__pid"))
+          .withColumn("__rank", col("__lrn") + col("__off"))
+          .withColumn("tile",
+            expr(graft.operators.RangedNtile.tileExpr(5)).cast("long"))
+          .groupBy("o_custkey").agg(
+            max(when(col("dim") === 1, -col("v"))).as("recency_days"),
+            max(when(col("dim") === 2, col("v"))).as("freq"),
+            max(when(col("dim") === 3, col("v"))).as("monetary_cents"),
+            max(when(col("dim") === 1, col("tile"))).as("r_tile"),
+            max(when(col("dim") === 2, col("tile"))).as("f_tile"),
+            max(when(col("dim") === 3, col("tile"))).as("m_tile"))
+        tiles.select(col("o_custkey"), col("recency_days"), col("freq"),
             col("monetary_cents"), col("r_tile"), col("f_tile"), col("m_tile"),
             (col("r_tile") * 100 + col("f_tile") * 10 + col("m_tile"))
               .cast("long").as("rfm"))
