@@ -131,19 +131,65 @@ object Caches {
     * parquet reads and unpersisted derived frames.
     */
   def countOnce(df: DataFrame): Long = {
+    // UI/profiler attribution: gate-site statistics jobs are otherwise
+    // indistinguishable blips between the real stages (guide §1.5)
+    def labeled(body: => Long): Long = {
+      val sc = df.sparkSession.sparkContext
+      val prev = sc.getLocalProperty("spark.job.description")
+      sc.setJobDescription(
+        s"countOnce:${df.schema.fieldNames.take(4).mkString(",")}" +
+          (if (df.storageLevel !=
+            org.apache.spark.storage.StorageLevel.NONE) " (cache-prime)" else ""))
+      try body finally sc.setJobDescription(prev)
+    }
     if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE ||
         df.sparkSession.conf.getOption("graft.caches.countMemo").contains("false"))
-      return df.count()
+      return labeled(df.count())
     val key = planKey(df)
     counts.synchronized(counts.get(key)) match {
       case Some(c) => c
       case None =>
-        val c = df.count() // outside the lock: a scan can be long
+        val c = labeled(df.count()) // outside the lock: a scan can be long
         counts.synchronized(counts.getOrElseUpdate(key, c))
     }
   }
 
+  /** Run `body` under a job description so gate/statistics jobs are
+    * attributable in the UI and the joblog profiler (guide §1.5). */
+  def labeled[T](s: SparkSession, desc: String)(body: => T): T = {
+    val sc = s.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try body finally sc.setJobDescription(prev)
+  }
+
+  // single-Row statistics memo (same key + policy as countOnce, for
+  // dispatch sites whose decision needs more than one scalar — merging
+  // the scalars into one agg job halves the eager-job count per build)
+  private val rows = scala.collection.mutable.HashMap[
+    (SparkSession, Any), org.apache.spark.sql.Row]()
+
+  /** `df.head()`, memoized per (session, canonicalized analyzed plan) —
+    * for one-row STATISTICS aggregates over derived (unpersisted) frames.
+    * Persisted frames bypass the memo exactly like countOnce (their eager
+    * evaluation is cache-priming, not just statistics).
+    */
+  def rowOnce(df: DataFrame, desc: String): org.apache.spark.sql.Row = {
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE ||
+        df.sparkSession.conf.getOption("graft.caches.countMemo").contains("false"))
+      return labeled(df.sparkSession, desc)(df.head())
+    val key = planKey(df)
+    rows.synchronized(rows.get(key)) match {
+      case Some(r) => r
+      case None =>
+        val r = labeled(df.sparkSession, desc)(df.head())
+        rows.synchronized(rows.getOrElseUpdate(key, r))
+    }
+  }
+
   /** Drop `s`'s memoized counts (tests; sessions replacing data in place). */
-  def invalidateCounts(s: SparkSession): Unit =
+  def invalidateCounts(s: SparkSession): Unit = {
     counts.synchronized(counts.filterInPlace { case ((ks, _), _) => ks != s })
+    rows.synchronized(rows.filterInPlace { case ((ks, _), _) => ks != s })
+  }
 }

@@ -96,7 +96,8 @@ object ConnectedComponents {
     // self-join + count
     def labelSum(df: DataFrame): Long =
       df.agg(sum("component")).head().getLong(0)
-    var prevSum = labelSum(labels)
+    var prevSum = graft.Caches.labeled(vertices.sparkSession, "cc:init")(
+      labelSum(labels))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -122,7 +123,8 @@ object ConnectedComponents {
         .select(col("id"),
           coalesce(col("t_comp"), col("component")).as("component"))
         .localCheckpoint(false)
-      val newSum = labelSum(labels)
+      val newSum = graft.Caches.labeled(vertices.sparkSession, s"cc:iter$i")(
+        labelSum(labels))
       converged = newSum == prevSum
       prevSum = newSum
       i += 1

@@ -213,7 +213,11 @@ object IvfIndex {
     // the load path skips build() — register the kernels here too, or the
     // first IVF query of a fresh session can't resolve graft_dot
     NativeExpressions.register(spark)
-    val n = e0.count()
+    // memoized (r13): the cache-key count is a full source scan, and every
+    // x3_* query build pays it — the memo holds per (session, canonical
+    // plan), and source MUTATIONS always arrive as new generation dirs
+    // (sources/Snapshot), i.e. new plans, so a stale hit is unreachable
+    val n = graft.Caches.countOnce(e0)
     val root = cacheRoot(spark)
     val safe = key.replaceAll("[^A-Za-z0-9._-]", "_")
     // fmtVersion invalidates caches written by an older build algorithm —
@@ -519,7 +523,7 @@ object IvfIndex {
     if (shards <= 1) return loadOrBuild(e0, key)
     val spark = e0.sparkSession
     NativeExpressions.register(spark)
-    val n = e0.count()
+    val n = graft.Caches.countOnce(e0) // memoized — see loadOrBuild
     val safe = key.replaceAll("[^A-Za-z0-9._-]", "_")
     val dir = s"${cacheRoot(spark)}/$safe-sh$shards-n$n-v$fmtVersion"
     val aPath = s"$dir/assigned"

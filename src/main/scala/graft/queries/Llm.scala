@@ -509,11 +509,26 @@ object Llm {
     // otherwise re-run per consumer; registered so the harness drains it
     // after the query (leaked, it slows every later query in the session)
     val tok = graft.Caches.persist(tok0)
-    val vocabSize = graft.Caches.countOnce(tok.select("w").distinct())
+    val (vocabSize, sumDf2) = setDispatchStats(tok)
     if (vocabSize <= vocabThreshold(s)) bitsetJaccardPairs(tok, t, vocabSize.toInt)
-    else if (prefixWouldExplode(s, tok, vocabSize))
+    else if (prefixWouldExplode(s, vocabSize, sumDf2))
       bitsetJaccardPairs(tok, t, vocabSize.toInt)
     else prefixJaccardPairs(tok, t)
+  }
+
+  /** The two set-similarity dispatch statistics — distinct vocabulary size
+    * and Σdf² (the prefix-join size upper bound) — in ONE aggregation job
+    * over the token frame's df groups (r13: they were two sequential eager
+    * jobs per query build, each re-deriving the same groupBy(w)). Memoized
+    * per canonical plan like every gate statistic; the first consumer of
+    * the persisted `tok` still primes its cache through the sets count.
+    */
+  private def setDispatchStats(tok: DataFrame): (Long, Long) = {
+    val r = graft.Caches.rowOnce(
+      tok.groupBy("w").agg(count(lit(1)).as("df"))
+        .agg(count(lit(1)).as("v"), sum(col("df") * col("df")).as("sumdf2")),
+      desc = "stat:setsim vocab+sumdf2")
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
   /** Second dispatch stage for corpora ABOVE the vocab threshold: prefix
@@ -530,17 +545,17 @@ object Llm {
     * before Σdf² matters at this budget. vocabThreshold=0 (the spec's
     * force-prefix override) bypasses this stage too.
     */
-  private def prefixWouldExplode(s: SparkSession, tok: DataFrame,
-      vocabSize: Long): Boolean = {
+  private def prefixWouldExplode(s: SparkSession, vocabSize: Long,
+      sumDf2: Long): Boolean = {
     if (vocabThreshold(s) == 0L) return false
     val maskLimit = s.conf.getOption("graft.setsim.maskVocabLimit")
       .map(_.toLong).getOrElse(65536L)
     if (vocabSize > maskLimit) return false
     val budget = s.conf.getOption("graft.setsim.prefixJoinBudget")
       .map(_.toLong).getOrElse(200000000L)
-    val est = tok.groupBy("w").agg(count(lit(1)).as("df"))
-      .agg(sum(col("df") * col("df"))).head().getLong(0)
-    est > budget
+    // Σdf² arrives precomputed from setDispatchStats' single merged
+    // aggregation (r13) — this stage is now pure arithmetic, no job
+    sumDf2 > budget
   }
 
   /** Bitset-vs-prefix dispatch threshold (distinct vocabulary size). The
@@ -843,8 +858,8 @@ object Llm {
       num: Int, den: Int, minRatio: Int): DataFrame = {
     graft.functions.NativeExpressions.register(s)
     val tok = graft.Caches.persist(tok0)
-    val vocabSize = graft.Caches.countOnce(tok.select("w").distinct())
-    if (vocabSize <= vocabThreshold(s) || prefixWouldExplode(s, tok, vocabSize))
+    val (vocabSize, sumDf2) = setDispatchStats(tok)
+    if (vocabSize <= vocabThreshold(s) || prefixWouldExplode(s, vocabSize, sumDf2))
       bitsetContainmentPairs(tok, vocabSize.toInt, num, den, minRatio)
     else prefixContainmentPairs(tok, num, den, minRatio)
   }
@@ -1096,6 +1111,13 @@ object Llm {
         .withColumn("strat", (length(conv(col("n"), 10, 2)) - 1).cast("int")))
     val sig = graft.Caches.persist(sets.select(col("sid"), col("strat"),
       call_function("graft_minhash_portable", col("hs"), lit(K)).as("sig")))
+    // ONE eager aggregate primes the persisted sets cache AND returns every
+    // scalar the construction needs — set count (broadcast gate) + stratum
+    // range (tier-2 gap budgets) were two sequential jobs over the same
+    // frame before r13
+    val setStats = graft.Caches.labeled(s, "stat:containment sets cnt+strat")(
+      sets.agg(count(lit(1)), min("strat"), max("strat")).head())
+    val nSets = setStats.getLong(0)
     // ---- tier 1: same-stratum, r=2 × 16 bands. Rows carry the full band-key
     // array so the join can emit each pair ONLY at its first agreeing band.
     val bkArr = array((0 until bands2).map { b =>
@@ -1117,9 +1139,8 @@ object Llm {
     // side replicates each set toward every higher stratum within reach
     // (tgt = strat + g) so the join key (k, sig value, tgt stratum) keeps a
     // hot minimum's bucket from pairing strata combinations wholesale.
-    val statRow = sets.agg(min("strat"), max("strat")).head()
     val (minS, maxS) =
-      if (statRow.isNullAt(0)) (0, 0) else (statRow.getInt(0), statRow.getInt(1))
+      if (setStats.isNullAt(1)) (0, 0) else (setStats.getInt(1), setStats.getInt(2))
     val maxGap = maxS - minS
     val candG: DataFrame = if (maxGap <= 0) null else {
       val gaps = array((1 to maxGap).map(g =>
@@ -1151,7 +1172,7 @@ object Llm {
     // the honest distributed plan — never a driver-sized broadcast at
     // 100 TB.
     val bs = graft.Broadcasts.gate(s, "containment",
-      graft.Caches.countOnce(sets),
+      nSets,
       rowBytes = 400, defaultBytes = 400L << 20,
       legacyRowsConf = "graft.containment.broadcastThreshold")
     val verified = cand
@@ -1246,9 +1267,19 @@ object Llm {
     * beyond 8.
     */
   private[graft] def pagerankE12(pairs: DataFrame): DataFrame = {
-    val edges = pairs
-      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+    // symmetrize in ONE pass over the pair supply (r13): the former
+    // union(pairs, pairs.flipped) planned the UNPERSISTED supply twice, so
+    // the eager checkpoint re-executed the whole pair-mining pipeline per
+    // branch (measured: the x5_pagerank_contracted checkpoint carried 2×
+    // the contraction chain). explode(array(fwd, rev)) reads it once —
+    // identical row multiset.
+    val edges = graft.Caches.labeled(pairs.sparkSession, "pagerank:edges-ckpt")(
+      pairs
+        .select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .localCheckpoint(true))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .withColumnRenamed("src", "id")
     val tot = deg.agg(count(lit(1)).as("n"))
@@ -1294,8 +1325,8 @@ object Llm {
     graft.functions.NativeExpressions.register(s)
     val tok = graft.Caches.persist(d
       .select(col("doc_id"), explode(TF.tokenSet(col("text"))).as("w")))
-    val vocabSize = graft.Caches.countOnce(tok.select("w").distinct())
-    if (vocabSize <= vocabThreshold(s) || prefixWouldExplode(s, tok, vocabSize)) {
+    val (vocabSize, sumDf2) = setDispatchStats(tok)
+    if (vocabSize <= vocabThreshold(s) || prefixWouldExplode(s, vocabSize, sumDf2)) {
       val (sets, pairs) = bitsetSetsAndPairs(tok, 0.9, vocabSize.toInt)
       val comp = graft.operators.ConnectedComponents(
         sets.select(col("sid").as("id")),
@@ -1519,8 +1550,12 @@ object Llm {
     val keepers = graft.Caches.persist(
       qual.groupBy(md5(col("text")).as("h"))
         .agg(min("doc_id").as("doc_id"), first("text").as("text")))
-    val reps = dedupClusters(s, keepers.select("doc_id", "text"))
-      .filter(col("doc_id") === col("cluster_id"))
+    // persisted (r13): the containment funnel consumes reps twice (stage-4
+    // count + the stage-5 anti-join input), and unpersisted each consumer
+    // re-ran the cluster labeling chain; ~keeper-count rows, trivial cache
+    val reps = graft.Caches.persist(
+      dedupClusters(s, keepers.select("doc_id", "text"))
+        .filter(col("doc_id") === col("cluster_id")))
     (qual, keepers, reps)
   }
 
@@ -2777,9 +2812,10 @@ object Llm {
         // pair scan re-executing downstream (measured 36 s vs 20 s solo at
         // the 10x point); checkpointing severs the lineage so downstream
         // cost is independent of which pairsExact plan the gate chose
-        val pairsAll = graft.operators.IvfIndex.pairsExact(idx, 0.35)
-          .select(col("id_a"), col("id_b"), col("sim"))
-          .localCheckpoint(true)
+        val pairsAll = graft.Caches.labeled(s, "contracted:pairs-ckpt")(
+          graft.operators.IvfIndex.pairsExact(idx, 0.35)
+            .select(col("id_a"), col("id_b"), col("sim"))
+            .localCheckpoint(true))
         val dupEdges = pairsAll.filter(col("sim") >= 0.98)
           .select(col("id_a").as("src"), col("id_b").as("dst"))
         val rep = graft.Caches.persist(labelClusters(
@@ -2791,8 +2827,13 @@ object Llm {
           .groupBy(least(col("ra"), col("rb")).as("a"),
             greatest(col("ra"), col("rb")).as("b"))
           .agg(max("sim").as("w"))
-        val dirEdges = ce.select(col("a").as("src"), col("b").as("dst"), col("w"))
-          .union(ce.select(col("b").as("src"), col("a").as("dst"), col("w")))
+        // one-pass symmetrization (r13): union(ce, ce.flipped) planned the
+        // unpersisted contraction aggregate twice — explode reads it once
+        val dirEdges = ce.select(explode(array(
+            struct(col("a").as("src"), col("b").as("dst"), col("w")),
+            struct(col("b").as("src"), col("a").as("dst"), col("w")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"),
+            col("e.w").as("w"))
         val wCap = Window.partitionBy("src").orderBy(desc("w"), asc("dst"))
         val kept = dirEdges.withColumn("rk", row_number().over(wCap))
           .filter(col("rk") <= 4)

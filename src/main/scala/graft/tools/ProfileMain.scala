@@ -644,11 +644,10 @@ object ProfileMain {
     (1 to 2).foreach { round =>
       println(s"[profile] --- round $round ---")
       val d = graft.Tables.load(spark, dir, "documents")
-      val (qual, keepers, reps0) =
-        graft.queries.Llm.curationStages(spark, d)
+      val (qual, keepers, reps) =
+        graft.queries.Llm.curationStages(spark, d) // reps persisted inside
       val nQual = time("stage2 quality gate") { qual.count() }
       val nKeep = time("stage3 exact-dedup keepers") { keepers.count() }
-      val reps = graft.Caches.persist(reps0)
       val nReps = time("stage4 neardup reps (clusters)") { reps.count() }
       val nRej = time("stage5 containment rejects") {
         graft.queries.Llm.curationContainmentRejects(keepers).count()
