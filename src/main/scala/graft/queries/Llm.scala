@@ -20,9 +20,24 @@ import org.apache.spark.sql.expressions.Window
   */
 object Llm {
 
+  // docs stays the PLAIN loader: most text queries are one shallow
+  // tokenize-aggregate pass, and the r13 full-bench A/B measured the
+  // blanket repartition costing ~25 light queries +0.3 s each for wins
+  // only on the deep-kernel paths — those opt in via loadParallel below
+  // (simhash fingerprints, multimodal payload synthesis). embeddings is
+  // the opposite: every consumer runs vector kernels over the scan, and
+  // the same A/B measured the embs repartition winning across the x3/x5
+  // family (knn/cascade/pq/semdedup/neardup −0.2..−0.7 s each).
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.loadParallel(s, dir, "embeddings")
+  // plain loader for the consumers the r13 full-bench A/B measured paying
+  // for the parallelizing exchange rather than gaining from it: the
+  // hyperplane-LSH banding paths, the broadcast-NLJ flat search, and the
+  // one-aggregate centroid pass (x5_semdedup_lsh +0.6 s, x3_knn_brute /
+  // x3_knn_lsh / x5_pagerank_lsh / q_label_centroids +0.15-0.3 s each)
+  private def embsPlain(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
   // The IVF index over a table is a build-once-query-many artifact (exactly
@@ -2505,7 +2520,9 @@ object Llm {
     Q("x2_simhash",
       (s, dir) => {
         graft.functions.NativeExpressions.register(s)
-        docs(s, dir).select(
+        // loadParallel: the 64-vote fingerprint kernel is the whole query —
+        // single-row-group scans serialized it into one task (r13 A/B)
+        Tables.loadParallel(s, dir, "documents").select(
           col("doc_id"),
           call_function("graft_simhash",
             call_function("graft_wordhash62", TF.tokenSet(col("text"))))
@@ -2551,7 +2568,8 @@ object Llm {
         // block join while buckets are small, flip-variant join when the
         // biased top bits of the mod-prime word hash heap one block value
         // onto 10^5 docs (the round-12 100x catch)
-        val sh = docs(s, dir).select(
+        // loadParallel: fingerprinting dominates — see x2_simhash (r13)
+        val sh = Tables.loadParallel(s, dir, "documents").select(
           col("doc_id"),
           call_function("graft_simhash",
             call_function("graft_wordhash62", TF.tokenSet(col("text"))))
@@ -2719,12 +2737,12 @@ object Llm {
       (s, dir) => {
         val labels = graft.Caches.persist(
           embs(s, dir).select(col("vec_id"), col("label")))
-        val pairs = hyperplaneEdgePairs(s, embs(s, dir), 0.4)
+        val pairs = hyperplaneEdgePairs(s, embsPlain(s, dir), 0.4)
           .join(labels.select(col("vec_id").as("id_a"), col("label").as("la")), "id_a")
           .join(labels.select(col("vec_id").as("id_b"), col("label").as("lb")), "id_b")
           .filter(col("la") === col("lb"))
           .select(col("id_a").as("src"), col("id_b").as("dst"))
-        labelClusters(embs(s, dir).select(col("vec_id").as("id")), pairs, "vec_id")
+        labelClusters(embsPlain(s, dir).select(col("vec_id").as("id")), pairs, "vec_id")
           .join(labels, "vec_id")
           .select(col("vec_id"), col("label"), col("cluster_id"),
             (col("vec_id") === col("cluster_id")).as("kept"))
@@ -2780,7 +2798,7 @@ object Llm {
     // signal; the isotropic bench tail is its measured worst case.
     Q("x5_pagerank_lsh",
       (s, dir) => pagerankE12(
-        hyperplaneEdgePairs(s, embs(s, dir), 0.35)
+        hyperplaneEdgePairs(s, embsPlain(s, dir), 0.35)
           .select(col("id_a").as("src"), col("id_b").as("dst")))
         .orderBy("vec_id"),
       Some(pagerankOracleWith(hyperplanePairsCtes(0.35)))),
@@ -2959,7 +2977,8 @@ object Llm {
       (s, dir) => {
         graft.functions.NativeExpressions.register(s)
         val e = graft.Caches.persist(
-          embs(s, dir).select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
+          embsPlain(s, dir)
+            .select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
             .withColumn("nrm", VF.l2Norm(col("v"))))
         val q = e.filter(col("vec_id") % knnQueryStride(graft.Caches.countOnce(e)) === 0)
           .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -3102,7 +3121,7 @@ object Llm {
     // planted-cluster fixture; PlanSpec pins the equi-join shape.
     Q("x3_knn_lsh",
       (s, dir) => {
-        val e = embs(s, dir)
+        val e = embsPlain(s, dir)
         knnLsh(s, e, col("vec_id") % knnQueryStride(graft.Caches.countOnce(e)) === 0, k = 10)
       },
       Some(qstride("""WITH dim AS (
@@ -3736,7 +3755,7 @@ object Llm {
     // aggregation is fully distributed and the oracle is engine-neutral
     Q("q_label_centroids",
       (s, dir) =>
-        embs(s, dir)
+        embsPlain(s, dir)
           .select(col("label"), posexplode(VF.toDouble(col("embedding"))).as(Seq("pos", "x")))
           .groupBy("label", "pos")
           .agg(round(avg("x"), 4).as("cv"))

@@ -26,7 +26,10 @@ object Multimodal {
     * off-the-shelf PPM reader decodes these payloads — and [[decodePpm]]
     * below really does.
     */
-  def withPpmPayload(docs: DataFrame): DataFrame = {
+  def withPpmPayload(docs0: DataFrame): DataFrame = {
+    // size-gated (r13): a one-row-group documents table scans in ONE task,
+    // serializing the raster synthesis + every downstream decode kernel
+    val docs = graft.Tables.parallelizeSmall(docs0)
     val body = encode(col("text"), "UTF-8")
     val h = greatest(ceil(length(body).cast("double") / 12.0).cast("int"), lit(1))
     docs.select(
@@ -161,7 +164,8 @@ object Multimodal {
     bb.array()
   }
 
-  def withWavPayload(docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+  def withWavPayload(docs0: DataFrame): Dataset[(Long, Array[Byte])] = {
+    val docs = graft.Tables.parallelizeSmall(docs0) // see withPpmPayload
     import docs.sparkSession.implicits._
     docs.select("doc_id", "text").as[(Long, String)].mapPartitions { rows =>
       rows.map { case (id, text) =>

@@ -44,4 +44,31 @@ object Tables {
   /** Register every table as a temp view so queries can use spark.sql. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Size-gated scan-parallelism repartition (r13). A small parquet table
+    * is one row group, and one row group is ONE scan task no matter how
+    * many byte-range splits the planner cuts — so every expensive
+    * per-row kernel over it (simhash, tokenize+explode, PPM/WAV decode,
+    * vector math) runs single-threaded while the other cores idle
+    * (measured: x2_simhash_neardup's whole fingerprint pass in one
+    * 0.5 s task at sf0.1). Round-robin repartition to the session's
+    * default parallelism fixes that for at most `limit` shuffled bytes;
+    * above the limit the source has many row groups and the scan is
+    * already parallel, so big corpora NEVER pay the shuffle — the gate
+    * is the table's own optimizer size estimate (file bytes), no job.
+    * Results are partition-count-invariant by the repo's determinism
+    * contract (DeterminismSpec sweeps partition counts).
+    */
+  def parallelizeSmall(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val limit = s.conf.getOption("graft.smallScanShuffleBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes <= limit) df.repartition(s.sparkContext.defaultParallelism) else df
+  }
+
+  /** [[load]] + [[parallelizeSmall]] — the loader for query paths whose
+    * scan stage carries real per-row work. */
+  def loadParallel(spark: SparkSession, dir: String, name: String): DataFrame =
+    parallelizeSmall(load(spark, dir, name))
 }
