@@ -51,6 +51,18 @@ object Caches {
     df.persist()
   }
 
+  /** [[persist]], idempotent per canonical plan: if an equivalent plan is
+    * already cached this session (CacheManager compares canonicalized
+    * plans), return `df` untouched instead of re-registering — so helpers
+    * that several code paths call with the same derived frame (dfreq,
+    * tokenizations) share ONE cache entry without "already cached" warnings
+    * and without double drain entries. The first caller's registration
+    * owns the drain.
+    */
+  def persistShared(df: DataFrame): DataFrame =
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
+    else persist(df)
+
   /** Run `body`; on exit unpersist ONLY the frames `persist`ed during it on
     * this thread. Every plan the body wants to outlive the scope must be
     * materialized (e.g. `localCheckpoint(eager = true)`) before it returns —

@@ -540,11 +540,21 @@ object Llm {
     */
   private def setDispatchStats(tok: DataFrame): (Long, Long) = {
     val r = graft.Caches.rowOnce(
-      tok.groupBy("w").agg(count(lit(1)).as("df"))
+      dfreqOf(tok)
         .agg(count(lit(1)).as("v"), sum(col("df") * col("df")).as("sumdf2")),
       desc = "stat:setsim vocab+sumdf2")
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
+
+  /** The token frame's document-frequency table, persisted ONCE per
+    * canonical plan (r13): the dispatch statistics, the rarity-order
+    * vocabulary index, and the prefix paths each re-derived the same
+    * groupBy(w) aggregation - 2-3 redundant full passes over the token
+    * frame per query build. Vocab-sized rows; registered for drain by the
+    * first caller.
+    */
+  private def dfreqOf(tok: DataFrame): DataFrame =
+    graft.Caches.persistShared(tok.groupBy("w").agg(count(lit(1)).as("df")))
 
   /** Second dispatch stage for corpora ABOVE the vocab threshold: prefix
     * filtering assumes an OPEN vocabulary (rare elements make prefix dfs
@@ -598,7 +608,7 @@ object Llm {
     */
   private[graft] def raritySets(tok: DataFrame): DataFrame = {
     val w = Window.orderBy("df", "w")
-    val idx = tok.groupBy("w").agg(count(lit(1)).as("df"))
+    val idx = dfreqOf(tok)
       .select(col("w"), (row_number().over(w) - 1).cast("long").as("i"))
     val arrs = tok.join(broadcast(idx), "w")
       .groupBy("doc_id")
@@ -783,7 +793,7 @@ object Llm {
     * is pure pruning, not approximation.
     */
   private[graft] def prefixJaccardPairs(tok: DataFrame, t: Double): DataFrame = {
-    val dfreq = tok.groupBy("w").agg(count(lit(1)).as("df"))
+    val dfreq = dfreqOf(tok)
     // persisted: the prefix explode + the two verify re-joins — registered
     // so the harness drains it after the query
     val sorted = graft.Caches.persist(tok.join(dfreq, "w")
@@ -941,7 +951,7 @@ object Llm {
 
   private[graft] def prefixContainmentPairs(tok: DataFrame,
       num: Int, den: Int, minRatio: Int = 1): DataFrame = {
-    val dfreq = tok.groupBy("w").agg(count(lit(1)).as("df"))
+    val dfreq = dfreqOf(tok)
     // persisted: probe (prefix) and index (full) sides + nothing else —
     // registered so the harness drains it after the query
     val sorted = graft.Caches.persist(tok.join(dfreq, "w")

@@ -60,6 +60,10 @@ object Tables {
     * contract (DeterminismSpec sweeps partition counts).
     */
   def parallelizeSmall(df: DataFrame): DataFrame = {
+    // streaming frames pass through untouched: micro-batches arrive already
+    // partitioned, and forcing a batch queryExecution on a streaming plan
+    // throws (UnsupportedOperationChecker)
+    if (df.isStreaming) return df
     val s = df.sparkSession
     val limit = s.conf.getOption("graft.smallScanShuffleBytes")
       .map(_.toLong).getOrElse(64L << 20)
