@@ -94,6 +94,25 @@ class QueriesSpec extends AnyFunSuite {
     assert(cm.isEmpty, "Caches.drain left cached plans behind")
   }
 
+  test("Tables.parallelizeSmall: repartitions small batch scans, leaves " +
+      "big tables and streaming frames untouched") {
+    val small = Tables.load(spark, sfDir, "documents")
+    val p = Tables.parallelizeSmall(small)
+    // small table (one row group, file under the gate) fans out to the
+    // session's parallelism; rows are unchanged
+    assert(p.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+    assert(p.count() == small.count())
+    // above-gate tables pass through as the SAME frame (no repartition node)
+    spark.conf.set("graft.smallScanShuffleBytes", "0")
+    try assert(Tables.parallelizeSmall(small) eq small)
+    finally spark.conf.unset("graft.smallScanShuffleBytes")
+    // streaming frames must pass through untouched: forcing a batch
+    // queryExecution on a streaming plan throws (the r13 StreamingSpec
+    // phash-screen regression)
+    val stream = spark.readStream.format("rate").load()
+    assert(stream.isStreaming && (Tables.parallelizeSmall(stream) eq stream))
+  }
+
   test("the end-of-run cache release leaves no cached frames behind") {
     // the queries above persisted Dashboard memo / dedup / IVF frames;
     // Verify and Bench end with exactly this release sequence
