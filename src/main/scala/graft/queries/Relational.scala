@@ -334,7 +334,12 @@ object Relational {
     // pair-keyed count shuffle + a TakeOrderedAndProject partial top-k.
     Q("q_basket_pairs",
       (s, dir) => {
-        val baskets = t(s, dir, "lineitem")
+        // explicit-N keyed repartition (reused by the groupBy — one
+        // exchange) so AQE cannot coalesce the basket exchange on its
+        // pre-explode bytes: the in-row pair expansion below multiplies
+        // rows ~|ps|/2× and was running on 3 of 32 cores (r14, 1.6×)
+        val baskets = graft.Tables
+          .expandParallel(t(s, dir, "lineitem"), col("l_orderkey"))
           .groupBy("l_orderkey")
           .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
         baskets.select(explode(expr(
@@ -714,8 +719,13 @@ object Relational {
         // basket rows don't already hold — per-part counts are the explode
         // of the baskets, the basket total is their row count (r13: one
         // exchange + one scan removed; hash-identical by construction).
+        // explicit-N keyed repartition for the same reason as
+        // q_basket_pairs: the persisted basket partitions are what the
+        // pair explode later parallelizes over, and AQE coalesces the
+        // exchange on pre-explode bytes (r14)
         val baskets = graft.Caches.persist(
-          t(s, dir, "lineitem").groupBy("l_orderkey")
+          graft.Tables.expandParallel(t(s, dir, "lineitem"), col("l_orderkey"))
+            .groupBy("l_orderkey")
             .agg(sort_array(collect_set(col("l_partkey"))).as("ps")))
         val pairs = baskets.select(explode(expr(
             """flatten(transform(ps, (a, i) ->
@@ -726,8 +736,13 @@ object Relational {
           .groupBy("part_a", "part_b")
           .agg(count(lit(1)).as("support"))
           .filter(col("support") >= 2)
-        val cnt = baskets.select(explode(col("ps")).as("l_partkey"))
-          .groupBy("l_partkey").agg(count(lit(1)).as("c"))
+        // persisted: cnt feeds TWO broadcast exchanges (part_a and part_b
+        // legs) and each re-ran the explode+aggregation from the basket
+        // cache — ~0.9 s of the query's 2.1 s at sf0.1 (r14); ~|parts|
+        // rows, trivial to hold
+        val cnt = graft.Caches.persist(
+          baskets.select(explode(col("ps")).as("l_partkey"))
+            .groupBy("l_partkey").agg(count(lit(1)).as("c")))
         val tot = baskets.agg(count(lit(1)).as("n"))
         pairs
           .join(broadcast(cnt.select(col("l_partkey").as("part_a"), col("c").as("ca"))),

@@ -75,4 +75,28 @@ object Tables {
     * scan stage carries real per-row work. */
   def loadParallel(spark: SparkSession, dir: String, name: String): DataFrame =
     parallelizeSmall(load(spark, dir, name))
+
+  /** Keyed repartition with an EXPLICIT partition count, for exchanges whose
+    * downstream stage multiplies rows (pair explodes). AQE sizes post-shuffle
+    * coalescing on the bytes CROSSING the exchange, so a keyed aggregation
+    * whose consumer then explodes k× gets coalesced to a handful of tasks
+    * and the multiplied work runs nearly serial (measured: q_basket_pairs'
+    * ~12M-row pair expansion on 3 of 32 cores — 1.6×). An explicit
+    * numPartitions exempts the exchange from coalescing, and a groupBy on
+    * the same key REUSES it (same key, same count — no second exchange).
+    * N tracks scale: never below the session's default parallelism, and for
+    * inputs whose optimizer size estimate exceeds the advisory partition
+    * size it grows to the same partition count AQE itself would target, so
+    * a 100 TB input is not pinned to the local core count. Estimate-based
+    * (raw-scan-accurate, like [[parallelizeSmall]]); batch frames only.
+    */
+  def expandParallel(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame = {
+    val s = df.sparkSession
+    val advisory = s.sessionState.conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = math.max(s.sparkContext.defaultParallelism.toLong,
+      (bytes / math.max(advisory, 1L)).min(1 << 20).toLong).toInt
+    df.repartition(n, cols: _*)
+  }
 }
