@@ -59,9 +59,15 @@ object Caches {
     * and without double drain entries. The first caller's registration
     * owns the drain.
     */
-  def persistShared(df: DataFrame): DataFrame =
+  def persistShared(df: DataFrame): DataFrame = reg.synchronized {
+    // check-then-persist under the registry lock (r14): two threads
+    // building equivalent plans concurrently could both observe
+    // StorageLevel.NONE and both persist — re-introducing the "already
+    // cached" warning and the double drain entry this helper exists to
+    // prevent (persist() re-enters the same lock; reentrant, no deadlock)
     if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
     else persist(df)
+  }
 
   /** Run `body`; on exit unpersist ONLY the frames `persist`ed during it on
     * this thread. Every plan the body wants to outlive the scope must be
@@ -75,13 +81,26 @@ object Caches {
     try body
     finally {
       local.set(prev)
-      buf.foreach(_.unpersist(blocking = false))
+      buf.foreach { df =>
+        df.unpersist(blocking = false)
+        // release any primed-count entry whose cache entry this unpersist
+        // just invalidated (see countOnce: primed hits skip the prime job)
+        primed.synchronized(primed.remove(planKey(df)))
+        primedRows.synchronized(primedRows.remove(planKey(df)))
+      }
     }
   }
 
   /** Unpersist every frame registered for `s` since the last drain. */
-  def drain(s: SparkSession): Unit = reg.synchronized {
-    Option(reg.remove(s)).foreach(_.foreach(_.unpersist(blocking = false)))
+  def drain(s: SparkSession): Unit = {
+    reg.synchronized {
+      Option(reg.remove(s)).foreach(_.foreach(_.unpersist(blocking = false)))
+    }
+    // the primed-count memo is only valid while the underlying cache entry
+    // is materialized — the next query re-persists an equivalent plan COLD
+    // and its first countOnce must re-run to prime it
+    primed.synchronized(primed.filterInPlace { case ((ks, _), _) => ks != s })
+    primedRows.synchronized(primedRows.filterInPlace { case ((ks, _), _) => ks != s })
   }
 
   // ---- memoized statistics counts ------------------------------------
@@ -96,6 +115,13 @@ object Caches {
   // place must go through new plans (new artifact generation dirs /
   // unioned frames), which miss the memo by construction.
   private val counts = scala.collection.mutable.HashMap[(SparkSession, Any), Long]()
+
+  // counts of PERSISTED frames whose shared cache entry has already been
+  // primed this drain-window — valid only while that entry is materialized,
+  // so drain()/scoped() clear it (unlike `counts`, which outlives drains)
+  private val primed = scala.collection.mutable.HashMap[(SparkSession, Any), Long]()
+  private val primedRows = scala.collection.mutable.HashMap[
+    (SparkSession, Any), org.apache.spark.sql.Row]()
 
   /** The memo key: the canonicalized analyzed plan, with every file
     * relation replaced by a structural stand-in. Canonicalization alone
@@ -145,18 +171,30 @@ object Caches {
   def countOnce(df: DataFrame): Long = {
     // UI/profiler attribution: gate-site statistics jobs are otherwise
     // indistinguishable blips between the real stages (guide §1.5)
-    def labeled(body: => Long): Long = {
-      val sc = df.sparkSession.sparkContext
-      val prev = sc.getLocalProperty("spark.job.description")
-      sc.setJobDescription(
-        s"countOnce:${df.schema.fieldNames.take(4).mkString(",")}" +
-          (if (df.storageLevel !=
-            org.apache.spark.storage.StorageLevel.NONE) " (cache-prime)" else ""))
-      try body finally sc.setJobDescription(prev)
-    }
-    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE ||
-        df.sparkSession.conf.getOption("graft.caches.countMemo").contains("false"))
+    def labeled(body: => Long): Long = Caches.labeled(df.sparkSession,
+      s"countOnce:${df.schema.fieldNames.take(4).mkString(",")}" +
+        (if (df.storageLevel !=
+          org.apache.spark.storage.StorageLevel.NONE) " (cache-prime)" else ""))(body)
+    if (df.sparkSession.conf.getOption("graft.caches.countMemo").contains("false"))
       return labeled(df.count())
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) {
+      // persisted frames: the FIRST count per canonical plan is the serial
+      // cache-prime the owner depends on (see the x2_jaccard_bigram note
+      // below) and always runs — but REPEAT countOnce calls on the same
+      // shared cache entry (the funnel's cluster + containment legs both
+      // gate on the same raritySets frame) were each paying another count
+      // job over the warm cache: ~0.1-0.4 s × 9 jobs per
+      // x4_funnel_containment build at sf0.1 (r14). Once primed, the
+      // value is served from the memo; drain()/scoped() invalidate it
+      // together with the cache entry it describes.
+      val key = planKey(df)
+      primed.synchronized(primed.get(key)) match {
+        case Some(c) => return c
+        case None =>
+          val c = labeled(df.count())
+          return primed.synchronized(primed.getOrElseUpdate(key, c))
+      }
+    }
     val key = planKey(df)
     counts.synchronized(counts.get(key)) match {
       case Some(c) => c
@@ -187,9 +225,21 @@ object Caches {
     * evaluation is cache-priming, not just statistics).
     */
   def rowOnce(df: DataFrame, desc: String): org.apache.spark.sql.Row = {
-    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE ||
-        df.sparkSession.conf.getOption("graft.caches.countMemo").contains("false"))
+    if (df.sparkSession.conf.getOption("graft.caches.countMemo").contains("false"))
       return labeled(df.sparkSession, desc)(df.head())
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) {
+      // primed-window memo, exactly like countOnce: first call per shared
+      // cache entry primes it, repeats within the drain-window are served
+      // without another job (the funnel's legs re-ran the setsim stat
+      // aggregate 4× over one warm tok cache — ~1 s per build at sf0.1)
+      val key = planKey(df)
+      primedRows.synchronized(primedRows.get(key)) match {
+        case Some(r) => return r
+        case None =>
+          val r = labeled(df.sparkSession, desc)(df.head())
+          return primedRows.synchronized(primedRows.getOrElseUpdate(key, r))
+      }
+    }
     val key = planKey(df)
     rows.synchronized(rows.get(key)) match {
       case Some(r) => r
@@ -203,5 +253,7 @@ object Caches {
   def invalidateCounts(s: SparkSession): Unit = {
     counts.synchronized(counts.filterInPlace { case ((ks, _), _) => ks != s })
     rows.synchronized(rows.filterInPlace { case ((ks, _), _) => ks != s })
+    primed.synchronized(primed.filterInPlace { case ((ks, _), _) => ks != s })
+    primedRows.synchronized(primedRows.filterInPlace { case ((ks, _), _) => ks != s })
   }
 }

@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native (codegen'd) dot product over two `array<double>` columns.
@@ -103,6 +103,78 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectCount =
     copy(left = newLeft, right = newRight)
+}
+
+/** Early-exit containment/overlap qualifier over two SORTED long arrays:
+  * TRUE iff |a ∩ b| · den ≥ min(|a|,|b|) · num — exactly the verify
+  * predicate of the containment family (i · den ≥ min · num for positive
+  * integers ⟺ i ≥ ⌈min·num/den⌉). A filter spelled over
+  * [[SortedIntersectCount]] gets pushed by Catalyst into the candidate
+  * join's condition WHILE the projection keeps its own copy, so every
+  * banded candidate (5.5M at sf0.1) paid TWO full merge scans plus four
+  * ArrayData→long[] copies. This kernel indexes the ArrayData directly
+  * (zero copies) and stops as soon as the outcome is decided in either
+  * direction: success once the running count reaches the threshold,
+  * failure once count + min(remaining_a, remaining_b) falls below it.
+  * Consumers filter on this FIRST and compute the exact count only on
+  * the qualifying survivors.
+  */
+case class SortedIntersectQualifies(left: Expression, right: Expression,
+    ratio: Expression) extends TernaryExpression {
+
+  override def first: Expression = left
+  override def second: Expression = right
+  override def third: Expression = ratio
+
+  override def dataType: DataType = BooleanType
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val r = c.asInstanceOf[Long]
+    val num = (r >> 32).toInt; val den = (r & 0xffffffffL).toInt
+    val la = x.numElements(); val lb = y.numElements()
+    val m = math.min(la, lb).toLong
+    val thr = (m * num + den - 1) / den
+    if (thr <= 0L) return true
+    var i = 0; var j = 0; var n = 0L
+    while (i < la && j < lb) {
+      if (n + math.min(la - i, lb - j) < thr) return false
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else { n += 1L; if (n >= thr) return true; i += 1; j += 1 }
+    }
+    false
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
+      val la = ctx.freshName("la"); val lb = ctx.freshName("lb")
+      val thr = ctx.freshName("thr"); val num = ctx.freshName("num")
+      val den = ctx.freshName("den")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $la = $a.numElements(); int $lb = $b.numElements();
+         |int $num = (int) ($c >> 32); int $den = (int) ($c & 0xffffffffL);
+         |long $thr = (java.lang.Math.min($la, $lb) * (long) $num + $den - 1) / $den;
+         |${ev.value} = ($thr <= 0L);
+         |int $i = 0; int $j = 0; long $n = 0L;
+         |while (!${ev.value} && $i < $la && $j < $lb) {
+         |  if ($n + java.lang.Math.min($la - $i, $lb - $j) < $thr) break;
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv < $yv) $i++;
+         |  else if ($xv > $yv) $j++;
+         |  else { $n++; if ($n >= $thr) ${ev.value} = true; $i++; $j++; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): SortedIntersectQualifies =
+    copy(left = newFirst, right = newSecond, ratio = newThird)
 }
 
 /** 1-based index of the FIRST position (capped at `limit`) where two long
@@ -1022,6 +1094,13 @@ object NativeExpressions {
     registry.createOrReplaceTempFunction(
       "graft_isect",
       (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_isect_geq",
+      // (a, b, num, den) — num/den fold into one packed literal so the
+      // kernel stays ternary; both must be Int literals at call sites
+      (args: Seq[Expression]) => SortedIntersectQualifies(args(0), args(1),
+        Literal((args(2).eval().asInstanceOf[Int].toLong << 32) |
+          args(3).eval().asInstanceOf[Int].toLong)), "built-in")
     registry.createOrReplaceTempFunction(
       "graft_first_eq",
       (args: Seq[Expression]) => FirstEqualIndex(args(0), args(1), args(2)),

@@ -215,8 +215,13 @@ object IvfIndex {
     NativeExpressions.register(spark)
     // memoized (r13): the cache-key count is a full source scan, and every
     // x3_* query build pays it — the memo holds per (session, canonical
-    // plan), and source MUTATIONS always arrive as new generation dirs
-    // (sources/Snapshot), i.e. new plans, so a stale hit is unreachable
+    // plan). PRECONDITION (r14, unenforceable here): e0 must come from an
+    // immutable source for the session — a driver testdata table or a
+    // sources/Snapshot generation dir. Source MUTATIONS must arrive as new
+    // paths (new generation dirs), i.e. new canonical plans; replacing
+    // parquet IN PLACE at the same path would leave a stale memoized n
+    // selecting a stale index dir. Callers that rewrite data in place must
+    // call Caches.invalidateCounts first (tests do).
     val n = graft.Caches.countOnce(e0)
     val root = cacheRoot(spark)
     val safe = key.replaceAll("[^A-Za-z0-9._-]", "_")

@@ -930,8 +930,13 @@ object Llm {
             col("sa") <= col("sb") &&
               least(col("na"), col("nb")) * minRatio <=
                 greatest(col("na"), col("nb")) &&
-              isect(col("arra"), col("arrb")) * den >=
-                least(col("na"), col("nb")) * num)
+              // early-exit qualifier (na = |arra|, nb = |arrb|): the S²
+              // NLJ evaluates this per enumerated pair, so bailing as soon
+              // as the containment outcome is decided — instead of a full
+              // merge scan + two array copies — is the dominant per-pair
+              // cost here; the exact count below runs on survivors only
+              call_function("graft_isect_geq", col("arra"), col("arrb"),
+                lit(num), lit(den)))
           .withColumn("i", isect(col("arra"), col("arrb")))
           .select(col("sa"), col("sb"), col("i"), col("na"), col("nb"))
       }
@@ -1205,8 +1210,15 @@ object Llm {
         col("n").as("na"), col("members").as("mem_a"))), "sa")
       .join(bs(sets.select(col("sid").as("sb"), col("hs").as("hb"),
         col("n").as("nb"), col("members").as("mem_b"))), "sb")
+      // early-exit qualifier FIRST (na = |ha|, nb = |hb| by construction,
+      // so the kernel's min(|a|,|b|)·num/den threshold is exactly the old
+      // i·den ≥ least(na,nb)·num): the filter-over-isect spelling was
+      // pushed into the join condition AND kept in the projection — every
+      // banded candidate (5.5M at sf0.1) paid two full merge scans plus
+      // four array copies; the exact count now runs only on survivors
+      .filter(call_function("graft_isect_geq", col("ha"), col("hb"),
+        lit(num), lit(den)))
       .withColumn("i", call_function("graft_isect", col("ha"), col("hb")))
-      .filter(col("i") * den >= least(col("na"), col("nb")) * num)
       .withColumn("containment_e4", expr("i * 10000 div least(na, nb)"))
       .withColumn("jaccard_e4", expr("i * 10000 div (na + nb - i)"))
     val crossPairs = verified

@@ -887,6 +887,13 @@ object Relational {
         // original values back without any join to `cust`. Identical NTILE
         // arithmetic (RangedNtile.tileExpr), identical per-dim global ranks
         // ⇒ hash-identical output; oracle unchanged.
+        // PRECONDITION for the negation (asc(-v) == desc(v)): recency /
+        // freq / monetary are NON-NULL by construction (datediff over
+        // non-null dates; counts/sums over an inner join) and far from
+        // Long.MinValue. Spark sorts nulls FIRST under asc but LAST under
+        // desc, and -Long.MinValue overflows — a future upstream change
+        // that can produce null recency (e.g. a left join) would silently
+        // reorder tiles here.
         val tri = cust.select(col("o_custkey"), explode(array(
             struct(lit(1).as("dim"), (-col("recency_days")).as("v")),
             struct(lit(2).as("dim"), col("freq").as("v")),

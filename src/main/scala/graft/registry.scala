@@ -58,6 +58,12 @@ object Tables {
     * is the table's own optimizer size estimate (file bytes), no job.
     * Results are partition-count-invariant by the repo's determinism
     * contract (DeterminismSpec sweeps partition counts).
+    *
+    * The gate is ESTIMATE-based and intended for RAW TABLE SCANS, where
+    * the optimizer estimate is the file size and accurate. For derived
+    * frames (filtered/projected inputs) the estimate can be far off and
+    * the gate may misclassify — perf-only either way, but prefer
+    * [[loadParallel]] at load sites over wrapping derived frames.
     */
   def parallelizeSmall(df: DataFrame): DataFrame = {
     // streaming frames pass through untouched: micro-batches arrive already

@@ -46,6 +46,7 @@ object ProfileMain {
       case "@bigramstats" => bigramStats(spark, sfDir)
       case "@screens" => screenPieces(spark, sfDir)
       case "@funnel" => funnelPieces(spark, sfDir)
+      case "@containlsh" => containmentLshPieces(spark, sfDir)
       // warm:<query> — 3 runs with NO cache drain between them, mimicking
       // the r01-era min-of-2 bench whose persisted frames stayed warm
       // across samples; the run2/run3 times are what those era numbers
@@ -215,6 +216,101 @@ object ProfileMain {
     * knnExact leg, lexical token materialization / posting intersection /
     * per-query top-k, and the fused end-to-end query.
     */
+  /** Decompose containmentLshVerified's execution (the x2_containment_lsh /
+    * _dedup engine): sets/sig construction, tier-1 same-stratum banding,
+    * tier-2 cross-strata probing, exact verify, doc expansion — mirrors the
+    * production construction piece by piece (noop-sunk per guide §1.4) so
+    * the expensive side of the two-tier candidate join is attributable.
+    * Dev-only duplication; the production code stays in queries.Llm.
+    */
+  private def containmentLshPieces(spark: SparkSession, dir: String): Unit = {
+    graft.functions.NativeExpressions.register(spark)
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    (1 to 2).foreach { round =>
+      println(s"[profile] --- containment-lsh round $round ---")
+      val d0 = graft.Tables.load(spark, dir, "documents")
+      val K = 32; val bands2 = 16; val P31 = 2147483647L
+      val sets = graft.Caches.persist(
+        d0.select(col("doc_id"),
+            sort_array(array_distinct(call_function("graft_wordhash62",
+              TF.tokenSet(col("text"))))).as("hs"))
+          .groupBy("hs")
+          .agg(min("doc_id").as("sid"), collect_list("doc_id").as("members"),
+            count(lit(1)).as("m"))
+          .withColumn("n", size(col("hs")).cast("long"))
+          .withColumn("strat", (length(conv(col("n"), 10, 2)) - 1).cast("int")))
+      time("sets materialize") { sets.count() }
+      val sig = graft.Caches.persist(sets.select(col("sid"), col("strat"),
+        call_function("graft_minhash_portable", col("hs"), lit(K)).as("sig")))
+      time("sig materialize") { sig.count() }
+      val setStats = sets.agg(count(lit(1)), min("strat"), max("strat")).head()
+      val bkArr = array((0 until bands2).map { b =>
+        element_at(col("sig"), 2 * b + 1) * P31 + element_at(col("sig"), 2 * b + 2)
+      }: _*)
+      val b2 = sig.select(col("sid"), col("strat"), bkArr.as("bks"))
+        .select(col("sid"), col("strat"), col("bks"),
+          posexplode(col("bks")).as(Seq("band", "bk")))
+      val cand0 = b2.as("a").join(b2.as("b"),
+          col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+            col("a.strat") === col("b.strat") && col("a.sid") < col("b.sid"))
+        .filter(col("a.band") + 1 === call_function("graft_first_eq",
+          col("a.bks"), col("b.bks"), lit(bands2)))
+        .select(col("a.sid").as("sa"), col("b.sid").as("sb"))
+      time("tier1 cand0") { noop(cand0) }
+      val (minS, maxS) =
+        if (setStats.isNullAt(1)) (0, 0) else (setStats.getInt(1), setStats.getInt(2))
+      val maxGap = maxS - minS
+      val candG: org.apache.spark.sql.DataFrame = if (maxGap <= 0) null else {
+        val gaps = array((1 to maxGap).map(g =>
+          struct(lit(g).as("g"),
+            lit(graft.queries.Llm.containmentBandsForGap(g)).as("bud"))): _*)
+        val b1 = sig.select(col("sid"), col("strat"), col("sig"),
+          posexplode(col("sig")).as(Seq("k", "sv")))
+        val probe = b1.select(col("sid"), col("strat"), col("sig"), col("k"),
+            col("sv"), explode(gaps).as("gb"))
+          .select(col("sid"), col("strat"), col("sig"), col("k"), col("sv"),
+            (col("strat") + col("gb.g")).as("tgt"), col("gb.bud").as("bud"))
+          .filter(col("k") < col("bud") && col("tgt") <= lit(maxS))
+        probe.as("a").join(b1.as("b"),
+            col("a.k") === col("b.k") && col("a.sv") === col("b.sv") &&
+              col("a.tgt") === col("b.strat"))
+          .filter(col("a.k") + 1 === call_function("graft_first_eq",
+            col("a.sig"), col("b.sig"), col("a.bud")))
+          .select(least(col("a.sid"), col("b.sid")).as("sa"),
+            greatest(col("a.sid"), col("b.sid")).as("sb"))
+      }
+      if (candG != null) time("tier2 candG") { noop(candG) }
+      val cand = if (candG == null) cand0 else cand0.unionAll(candG)
+      val nSets = setStats.getLong(0)
+      val bs = graft.Broadcasts.gate(spark, "containment", nSets,
+        rowBytes = 400, defaultBytes = 400L << 20,
+        legacyRowsConf = "graft.containment.broadcastThreshold")
+      val verified = cand
+        .join(bs(sets.select(col("sid").as("sa"), col("hs").as("ha"),
+          col("n").as("na"), col("members").as("mem_a"))), "sa")
+        .join(bs(sets.select(col("sid").as("sb"), col("hs").as("hb"),
+          col("n").as("nb"), col("members").as("mem_b"))), "sb")
+        .withColumn("i", call_function("graft_isect", col("ha"), col("hb")))
+        .filter(col("i") * 10 >= least(col("na"), col("nb")) * 9)
+        .withColumn("containment_e4", expr("i * 10000 div least(na, nb)"))
+        .withColumn("jaccard_e4", expr("i * 10000 div (na + nb - i)"))
+      time("cand+verify") { noop(verified.drop("ha", "hb")) }
+      val crossPairs = verified
+        .select(explode(col("mem_a")).as("x"), col("mem_b"),
+          col("na"), col("nb"), col("containment_e4"), col("jaccard_e4"))
+        .repartition(col("x"))
+        .select(col("x"), explode(col("mem_b")).as("y"),
+          col("na"), col("nb"), col("containment_e4"), col("jaccard_e4"))
+      time("crossPairs expand") { noop(crossPairs) }
+      time("full x2_containment_lsh") {
+        SparkEntry.queries("x2_containment_lsh")(spark, dir).count() }
+      time("full x2_containment_dedup") {
+        SparkEntry.queries("x2_containment_dedup")(spark, dir).count() }
+      graft.Caches.drain(spark)
+    }
+  }
+
   private def rrfPieces(spark: SparkSession, dir: String): Unit = {
     graft.functions.NativeExpressions.register(spark)
     import org.apache.spark.sql.expressions.Window

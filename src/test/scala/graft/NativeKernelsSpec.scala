@@ -65,6 +65,34 @@ class NativeKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_isect_geq equals the i*den >= min(|a|,|b|)*num predicate, " +
+      "both modes, across thresholds") {
+    val rng = new Random(23)
+    val cases = Seq.fill(40)(
+      (List.fill(rng.nextInt(40))(rng.nextLong() % 500).distinct.sorted,
+       List.fill(rng.nextInt(40))(rng.nextLong() % 500).distinct.sorted)) ++
+      // edge shapes the early exits must not mis-decide: empty sides
+      // (threshold 0 ⇒ qualifies), identical sets, disjoint sets, a
+      // one-element contained set
+      Seq((Nil, List(1L, 2L, 3L)), (Nil, Nil),
+        (List(1L, 2L, 3L), List(1L, 2L, 3L)),
+        (List(1L, 2L), List(3L, 4L)),
+        (List(2L), List(1L, 2L, 3L)))
+    for ((a, b) <- cases; (num, den) <- Seq((9, 10), (1, 2), (1, 1), (0, 1))) {
+      val i = a.toSet.intersect(b.toSet).size.toLong
+      val expected = i * den >= math.min(a.size, b.size).toLong * num
+      for (mode <- modes) {
+        val got = withCodegen(mode) {
+          Seq((a, b)).toDF("a", "b")
+            .select(call_function("graft_isect_geq", col("a"), col("b"),
+              lit(num), lit(den)))
+            .as[Boolean].head()
+        }
+        assert(got == expected, s"mode=$mode num=$num den=$den a=$a b=$b")
+      }
+    }
+  }
+
   test("graft_mask + graft_mask_isect equal set intersection, both modes") {
     val rng = new Random(13)
     val cases = Seq.fill(25)(
