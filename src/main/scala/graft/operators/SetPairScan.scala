@@ -110,7 +110,14 @@ object SetPairScan {
         var k = 0
         while (k < count) {
           val sidB = bSids(k)
-          if (sidA <= sidB) {
+          // size-only admissibility BEFORE the popcount (r14): every Pred
+          // is monotone in i and i ≤ min(na, nb), so a pair that fails at
+          // i = min(na, nb) can never qualify — skip its w-word scan
+          // outright. This is the whole size-ratio guard for the funnel's
+          // minRatio = 2 containment (most near-dup pairs are near-sized)
+          // and the (1−t)/t size band for Jaccard; for minRatio = 1
+          // containment it folds to a tautology and costs two compares.
+          if (sidA <= sidB && pred.holds(math.min(nA, bNs(k)), nA, bNs(k))) {
             var i = 0L
             var p = 0
             val base = k * w

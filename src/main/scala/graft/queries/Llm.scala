@@ -1917,9 +1917,15 @@ object Llm {
   private[graft] def lexicalJaccardTopK(s: SparkSession, d: DataFrame,
       queryPred: Column, k: Int): DataFrame = {
     graft.functions.NativeExpressions.register(s)
-    val tok = graft.Caches.persist(d.select(col("doc_id"),
-      explode(TF.tokenSet(col("text"))).as("w"),
-      size(TF.tokenSet(col("text"))).cast("long").as("nt")))
+    // tokenize ONCE into a projected column below the Generate (r14): a
+    // select mixing explode(tokenSet(text)) with size(tokenSet(text))
+    // evaluates the sibling expression per EXPLODED row — ~|tokens|
+    // tokenizations per doc (measured 0.85 vs 0.17 s for this frame at
+    // sf0.1); the pre-projected column is computed once per input row
+    val tok = graft.Caches.persist(
+      d.select(col("doc_id"), TF.tokenSet(col("text")).as("ts"))
+        .select(col("doc_id"), explode(col("ts")).as("w"),
+          size(col("ts")).cast("long").as("nt")))
     val vocabSize = graft.Caches.countOnce(tok.select("w").distinct())
     val scored =
       if (vocabSize <= vocabThreshold(s)) {
